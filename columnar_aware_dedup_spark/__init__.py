@@ -1,0 +1,13 @@
+"""CAWD-Spark: a PySpark-native engine with the query/data-processing
+capabilities of castuardo/columnar-aware-dedup, re-designed Spark-first.
+
+Importing this package populates the query registry (``registry.QUERIES`` /
+``registry.ORACLES``) that ``__spark_entry__.py`` exposes to the driver.
+"""
+
+from __future__ import annotations
+
+from columnar_aware_dedup_spark import registry  # noqa: F401
+from columnar_aware_dedup_spark.operators import dedup  # noqa: F401
+
+__all__ = ["registry"]

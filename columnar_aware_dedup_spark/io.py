@@ -1,0 +1,54 @@
+"""Fixture-table loaders.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` / ``documents``
+/ ``embeddings`` as one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}`` (see ``FIXTURES.md``). All engine queries
+read through these helpers so the scan always goes through Spark's native
+parquet source (predicate pushdown + column pruning via Catalyst).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (plain parquet scan, fully Catalyst-visible).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark 4 refuses to
+    read natively; we read it as a long (legacy conf) and truncate to
+    microseconds — the same value DuckDB produces when it reads the file, so
+    oracle comparisons line up.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL-flavored ops)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,317 @@
+"""Chunk-store deduplication as Spark dataflow — the engine's core.
+
+Reference semantics re-expressed (citations into ``/root/reference/``):
+
+- *Chunk*: ``(type, start, size)`` + SHA-1 signature
+  (``src/main/java/vmware/speedup/cawd/dedup/ChunkingAlgorithm.java:20-35``).
+  Here a chunk is the multiset of one column's values within one "file"
+  (an order's lineitems play the file/stripe role), signed with md5 over the
+  canonical sorted rendering — same content-addressing idea, set-oriented.
+- *Chunk store probe*: ``HashMap.get(signature)``
+  (``src/main/java/vmware/speedup/cawd/dedup/ColumnarChunkStore.java:10``,
+  ``orc/dedup/NaiveORCChunkStore.java:27-29``) becomes a distributed join on
+  ``signature``: hit set = left-semi, miss set = left-anti. The per-chunk
+  stop-and-wait round trip (``orc/net/NaiveORCStreamer.java:72-76``) is
+  eliminated — one shuffle batches every probe.
+- *Hierarchical stripe->column fallback*
+  (``orc/net/StripePlusColumnORCStreamer.java:110-209``): coarse whole-file
+  signature probed first; only misses explode into per-column probes — two
+  chained joins with the short-circuit expressed as dataflow.
+- *Byte accounting* (``common/TransferStats.java:86-108``): TransferBytes /
+  DedupBytes / hits / misses via conditional aggregation.
+
+Scale notes (100 TB): the unpivot is a narrow map (no shuffle); chunking is
+one shuffle keyed by (file, column); the store probe is one shuffle keyed by
+signature (store side should be bucketed by signature in a persisted layout —
+see ``store_merge``); all aggregates are partial-final. Nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.functions.hashing import (
+    canon_col,
+    canon_sql,
+    multiset_signature,
+    multiset_signature_sql,
+)
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+#: lineitem value columns that become chunks (name, spark dtype).
+LINEITEM_VALUE_COLS: list[tuple[str, str]] = [
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+
+#: snapshot-A cutoff for the two-snapshot workload (median-ish order date).
+SNAPSHOT_CUTOFF = "1998-01-01"
+
+#: reference small-chunk threshold: chunks <= 50 B are sent raw, not hashed
+#: (``orc/net/ColumnBasedORCStreamer.java:109``).
+SMALL_CHUNK_BYTES = 50
+
+NULL_MARK = "\\N"
+
+
+# ---------------------------------------------------------------------------
+# building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+def unpivot_lineitem(df: DataFrame) -> DataFrame:
+    """lineitem -> long form ``(file_id, col, val)``.
+
+    ``file_id`` is the order key: one order's lineitems play the role of one
+    columnar file, each column's values within it one chunk. Narrow transform
+    (explode of a literal-built array) — no shuffle, codegen-friendly.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("col"),
+                F.coalesce(canon_col(n, t), F.lit(NULL_MARK)).alias("val"),
+            )
+            for n, t in LINEITEM_VALUE_COLS
+        ]
+    )
+    return (
+        df.select(F.col("l_orderkey").alias("file_id"), F.explode(pairs).alias("p"))
+        .select("file_id", F.col("p.col").alias("col"), F.col("p.val").alias("val"))
+    )
+
+
+def chunk_table(long_df: DataFrame) -> DataFrame:
+    """Long form -> chunk table ``(file_id, col, signature, size)``.
+
+    One shuffle keyed by (file_id, col). ``size`` is the canonical byte size
+    of the chunk's values (mirrors the reference's chunk ``size`` field).
+    """
+    return long_df.groupBy("file_id", "col").agg(
+        multiset_signature("val").alias("signature"),
+        F.sum(F.length("val")).cast("bigint").alias("size"),
+    )
+
+
+def dedup_classify(incoming: DataFrame, store: DataFrame) -> DataFrame:
+    """Probe incoming chunk signatures against the store -> ``hit`` flag.
+
+    The store side is reduced to distinct signatures first (signature-only
+    probe, like the reference's HashMap keyset); the join is a plain equi-join
+    that AQE turns into a broadcast when the store is small.
+    """
+    store_sigs = store.select("signature").distinct().withColumn("_hit", F.lit(1))
+    return incoming.join(store_sigs, "signature", "left").withColumn(
+        "hit", F.col("_hit").isNotNull()
+    ).drop("_hit")
+
+
+def transfer_rollup(classified: DataFrame, key: str = "col") -> DataFrame:
+    """Per-key byte accounting (TransferStats analogue)."""
+    return (
+        classified.groupBy(key)
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("hits"),
+            F.sum(F.when(~F.col("hit"), 1).otherwise(0)).cast("bigint").alias("misses"),
+            F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_bytes"),
+            F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("transfer_bytes"),
+        )
+        .orderBy(key)
+    )
+
+
+def snapshot_a_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot A = lineitems of orders placed before the cutoff."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    keys_a = orders.filter(F.col("o_orderdate") < F.lit(SNAPSHOT_CUTOFF)).select(
+        "o_orderkey"
+    )
+    return li.join(keys_a, li.l_orderkey == keys_a.o_orderkey, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators (DuckDB side of the same dataflow)
+# ---------------------------------------------------------------------------
+
+def _long_sql(source: str) -> str:
+    """UNION ALL unpivot of ``source`` matching :func:`unpivot_lineitem`."""
+    selects = [
+        f"SELECT l_orderkey AS file_id, '{n}' AS col, "
+        f"COALESCE({canon_sql(n, t)}, '{NULL_MARK}') AS val FROM {source}"
+        for n, t in LINEITEM_VALUE_COLS
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def _chunks_sql(long_cte: str) -> str:
+    return (
+        f"SELECT file_id, col, {multiset_signature_sql('val')} AS signature, "
+        f"SUM(LENGTH(val)) AS size FROM {long_cte} GROUP BY file_id, col"
+    )
+
+
+_SNAPSHOT_A_SQL = (
+    "SELECT l.* FROM lineitem l WHERE l.l_orderkey IN "
+    f"(SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUTOFF}')"
+)
+
+
+def _rollup_sql(classified_cte: str, key: str = "col") -> str:
+    return f"""
+SELECT {key},
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS misses,
+       CAST(SUM(CASE WHEN hit THEN size ELSE 0 END) AS BIGINT) AS dedup_bytes,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE size END) AS BIGINT) AS transfer_bytes
+FROM {classified_cte}
+GROUP BY {key}
+ORDER BY {key}
+"""
+
+
+DEDUP_HIT_MISS_ORACLE = f"""
+WITH li_a AS ({_SNAPSHOT_A_SQL}),
+long_a AS ({_long_sql('li_a')}),
+long_b AS ({_long_sql('lineitem')}),
+store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
+incoming AS ({_chunks_sql('long_b')}),
+classified AS (
+  SELECT i.col, i.size, (s.signature IS NOT NULL) AS hit
+  FROM incoming i LEFT JOIN store s ON i.signature = s.signature
+)
+{_rollup_sql('classified')}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+@register("dedup_hit_miss", oracle=DEDUP_HIT_MISS_ORACLE)
+def dedup_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: two-snapshot transfer simulation.
+
+    Store = chunks of snapshot A (orders before cutoff); incoming = chunks of
+    the full table; output = per-column TransferBytes/DedupBytes/hit/miss —
+    the Spark rendering of the reference's README scenario
+    (``/root/reference/README.md:66-78``: re-transfer of overlapping data
+    should dedup everything previously seen).
+    """
+    store = chunk_table(unpivot_lineitem(snapshot_a_lineitem(spark, sf_dir)))
+    incoming = chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
+    return transfer_rollup(dedup_classify(incoming, store))
+
+
+SMALL_CHUNK_ORACLE = f"""
+WITH long_b AS ({_long_sql('lineitem')}),
+chunks AS ({_chunks_sql('long_b')})
+SELECT col,
+       CASE WHEN size <= {SMALL_CHUNK_BYTES} THEN 'raw' ELSE 'dedup' END AS route,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(size) AS BIGINT) AS bytes
+FROM chunks
+GROUP BY col, route
+ORDER BY col, route
+"""
+
+
+@register("small_chunk_policy", oracle=SMALL_CHUNK_ORACLE)
+def small_chunk_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold routing: chunks <= 50 B bypass hashing (sent raw).
+
+    Mirrors ``orc/net/ColumnBasedORCStreamer.java:109,125-143`` (50 B floor)
+    and the s+p 2xSHA1 rule (``StripePlusColumnORCStreamer.java:154``).
+    """
+    chunks = chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
+    return (
+        chunks.withColumn(
+            "route",
+            F.when(F.col("size") <= SMALL_CHUNK_BYTES, "raw").otherwise("dedup"),
+        )
+        .groupBy("col", "route")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("size").cast("bigint").alias("bytes"),
+        )
+        .orderBy("col", "route")
+    )
+
+
+_STRIPE_CHUNKS_SQL_B = (
+    "SELECT file_id, 'stripe' AS level, "
+    f"{multiset_signature_sql('val')} AS signature, SUM(LENGTH(val)) AS size "
+    "FROM long_b GROUP BY file_id"
+)
+_STRIPE_CHUNKS_SQL_A = _STRIPE_CHUNKS_SQL_B.replace("long_b", "long_a")
+
+DEDUP_HIERARCHICAL_ORACLE = f"""
+WITH li_a AS ({_SNAPSHOT_A_SQL}),
+long_a AS ({_long_sql('li_a')}),
+long_b AS ({_long_sql('lineitem')}),
+stripe_store AS (SELECT DISTINCT signature FROM ({_STRIPE_CHUNKS_SQL_A})),
+col_store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
+stripes_in AS ({_STRIPE_CHUNKS_SQL_B}),
+stripe_probe AS (
+  SELECT i.file_id, i.size, (s.signature IS NOT NULL) AS hit
+  FROM stripes_in i LEFT JOIN stripe_store s ON i.signature = s.signature
+),
+col_in AS ({_chunks_sql('long_b')}),
+col_probe AS (
+  SELECT c.size, (s.signature IS NOT NULL) AS hit
+  FROM col_in c
+  JOIN stripe_probe sp ON c.file_id = sp.file_id AND NOT sp.hit
+  LEFT JOIN col_store s ON c.signature = s.signature
+),
+leveled AS (
+  SELECT 'stripe' AS level, size, hit FROM stripe_probe
+  UNION ALL
+  SELECT 'column' AS level, size, hit FROM col_probe
+)
+{_rollup_sql('leveled', key='level')}
+"""
+
+
+@register("dedup_hierarchical", oracle=DEDUP_HIERARCHICAL_ORACLE)
+def dedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level stripe->column probe with short-circuit.
+
+    Whole-file (stripe) signatures are probed first; only stripe *misses*
+    fan out into per-column probes — the dataflow form of
+    ``orc/net/StripePlusColumnORCStreamer.java:110-209`` (hit at :121-129
+    skips all column work) with its three signature stores
+    (``StripePlusColumnORCReceiver.java:42-44``).
+    """
+    long_a = unpivot_lineitem(snapshot_a_lineitem(spark, sf_dir))
+    long_b = unpivot_lineitem(table(spark, sf_dir, "lineitem"))
+
+    def stripe_chunks(long_df: DataFrame) -> DataFrame:
+        return long_df.groupBy("file_id").agg(
+            multiset_signature("val").alias("signature"),
+            F.sum(F.length("val")).cast("bigint").alias("size"),
+        )
+
+    stripe_probe = dedup_classify(stripe_chunks(long_b), stripe_chunks(long_a))
+    missed_files = stripe_probe.filter(~F.col("hit")).select("file_id")
+    col_probe = dedup_classify(
+        chunk_table(long_b).join(missed_files, "file_id", "left_semi"),
+        chunk_table(long_a),
+    )
+    leveled = stripe_probe.select(
+        F.lit("stripe").alias("level"), "size", "hit"
+    ).unionByName(col_probe.select(F.lit("column").alias("level"), "size", "hit"))
+    return transfer_rollup(leveled, key="level")
