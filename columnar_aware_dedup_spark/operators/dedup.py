@@ -217,6 +217,24 @@ def dedup_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transfer_rollup(dedup_classify(incoming, store))
 
 
+CHUNK_SIMULATE_ORACLE = f"""
+WITH long_b AS ({_long_sql('lineitem')})
+{_chunks_sql('long_b')}
+"""
+
+
+@register("chunk_simulate", oracle=CHUNK_SIMULATE_ORACLE)
+def chunk_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk table itself: (file, column) -> signature + size.
+
+    Spark rendering of ``eagerChunking``'s ``List<Chunk>`` IR
+    (``dedup/ChunkingAlgorithm.java:11``; chunk fields
+    ``orc/dedup/NaiveORCChunkingAlgorithm.java:79-149``) over row data instead
+    of byte ranges.
+    """
+    return chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
+
+
 SMALL_CHUNK_ORACLE = f"""
 WITH long_b AS ({_long_sql('lineitem')}),
 chunks AS ({_chunks_sql('long_b')})

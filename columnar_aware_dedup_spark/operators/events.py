@@ -1,0 +1,184 @@
+"""Event-time operators over the ``events`` table (SURVEY §2.9).
+
+The reference's only "streaming" is a long-lived TCP client/server loop with
+no notion of event time (``net/SpeedupClient.java:44-64``,
+``net/SpeedupServer.java:56-81``). Our engine exposes real event-time
+semantics: tumbling/sliding/session windows, first-event dedup-with-state,
+and a watermark-style late-data filter. Each is declared here in its
+*batch-checkable* form (same functions Structured Streaming uses — ``F.window``
+/ ``F.session_window`` work identically on batch DataFrames), so the DuckDB
+oracle can hash-check it; the continuous variants live in
+:mod:`columnar_aware_dedup_spark.streaming`.
+
+Scale notes: window aggregation shuffles on (window, key) — at 100 TB the key
+space is (hour x user) so AQE coalesces fine; session windows use Spark's
+native session-window operator (sort-based within partition), not a
+collect-to-driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.functions.hashing import exact_sum, exact_sum_sql
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+#: DuckDB rendering of a Spark window start: floor epoch seconds to the slide.
+def _bucket_start_sql(slide_s: int, offset_s: int = 0) -> str:
+    return (
+        f"make_timestamp((CAST(floor((epoch(ts) - {offset_s}) / {slide_s}) AS BIGINT)"
+        f" * {slide_s} + {offset_s}) * 1000000)"
+    )
+
+
+@register(
+    "event_tumbling_window",
+    oracle=f"""
+SELECT {_bucket_start_sql(3600)} AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {exact_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate (``F.window`` — streaming-identical)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "event_sliding_window",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {_bucket_start_sql(1800)} AS window_start, value FROM events
+  UNION ALL
+  SELECT {_bucket_start_sql(1800)} - INTERVAL 30 MINUTE AS window_start, value
+  FROM events
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {exact_sum_sql('value')} AS sum_value
+FROM assigned GROUP BY window_start ORDER BY window_start
+""",
+)
+def event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in 2 windows.
+
+    The oracle materializes the window assignment explicitly (latest 30-min
+    boundary <= ts, and the one before) — same set Spark's ``F.window``
+    produces.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "event_session_window",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {exact_sum_sql('value')} AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute-gap session windows per user (``F.session_window``).
+
+    The oracle is the classic gaps-and-islands rewrite; Spark's session window
+    end = last event + gap, mirrored as ``MAX(ts) + INTERVAL``.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "event_dedup_first",
+    oracle="""
+SELECT user_id, event_type, event_id, ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+""",
+)
+def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-with-state analogue: keep the *first* event per
+    (user, type). ``dropDuplicates`` keeps an arbitrary row; the engine's
+    contract is first-by-event-time (what streaming dedup with a watermark
+    yields), expressed as a rank-1 window."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "event_watermark_filter",
+    oracle="""
+SELECT event_id, ts, user_id
+FROM events
+WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+ORDER BY event_id
+""",
+)
+def event_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of a 1-hour watermark: drop events older than
+    max(event time) - 1h. In streaming this is ``withWatermark``; in batch a
+    scalar-subquery filter (Spark broadcasts the 1-row aggregate)."""
+    e = table(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("cut"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cut"))
+        .select("event_id", "ts", "user_id")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,207 @@
+"""Embedding similarity search over ``embeddings`` (north-star extension).
+
+``embedding`` is ``array<float>``. Everything is computed with Spark
+higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no Python
+UDF in the hot path. Determinism discipline: element-wise products are cast
+to double and folded left-to-right in index order on BOTH engines (the DuckDB
+oracles use ``generate_series``-indexed ``list_sum``, not
+``list_cosine_similarity``, so the floating-point evaluation order is pinned);
+similarities are rounded to 6 decimals *before* ranking, with vec_id
+tiebreaks, so top-k sets are stable.
+
+Scale notes: brute-force top-k is a broadcast of the (small) query set against
+the full collection — linear scan, no shuffle, ranked with a per-query heap
+(window rank <= k after AQE). The LSH variant bounds candidates per bucket so
+the join never goes quadratic; at 100 TB you'd persist the bucketed layout and
+probe only matching buckets (partition pruning on bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+#: dot(a, b) folded in index order, elements cast to double first.
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine_spark(a: str, b: str):
+    dot = _DOT_SPARK.format(a=a, b=b)
+    na = _DOT_SPARK.format(a=a, b=a)
+    nb = _DOT_SPARK.format(a=b, b=b)
+    return F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round(({_dot_sql(a, b)}) / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(round(sqrt({_dot_sql('embedding', 'embedding')}), 6)
+                AS DECIMAL(28,6))) AS DOUBLE) AS sum_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm aggregate — vector math staying fully columnar."""
+    e = table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        f"round(sqrt({_DOT_SPARK.format(a='embedding', b='embedding')}), 6)"
+    )
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("norm").cast("decimal(28,6)")).cast("double").alias(
+                "sum_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_TOPK = 5
+_NQ = 10  # query set: vec_id < 10
+
+EMBEDDING_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_NQ}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cosine_sql('q.qe', 'e.embedding')} AS cosine_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= {_TOPK}
+ORDER BY query_id, cosine_sim DESC, neighbor_id
+"""
+
+
+@register("embedding_cosine_topk", oracle=EMBEDDING_TOPK_ORACLE)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline.
+
+    Query set broadcast against the collection (linear scan — the right plan
+    when the query set is small); rank on rounded similarity with id
+    tiebreak.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_spark("qe", "embedding").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )
+
+
+#: sign-bit LSH: 8 deterministic integer hyperplanes; bucket = 8-bit string.
+_N_PLANES = 8
+#: hyperplane j, component i: small signed integer from a fixed affine form.
+_PLANE = "(CAST((i * 37 + {j} * 101) % 19 AS DOUBLE) - 9.0)"
+
+
+def _bucket_expr_spark() -> str:
+    bits = [
+        "CASE WHEN aggregate(transform(sequence(1, size(embedding)),"
+        f" i -> CAST(element_at(embedding, i) AS DOUBLE) * {_PLANE.format(j=j)}),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END"
+        for j in range(_N_PLANES)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _bucket_expr_sql(col: str = "embedding") -> str:
+    bits = [
+        f"CASE WHEN list_sum(list_transform(generate_series(1, len({col})),"
+        f" i -> CAST({col}[i] AS DOUBLE) * {_PLANE.format(j=j)})) > 0"
+        " THEN '1' ELSE '0' END"
+        for j in range(_N_PLANES)
+    ]
+    return "(" + " || ".join(bits) + ")"
+
+
+ANN_LSH_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {_NQ}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql('q.qe', 'c.embedding')} AS cosine_sim
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= {_TOPK}
+ORDER BY query_id, cosine_sim DESC, neighbor_id
+"""
+
+
+@register("ann_lsh_topk", oracle=ANN_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing, exact re-rank
+    within the query's bucket — the 100 TB scale path (candidates per query
+    shrink from N to N / 2^planes; bucket column is persistable/partitionable
+    so probes prune to one partition)."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr_spark())
+    )
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_spark("qe", "embedding").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )

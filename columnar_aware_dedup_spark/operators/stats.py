@@ -1,0 +1,124 @@
+"""TransferStats as DataFrames (SURVEY §2.4).
+
+The reference accumulates per-file ``TransferStatValue`` lists and rolls them
+up globally with min/p25/p50/p75/max summaries
+(``common/TransferStats.java:38-72`` model+rollup, ``:86-108`` stat taxonomy,
+``:129-155`` percentile printing — whose p50/p75 are a copy-paste of p25; we
+compute them correctly, SURVEY §8.1).
+
+Here the per-file stats come from the dedup classifier: each file (order)
+yields TransferBytes / DedupBytes / ChunkHit / ChunkMiss values; the global
+rollup is the exact partial->final aggregation shape the reference hand-rolls
+(``globalStats`` re-aggregating per-file aggregates — Spark does the partial
+aggregation automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.dedup import (
+    DEDUP_HIT_MISS_ORACLE,  # noqa: F401  (kept close: same classified CTE shape)
+    _SNAPSHOT_A_SQL,
+    _chunks_sql,
+    _long_sql,
+    chunk_table,
+    dedup_classify,
+    snapshot_a_lineitem,
+    unpivot_lineitem,
+)
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+
+def per_file_stats(classified: DataFrame) -> DataFrame:
+    """Classified chunks -> long stats table ``(file_id, stat_type, value)``.
+
+    Mirrors the reference's per-file ``TransferStats`` list
+    (``common/TransferStats.java:16-36``): one row per (file, stat type).
+    """
+    agg = classified.groupBy("file_id").agg(
+        F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
+        .cast("double")
+        .alias("TransferBytes"),
+        F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
+        .cast("double")
+        .alias("DedupBytes"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("double").alias("ChunkHit"),
+        F.sum(F.when(~F.col("hit"), 1).otherwise(0)).cast("double").alias("ChunkMiss"),
+    )
+    stat_cols = ["TransferBytes", "DedupBytes", "ChunkHit", "ChunkMiss"]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("stat_type"), F.col(c).alias("value"))
+            for c in stat_cols
+        ]
+    )
+    return agg.select("file_id", F.explode(pairs).alias("p")).select(
+        "file_id", "p.stat_type", "p.value"
+    )
+
+
+TRANSFER_STATS_ORACLE = f"""
+WITH li_a AS ({_SNAPSHOT_A_SQL}),
+long_a AS ({_long_sql('li_a')}),
+long_b AS ({_long_sql('lineitem')}),
+store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
+incoming AS ({_chunks_sql('long_b')}),
+classified AS (
+  SELECT i.file_id, i.size, (s.signature IS NOT NULL) AS hit
+  FROM incoming i LEFT JOIN store s ON i.signature = s.signature
+),
+per_file AS (
+  SELECT file_id,
+         CAST(SUM(CASE WHEN hit THEN 0 ELSE size END) AS DOUBLE) AS TransferBytes,
+         CAST(SUM(CASE WHEN hit THEN size ELSE 0 END) AS DOUBLE) AS DedupBytes,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) AS ChunkHit,
+         CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS DOUBLE) AS ChunkMiss
+  FROM classified GROUP BY file_id
+),
+long_stats AS (
+  SELECT file_id, 'TransferBytes' AS stat_type, TransferBytes AS value FROM per_file
+  UNION ALL SELECT file_id, 'DedupBytes', DedupBytes FROM per_file
+  UNION ALL SELECT file_id, 'ChunkHit', ChunkHit FROM per_file
+  UNION ALL SELECT file_id, 'ChunkMiss', ChunkMiss FROM per_file
+)
+SELECT stat_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       MIN(value) AS min_value,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       MAX(value) AS max_value
+FROM long_stats
+GROUP BY stat_type
+ORDER BY stat_type
+"""
+
+
+@register("transfer_stats_rollup", oracle=TRANSFER_STATS_ORACLE)
+def transfer_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global stat rollup with correct percentile summary.
+
+    ``TransferStats.globalStats`` + ``TransferStatValue.percentile``
+    (``common/TransferStats.java:38-47,129-132``) — per-file stats re-aggregated
+    across files, with min/p25/p50/p75/max over the per-file values.
+    """
+    store = chunk_table(unpivot_lineitem(snapshot_a_lineitem(spark, sf_dir)))
+    incoming = chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
+    stats = per_file_stats(dedup_classify(incoming, store))
+    return (
+        stats.groupBy("stat_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+            F.count("*").alias("occurrences"),
+            F.min("value").alias("min_value"),
+            F.percentile("value", F.lit(0.25)).alias("p25"),
+            F.percentile("value", F.lit(0.50)).alias("p50"),
+            F.percentile("value", F.lit(0.75)).alias("p75"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("stat_type")
+    )

@@ -1,0 +1,422 @@
+"""Text-analysis & document-dedup operators over ``documents`` (north-star
+extensions: the LLM-training-data pipeline surface).
+
+The reference dedups *bytes*; a training-data pipeline dedups *text*. Same
+content-addressing idea — normalize, sign, probe a signature store — lifted
+from byte ranges to documents:
+
+- exact dedup  = md5 over normalized text (the reference's SHA-1-per-chunk,
+  ``dedup/ChunkingAlgorithm.java:13-18``, at document granularity);
+- near dedup   = MinHash over token shingles, banded LSH bucket join;
+- quality/lang = cheap, fully-columnar heuristics (no UDF in the hot path —
+  every function here is a built-in that stays in WholeStageCodegen).
+
+Everything is deterministic (seeded string hashing, no RNG), so even MinHash
+is DuckDB-hash-checkable.
+
+Scale notes: normalization/tokenization are narrow maps; exact dedup is one
+shuffle on the signature; LSH is one shuffle on (band, band-hash) with
+bounded bucket sizes (tune bands/rows for the target similarity threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.functions.hashing import exact_sum_sql
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+# -- normalization ----------------------------------------------------------
+
+#: lower -> strip non-alphanumerics -> squeeze spaces -> trim.
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + ``norm`` column (canonical text) + ``toks`` token array."""
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("norm", F.expr(_NORM_SPARK))
+        .withColumn("toks", F.split("norm", " "))
+    )
+
+
+@register(
+    "text_normalize",
+    oracle=f"SELECT doc_id, {_NORM_SQL} AS norm FROM documents",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized(spark, sf_dir).select("doc_id", "norm")
+
+
+# -- exact dedup -------------------------------------------------------------
+
+@register(
+    "text_exact_dedup",
+    oracle=f"""
+SELECT md5({_NORM_SQL}) AS text_sig,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY text_sig
+""",
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document dedup: signature group -> deterministic keeper (min id).
+
+    ``dropDuplicates`` keeps an arbitrary row; a reproducible pipeline needs a
+    deterministic survivor, so the engine's contract is min-doc_id-wins.
+    """
+    return (
+        normalized(spark, sf_dir)
+        .groupBy(F.md5("norm").alias("text_sig"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# -- token statistics --------------------------------------------------------
+
+@register(
+    "token_topk",
+    oracle=f"""
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS t FROM documents)
+WHERE t <> ''
+GROUP BY t
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (explode -> count -> TakeOrdered)."""
+    return (
+        normalized(spark, sf_dir)
+        .select(F.explode("toks").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(norm, ' '))) AS INTEGER) AS n_unique,
+       round(CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+             / CAST(len(string_split(norm, ' ')) AS DOUBLE), 6) AS avg_token_len
+FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace tokenizer, SURVEY §2.12)."""
+    return normalized(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.round(
+            F.length(F.replace(F.col("norm"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size("toks").cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+# -- quality scoring + language id -------------------------------------------
+
+_STOPWORDS = "('the','and','of','to','a','in','is','it')"
+
+#: shared Spark/DuckDB expression bodies (identical syntax in both dialects).
+_PUNCT_RATIO = (
+    "round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', ''{g})) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE), 6)"
+)
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH n AS (SELECT doc_id, lang, n_chars, text, {_NORM_SQL} AS norm FROM documents),
+t AS (SELECT *, string_split(norm, ' ') AS toks FROM n)
+SELECT doc_id, lang, n_chars,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(CAST(len(list_filter(toks, x -> x IN {_STOPWORDS})) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+       {_PUNCT_RATIO.format(g=", 'g'")} AS punct_ratio
+FROM t
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: length, stopword ratio, punctuation ratio.
+
+    Pure built-ins (higher-order ``filter`` for occurrence counts — NOT
+    ``array_intersect``, which would count distinct matches only).
+    """
+    return normalized(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.expr(f"size(filter(toks, x -> x IN {_STOPWORDS}))").cast("double")
+            / F.size("toks").cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        F.expr(_PUNCT_RATIO.format(g="")).alias("punct_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and"),
+    "de": ("der", "und"),
+    "fr": ("le", "et"),
+    "es": ("el", "y"),
+}
+
+
+def _marker_count(markers: tuple[str, ...]) -> str:
+    """Occurrences of marker tokens in the padded normalized text (dialect-
+    neutral: length/replace only)."""
+    terms = [
+        f"(length(padded) - length(replace(padded, ' {m} ', '  '))) / {len(m)}"
+        for m in markers
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LANG_SCORES = {k: _marker_count(v) for k, v in _LANG_MARKERS.items()}
+_LANG_CASE = (
+    "CASE "
+    f"WHEN {_LANG_SCORES['en']} >= {_LANG_SCORES['de']} AND {_LANG_SCORES['en']} >= {_LANG_SCORES['fr']} AND {_LANG_SCORES['en']} >= {_LANG_SCORES['es']} AND {_LANG_SCORES['en']} > 0 THEN 'en' "
+    f"WHEN {_LANG_SCORES['de']} >= {_LANG_SCORES['fr']} AND {_LANG_SCORES['de']} >= {_LANG_SCORES['es']} AND {_LANG_SCORES['de']} > 0 THEN 'de' "
+    f"WHEN {_LANG_SCORES['fr']} >= {_LANG_SCORES['es']} AND {_LANG_SCORES['fr']} > 0 THEN 'fr' "
+    f"WHEN {_LANG_SCORES['es']} > 0 THEN 'es' "
+    "ELSE 'unknown' END"
+)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, {_LANG_CASE} AS predicted_lang
+FROM (SELECT doc_id, lang, ' ' || {_NORM_SQL} || ' ' AS padded FROM documents)
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family, SURVEY north-star).
+
+    Deterministic argmax over per-language stopword occurrence counts; the
+    scoring expression is dialect-neutral so Spark evaluates the exact SQL the
+    oracle runs.
+    """
+    return (
+        normalized(spark, sf_dir)
+        .withColumn("padded", F.concat(F.lit(" "), F.col("norm"), F.lit(" ")))
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            F.expr(_LANG_CASE).alias("predicted_lang"),
+        )
+    )
+
+
+@register(
+    "doc_quality_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, source, n_chars,
+                  string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents)
+SELECT doc_id, lang, source, n_chars, CAST(len(toks) AS INTEGER) AS n_tokens
+FROM t
+WHERE n_chars BETWEEN 100 AND 400
+  AND lang IN ('en', 'de')
+  AND len(toks) >= 20
+""",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-style keep-filter combining metadata + computed predicates."""
+    return (
+        normalized(spark, sf_dir)
+        .filter(
+            F.col("n_chars").between(100, 400)
+            & F.col("lang").isin("en", "de")
+            & (F.size("toks") >= 20)
+        )
+        .select(
+            "doc_id", "lang", "source", "n_chars", F.size("toks").alias("n_tokens")
+        )
+    )
+
+
+# -- fingerprinting & near-dup ------------------------------------------------
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         AS fingerprint
+FROM t
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle fingerprint: min md5 over 3-token shingles (rolling-hash
+    family). Documents sharing any lowest shingle hash collide — a 1-hash
+    MinHash."""
+    return normalized(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+            # Spark arrays are 0-based via element_at offsets; i runs 1-based
+            " i -> md5(concat_ws(' ', element_at(toks, i),"
+            " element_at(toks, i + 1), element_at(toks, i + 2)))))"
+        ).alias("fingerprint"),
+    )
+
+
+#: MinHash: k seeded hash slots; slot value = min over tokens of md5(seed||tok).
+_MINHASH_K = 8
+_MINHASH_BANDS = 4  # 2 rows per band
+
+
+def _minhash_slots_spark() -> list:
+    return [
+        F.expr(
+            f"array_min(transform(array_distinct(toks), t -> md5('s{i}:' || t)))"
+        ).alias(f"mh{i}")
+        for i in range(_MINHASH_K)
+    ]
+
+
+def _minhash_slots_sql() -> str:
+    return ", ".join(
+        f"list_min(list_transform(list_distinct(toks), t -> md5('s{i}:' || t))) AS mh{i}"
+        for i in range(_MINHASH_K)
+    )
+
+
+def _band_exprs(prefix: str = "") -> list[str]:
+    return [
+        f"md5({prefix}mh{2 * b} || {prefix}mh{2 * b + 1})" for b in range(_MINHASH_BANDS)
+    ]
+
+
+@register(
+    "minhash_signature",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+SELECT doc_id, {_minhash_slots_sql()} FROM t
+""",
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (k=8 seeded md5 min-hashes).
+
+    Seeded *string* hashing instead of RNG permutations keeps the sketch
+    bit-identical across engines — the whole pipeline stays hash-checkable.
+    """
+    return normalized(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
+
+
+MINHASH_NEAR_DUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sigs AS (SELECT doc_id, {_minhash_slots_sql()} FROM t),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_key, {i} AS band FROM sigs"
+      for i, b in enumerate(_band_exprs())
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(DISTINCT a.band) AS BIGINT) AS shared_bands
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("minhash_near_dup", oracle=MINHASH_NEAR_DUP_ORACLE)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-duplicate candidates: banded MinHash, bucket self-join.
+
+    shingle -> minhash -> band -> bucket-join: candidate pair = any shared
+    band. One shuffle on (band, band_key); bucket sizes are bounded by design
+    (raise bands/rows for looser/tighter thresholds), so the self-join never
+    quadratically explodes the way naive all-pairs Jaccard would at 100 TB.
+    """
+    sigs = normalized(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.expr(b).alias("band_key"), F.lit(i).cast("int").alias("band")
+            )
+            for i, b in enumerate(_band_exprs())
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_rows).alias("b")).select(
+        "doc_id", "b.band_key", "b.band"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").alias("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS tokset
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE),
+             6) AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard for adjacent doc pairs (the exact-similarity
+    verifier for MinHash candidates; linear pair generation here — in
+    production it runs only on LSH candidate pairs)."""
+    t = normalized(spark, sf_dir).select(
+        "doc_id", F.array_distinct("toks").alias("tokset")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.tokset", "b.tokset")).cast("double")
+            / F.size(F.array_union("a.tokset", "b.tokset")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

@@ -59,7 +59,7 @@ def _canon_rows(cols, rows):
 
 def compare(spark_df, oracle: str, sf_dir: str) -> None:
     """Assert the Spark result and the DuckDB oracle agree (driver-style)."""
-    s_cols = spark_df.columns
+    s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols, d_rows = run_duckdb(oracle, sf_dir)
 

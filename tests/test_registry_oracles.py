@@ -1,0 +1,30 @@
+"""Run every registered query against its DuckDB oracle (driver-gate mirror).
+
+New operators get coverage automatically: register() with an oracle string and
+this module picks the query up on the next run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_match(name, spark, sf_dir):
+    compare(_QUERIES[name](spark, sf_dir), _ORACLES[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_every_oracle_has_a_query():
+    assert set(_ORACLES) <= set(_QUERIES)
