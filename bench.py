@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the ``noop`` sink (all columns
+computed, nothing collected to the driver) so timings reflect the real plan,
+not a count-pruned one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from columnar_aware_dedup_spark.session import get_spark  # noqa: E402
+
+#: the queries that define the engine: dedup core, macro relational shapes,
+#: text/near-dup pipeline, vector search, event windows, binary chunker.
+HEADLINE = [
+    "dedup_hit_miss",
+    "dedup_hierarchical",
+    "chunk_simulate",
+    "transfer_stats_rollup",
+    "groupby_sum_count",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank",
+    "text_exact_dedup",
+    "minhash_near_dup",
+    "token_topk",
+    "embedding_cosine_topk",
+    "event_session_window",
+    "parquet_file_chunks",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("cawd-bench")
+    queries = entrymod.queries()
+
+    # warm the JVM/session so q1 doesn't pay startup costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

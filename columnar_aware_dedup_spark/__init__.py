@@ -13,6 +13,9 @@ from columnar_aware_dedup_spark.operators import events  # noqa: F401
 from columnar_aware_dedup_spark.operators import relational  # noqa: F401
 from columnar_aware_dedup_spark.operators import similarity  # noqa: F401
 from columnar_aware_dedup_spark.operators import stats  # noqa: F401
+from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
+from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
+from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
 
 __all__ = ["registry"]

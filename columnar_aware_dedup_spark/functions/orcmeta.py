@@ -1,0 +1,167 @@
+"""Minimal ORC file-structure reader (public ORC spec, protobuf-over-bytes).
+
+pyarrow's ORC binding exposes file-level lengths but not per-stripe
+boundaries, which the structural chunker needs (the reference walks
+``Reader.getStripes()`` — ``orc/dedup/NaiveORCChunkingAlgorithm.java:19-50``).
+The ORC footer layout is public and stable:
+
+    [ "ORC" magic ][ stripes... ][ metadata ][ footer ][ postscript ][ps_len:1B]
+
+PostScript (never compressed) and Footer are protobuf messages; this module
+implements just enough varint/length-delimited decoding to read
+
+    PostScript { footerLength=1, compression=2, compressionBlockSize=3, ...,
+                 metadataLength=5 }
+    Footer     { headerLength=1, contentLength=2,
+                 repeated StripeInformation stripes=3 }
+    StripeInformation { offset=1, indexLength=2, dataLength=3,
+                        footerLength=4, numberOfRows=5 }
+
+Compressed footers (ZLIB kind=1) use ORC's 3-byte block headers
+(``(len << 1) | isOriginal`` little-endian) over raw DEFLATE.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, value_or_bytes) for one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+            yield field, wire, val
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # 32-bit
+            yield field, wire, buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:  # 64-bit
+            yield field, wire, buf[pos : pos + 8]
+            pos += 8
+        else:  # pragma: no cover - ORC footers use no other wire types
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+@dataclass(frozen=True)
+class StripeInfo:
+    offset: int
+    index_length: int
+    data_length: int
+    footer_length: int
+    number_of_rows: int
+
+    @property
+    def total_length(self) -> int:
+        return self.index_length + self.data_length + self.footer_length
+
+
+@dataclass(frozen=True)
+class OrcStructure:
+    file_length: int
+    postscript_length: int
+    footer_length: int
+    metadata_length: int
+    compression: int  # 0=NONE 1=ZLIB 2=SNAPPY 3=LZO 4=LZ4 5=ZSTD
+    content_length: int
+    stripes: tuple[StripeInfo, ...]
+
+    @property
+    def footer_start(self) -> int:
+        return self.file_length - 1 - self.postscript_length - self.footer_length
+
+    @property
+    def metadata_start(self) -> int:
+        return self.footer_start - self.metadata_length
+
+
+def _decompress_orc_stream(buf: bytes, kind: int) -> bytes:
+    """Decode an ORC compressed stream (sequence of 3-byte-header blocks)."""
+    if kind == 0:
+        return buf
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        header = buf[pos] | (buf[pos + 1] << 8) | (buf[pos + 2] << 16)
+        pos += 3
+        is_original = header & 1
+        ln = header >> 1
+        block = buf[pos : pos + ln]
+        pos += ln
+        if is_original:
+            out += block
+        elif kind == 1:  # ZLIB = raw deflate
+            out += zlib.decompress(block, -15)
+        else:  # pragma: no cover - fixtures use NONE/ZLIB only
+            raise ValueError(f"unsupported ORC compression kind {kind}")
+    return bytes(out)
+
+
+def read_orc_structure(data: bytes) -> OrcStructure:
+    """Parse stripe/footer boundaries from raw ORC file bytes."""
+    if data[:3] != b"ORC":
+        raise ValueError("not an ORC file (missing magic)")
+    file_length = len(data)
+    ps_len = data[-1]
+    ps = data[file_length - 1 - ps_len : file_length - 1]
+
+    footer_len = metadata_len = 0
+    compression = 0
+    for field, _wire, val in _fields(ps):
+        if field == 1:
+            footer_len = val
+        elif field == 2:
+            compression = val
+        elif field == 5:
+            metadata_len = val
+
+    footer_start = file_length - 1 - ps_len - footer_len
+    footer = _decompress_orc_stream(
+        data[footer_start : footer_start + footer_len], compression
+    )
+
+    content_length = 0
+    stripes: list[StripeInfo] = []
+    for field, wire, val in _fields(footer):
+        if field == 2 and wire == 0:
+            content_length = val
+        elif field == 3 and wire == 2:
+            vals = {f: v for f, _w, v in _fields(val)}
+            stripes.append(
+                StripeInfo(
+                    offset=vals.get(1, 0),
+                    index_length=vals.get(2, 0),
+                    data_length=vals.get(3, 0),
+                    footer_length=vals.get(4, 0),
+                    number_of_rows=vals.get(5, 0),
+                )
+            )
+    return OrcStructure(
+        file_length=file_length,
+        postscript_length=ps_len,
+        footer_length=footer_len,
+        metadata_length=metadata_len,
+        compression=compression,
+        content_length=content_length,
+        stripes=tuple(stripes),
+    )

@@ -134,14 +134,39 @@ def transfer_rollup(classified: DataFrame, key: str = "col") -> DataFrame:
     )
 
 
+def snapshot_a_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order keys of snapshot A (orders placed before the cutoff)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(SNAPSHOT_CUTOFF))
+        .select("o_orderkey")
+    )
+
+
 def snapshot_a_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot A = lineitems of orders placed before the cutoff."""
     li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    keys_a = orders.filter(F.col("o_orderdate") < F.lit(SNAPSHOT_CUTOFF)).select(
-        "o_orderkey"
-    )
+    keys_a = snapshot_a_keys(spark, sf_dir)
     return li.join(keys_a, li.l_orderkey == keys_a.o_orderkey, "left_semi")
+
+
+def incoming_and_store_chunks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(incoming chunks of the full table, store chunks of snapshot A).
+
+    Snapshot A consists of *whole orders*, so A's chunk for a given
+    (order, column) is byte-identical to the full snapshot's chunk — the
+    store is just the incoming chunk table semi-joined to A's order keys.
+    Chunking therefore runs ONCE; Catalyst reuses the aggregation exchange
+    for both sides instead of re-shuffling the unpivot twice.
+    """
+    incoming = chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
+    keys_a = snapshot_a_keys(spark, sf_dir)
+    store = incoming.join(
+        keys_a, incoming.file_id == keys_a.o_orderkey, "left_semi"
+    )
+    return incoming, store
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +227,57 @@ classified AS (
 # registered queries
 # ---------------------------------------------------------------------------
 
+def classified_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk table of the full snapshot with a ``hit`` flag vs. the snapshot-A
+    store, computed in TWO shuffles total.
+
+    Because the store is a subset of the incoming chunks (snapshot A is whole
+    orders), the probe doesn't need a distinct+join: tag each lineitem row
+    with membership in A *before* the unpivot (one join at 1/10th the rows),
+    carry the flag through the chunk aggregation, and resolve cross-file hits
+    with a single window — ``hit = max(in_store) over (partition by
+    signature)``. Same semantics as the signature join (a chunk of a new
+    order still hits if any store chunk has identical content); one fewer
+    full-table shuffle.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    keys_a = snapshot_a_keys(spark, sf_dir).withColumn("in_a", F.lit(True))
+    tagged = li.join(
+        keys_a, li.l_orderkey == keys_a.o_orderkey, "left"
+    ).withColumn("in_a", F.coalesce(F.col("in_a"), F.lit(False)))
+    long_df = unpivot_lineitem_tagged(tagged)
+    chunks = long_df.groupBy("file_id", "col").agg(
+        multiset_signature("val").alias("signature"),
+        F.sum(F.length("val")).cast("bigint").alias("size"),
+        F.max("in_a").alias("in_store"),
+    )
+    w = Window.partitionBy("signature")
+    return chunks.withColumn("hit", F.max("in_store").over(w)).drop("in_store")
+
+
+def unpivot_lineitem_tagged(df: DataFrame) -> DataFrame:
+    """Like :func:`unpivot_lineitem` but carries the snapshot-membership
+    flag through the explode."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("col"),
+                F.coalesce(canon_col(n, t), F.lit(NULL_MARK)).alias("val"),
+            )
+            for n, t in LINEITEM_VALUE_COLS
+        ]
+    )
+    return (
+        df.select(
+            F.col("l_orderkey").alias("file_id"),
+            F.col("in_a"),
+            F.explode(pairs).alias("p"),
+        ).select("file_id", "in_a", F.col("p.col").alias("col"), F.col("p.val").alias("val"))
+    )
+
+
 @register("dedup_hit_miss", oracle=DEDUP_HIT_MISS_ORACLE)
 def dedup_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: two-snapshot transfer simulation.
@@ -212,9 +288,7 @@ def dedup_hit_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``/root/reference/README.md:66-78``: re-transfer of overlapping data
     should dedup everything previously seen).
     """
-    store = chunk_table(unpivot_lineitem(snapshot_a_lineitem(spark, sf_dir)))
-    incoming = chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
-    return transfer_rollup(dedup_classify(incoming, store))
+    return transfer_rollup(classified_chunks(spark, sf_dir))
 
 
 CHUNK_SIMULATE_ORACLE = f"""
@@ -270,25 +344,37 @@ def small_chunk_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STRIPE_CHUNKS_SQL_B = (
-    "SELECT file_id, 'stripe' AS level, "
-    f"{multiset_signature_sql('val')} AS signature, SUM(LENGTH(val)) AS size "
-    "FROM long_b GROUP BY file_id"
+_KEYS_A_SQL = (
+    "SELECT o_orderkey FROM orders "
+    f"WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUTOFF}'"
 )
-_STRIPE_CHUNKS_SQL_A = _STRIPE_CHUNKS_SQL_B.replace("long_b", "long_a")
+
+#: stripe chunk = linked parent of its column chunks: signature over the
+#: sorted column signatures (the s+p "chunk with subchunks" model,
+#: ``orc/dedup/StripePlusColumnORCChunkingAlgorithm.java:199-200,261-267``).
+_STRIPES_FROM_COLS_SQL = """
+SELECT file_id,
+       md5(string_agg(signature, ',' ORDER BY signature)) AS signature,
+       SUM(size) AS size
+FROM col_in GROUP BY file_id
+"""
 
 DEDUP_HIERARCHICAL_ORACLE = f"""
-WITH li_a AS ({_SNAPSHOT_A_SQL}),
-long_a AS ({_long_sql('li_a')}),
-long_b AS ({_long_sql('lineitem')}),
-stripe_store AS (SELECT DISTINCT signature FROM ({_STRIPE_CHUNKS_SQL_A})),
-col_store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
-stripes_in AS ({_STRIPE_CHUNKS_SQL_B}),
+WITH long_b AS ({_long_sql('lineitem')}),
+col_in AS ({_chunks_sql('long_b')}),
+stripes_in AS ({_STRIPES_FROM_COLS_SQL}),
+stripe_store AS (
+  SELECT DISTINCT signature FROM stripes_in
+  WHERE file_id IN ({_KEYS_A_SQL})
+),
+col_store AS (
+  SELECT DISTINCT signature FROM col_in
+  WHERE file_id IN ({_KEYS_A_SQL})
+),
 stripe_probe AS (
   SELECT i.file_id, i.size, (s.signature IS NOT NULL) AS hit
   FROM stripes_in i LEFT JOIN stripe_store s ON i.signature = s.signature
 ),
-col_in AS ({_chunks_sql('long_b')}),
 col_probe AS (
   SELECT c.size, (s.signature IS NOT NULL) AS hit
   FROM col_in c
@@ -304,6 +390,19 @@ leveled AS (
 """
 
 
+def stripe_chunks_from_columns(col_chunks: DataFrame) -> DataFrame:
+    """Derive parent stripe chunks from their column subchunks: the stripe
+    signature is md5 over the sorted column signatures (linked-chunk model),
+    so the coarse level costs one extra 1-row-per-column aggregation instead
+    of a second full re-chunking of the raw data."""
+    return col_chunks.groupBy("file_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("signature")), ",")).alias(
+            "signature"
+        ),
+        F.sum("size").cast("bigint").alias("size"),
+    )
+
+
 @register("dedup_hierarchical", oracle=DEDUP_HIERARCHICAL_ORACLE)
 def dedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level stripe->column probe with short-circuit.
@@ -314,20 +413,16 @@ def dedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips all column work) with its three signature stores
     (``StripePlusColumnORCReceiver.java:42-44``).
     """
-    long_a = unpivot_lineitem(snapshot_a_lineitem(spark, sf_dir))
-    long_b = unpivot_lineitem(table(spark, sf_dir, "lineitem"))
-
-    def stripe_chunks(long_df: DataFrame) -> DataFrame:
-        return long_df.groupBy("file_id").agg(
-            multiset_signature("val").alias("signature"),
-            F.sum(F.length("val")).cast("bigint").alias("size"),
-        )
-
-    stripe_probe = dedup_classify(stripe_chunks(long_b), stripe_chunks(long_a))
+    col_in, col_store = incoming_and_store_chunks(spark, sf_dir)
+    keys_a = snapshot_a_keys(spark, sf_dir)
+    stripes_in = stripe_chunks_from_columns(col_in)
+    stripe_store = stripes_in.join(
+        keys_a, stripes_in.file_id == keys_a.o_orderkey, "left_semi"
+    )
+    stripe_probe = dedup_classify(stripes_in, stripe_store)
     missed_files = stripe_probe.filter(~F.col("hit")).select("file_id")
     col_probe = dedup_classify(
-        chunk_table(long_b).join(missed_files, "file_id", "left_semi"),
-        chunk_table(long_a),
+        col_in.join(missed_files, "file_id", "left_semi"), col_store
     )
     leveled = stripe_probe.select(
         F.lit("stripe").alias("level"), "size", "hit"

@@ -1,0 +1,124 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (north-star).
+
+Design (SURVEY north-star / task brief): image/audio/video travel as
+``binary`` columns with typed metadata; decode / feature-extract run as
+Arrow-batched pandas UDFs over ``mapInPandas``. The decode libraries are not
+in this container, so the *decode kernel* is stubbed (deterministic fake
+derived from the payload hash, or ``NotImplementedError`` for the real
+path) while everything Spark-side — schema, batching, partitioning, UDF
+signature — is real and tested.
+
+The fixture corpus has no binary column, so the payload here is the
+document's UTF-8 bytes; at 100 TB the payload column stays off the shuffle
+path (metadata-only projections) and decode parallelism is per-file/row-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+
+def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, mime) — the multimodal shape."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary column, no decode: size + content hash
+    (binary columns stay Catalyst-visible; nothing leaves the JVM)."""
+    p = payload_table(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+REAL_DECODE = False  # flip when PIL/ffmpeg-class libs are available
+
+
+def _decode_kernel(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB decode: deterministic fake metadata from the payload hash.
+
+    The real kernel (``PIL.Image.open`` / ``av``) is not installable in this
+    container; this fake keeps the full distributed pipeline testable. Byte
+    layout of the fake: md5 bytes -> (width, height, frames, luma).
+    """
+    if REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("real image/audio decode not available here")
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 + h[2] % 8
+    mean_luma = round(h[3] / 255.0, 6)
+    return width, height, n_frames, mean_luma
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode: one pandas frame per batch, vectorized shell."""
+    for pdf in batches:
+        decoded = [_decode_kernel(bytes(b)) for b in pdf["payload"]]
+        out = pd.DataFrame(
+            decoded, columns=["width", "height", "n_frames", "mean_luma"]
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def decode_payloads(payloads: DataFrame) -> DataFrame:
+    """mapInPandas decode — the distributed plumbing the real kernel drops
+    into. Repartition by doc_id so decode parallelism is even regardless of
+    input file layout."""
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _decode_batches, _DECODE_SCHEMA
+    )
+
+
+@register("multimodal_decode_stub")  # rows-only: fake decode, not in DuckDB
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + aggregate: the full multimodal pipeline shape (binary scan ->
+    Arrow batch decode -> columnar rollup)."""
+    meta = decode_payloads(payload_table(spark, sf_dir))
+    return (
+        meta.groupBy("n_frames")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        )
+        .orderBy("n_frames")
+    )

@@ -19,16 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.operators.dedup import (
-    DEDUP_HIT_MISS_ORACLE,  # noqa: F401  (kept close: same classified CTE shape)
     _SNAPSHOT_A_SQL,
     _chunks_sql,
     _long_sql,
-    chunk_table,
-    dedup_classify,
-    snapshot_a_lineitem,
-    unpivot_lineitem,
+    classified_chunks,
 )
-from columnar_aware_dedup_spark.io import table
 from columnar_aware_dedup_spark.registry import register
 
 
@@ -106,9 +101,7 @@ def transfer_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``common/TransferStats.java:38-47,129-132``) — per-file stats re-aggregated
     across files, with min/p25/p50/p75/max over the per-file values.
     """
-    store = chunk_table(unpivot_lineitem(snapshot_a_lineitem(spark, sf_dir)))
-    incoming = chunk_table(unpivot_lineitem(table(spark, sf_dir, "lineitem")))
-    stats = per_file_stats(dedup_classify(incoming, store))
+    stats = per_file_stats(classified_chunks(spark, sf_dir))
     return (
         stats.groupBy("stat_type")
         .agg(

@@ -1,0 +1,216 @@
+"""Structural file chunkers: ORC stripes / Parquet column chunks -> chunk rows.
+
+Spark rendering of the reference's ``eagerChunking`` (pure functions over
+file bytes, executed distributed via ``mapInPandas`` over a ``binaryFile``
+scan — one task per file, embarrassingly parallel at 100 TB):
+
+- ORC stripe chunker: index/data/footer byte-ranges per stripe
+  (``orc/dedup/NaiveORCChunkingAlgorithm.java:19-50``), file footer +
+  postscript as Footer chunks, everything else gap-filled as Regular — so
+  the chunk list always covers the file exactly (the property ``TestMain``
+  checks by reassembling ``<file>.parsed``, ``main/TestMain.java:48-59``).
+- Parquet chunker: per (row-group, column) chunk from the column-chunk
+  offsets in the footer metadata, header/footer/gaps as Regular
+  (``parquet/dedup/NaiveParquetChunkingAlgorithm.java:40-129``; page-level
+  granularity there needs raw thrift offsets — we chunk at column-chunk
+  granularity, a documented deviation per SURVEY §2.1, and *do* dedup
+  dictionary pages as part of the column chunk, fixing SURVEY §8.10).
+
+Signatures are md5 over the chunk's raw bytes (reference uses SHA-1,
+``dedup/ChunkingAlgorithm.java:13-18``; md5 for DuckDB parity everywhere in
+this engine). Chunk rows then flow into the same signature-probe dataflow as
+row chunks (``operators.dedup.dedup_classify``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnar_aware_dedup_spark.functions.orcmeta import read_orc_structure
+from columnar_aware_dedup_spark.registry import register
+
+#: output schema of every chunker (content deliberately excluded — signature
+#: is computed in-task; reassembly tests use the pure functions below).
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("chunk_type", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), True),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("signature", T.StringType(), False),
+    ]
+)
+
+
+def _gap_fill(spans: list[dict], file_len: int) -> list[dict]:
+    """Insert Regular chunks for uncovered byte ranges; guarantees exact
+    cover of [0, file_len) so reassembly is concatenation."""
+    spans.sort(key=lambda c: c["start"])
+    out: list[dict] = []
+    pos = 0
+    for c in spans:
+        if c["start"] > pos:
+            out.append(
+                {"chunk_type": "Regular", "column_name": None, "start": pos,
+                 "size": c["start"] - pos}
+            )
+        out.append(c)
+        pos = c["start"] + c["size"]
+    if pos < file_len:
+        out.append(
+            {"chunk_type": "Regular", "column_name": None, "start": pos,
+             "size": file_len - pos}
+        )
+    return out
+
+
+def chunk_orc_bytes(data: bytes) -> list[dict]:
+    """ORC stripe-level chunks (NaiveORC taxonomy: Data dedup-unit, index &
+    stripe-footer Regular, file footer+postscript Footer)."""
+    s = read_orc_structure(data)
+    spans: list[dict] = []
+    for st in s.stripes:
+        spans.append(
+            {"chunk_type": "Regular", "column_name": "index",
+             "start": st.offset, "size": st.index_length}
+        )
+        spans.append(
+            {"chunk_type": "Data", "column_name": None,
+             "start": st.offset + st.index_length, "size": st.data_length}
+        )
+        spans.append(
+            {"chunk_type": "Regular", "column_name": "stripe_footer",
+             "start": st.offset + st.index_length + st.data_length,
+             "size": st.footer_length}
+        )
+    # file footer + postscript + trailing length byte, one Footer chunk
+    spans.append(
+        {"chunk_type": "Footer", "column_name": None, "start": s.footer_start,
+         "size": s.file_length - s.footer_start}
+    )
+    spans = [c for c in spans if c["size"] > 0]
+    return _finish(spans, data)
+
+
+def chunk_parquet_bytes(data: bytes) -> list[dict]:
+    """Parquet column-chunk-level chunks + Footer; gaps (page indexes etc.)
+    become Regular."""
+    import pyarrow.parquet as pq
+
+    if data[:4] != b"PAR1":
+        raise ValueError("not a parquet file (missing magic)")
+    md = pq.ParquetFile(io.BytesIO(data)).metadata
+    spans: list[dict] = [
+        {"chunk_type": "Header", "column_name": None, "start": 0, "size": 4}
+    ]
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            start = col.data_page_offset
+            if col.dictionary_page_offset is not None:
+                start = min(start, col.dictionary_page_offset)
+            spans.append(
+                {"chunk_type": "ColumnChunk", "column_name": col.path_in_schema,
+                 "start": start, "size": col.total_compressed_size}
+            )
+    footer_len = int.from_bytes(data[-8:-4], "little")
+    spans.append(
+        {"chunk_type": "Footer", "column_name": None,
+         "start": len(data) - 8 - footer_len, "size": footer_len + 8}
+    )
+    spans = [c for c in spans if c["size"] > 0]
+    return _finish(spans, data)
+
+
+def _finish(spans: list[dict], data: bytes) -> list[dict]:
+    chunks = _gap_fill(spans, len(data))
+    for i, c in enumerate(chunks):
+        c["chunk_idx"] = i
+        c["signature"] = hashlib.md5(
+            data[c["start"] : c["start"] + c["size"]]
+        ).hexdigest()
+    return chunks
+
+
+def reassemble(data: bytes, chunks: list[dict]) -> bytes:
+    """Concatenate chunk byte ranges in order — must equal the input
+    (the ``TestMain`` round-trip identity, ``main/TestMain.java:48-59``)."""
+    return b"".join(data[c["start"] : c["start"] + c["size"]] for c in chunks)
+
+
+# ---------------------------------------------------------------------------
+# distributed wrappers
+# ---------------------------------------------------------------------------
+
+_BY_EXT = {".orc": chunk_orc_bytes, ".parquet": chunk_parquet_bytes}
+
+
+def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            fn = next(
+                (f for ext, f in _BY_EXT.items() if path.endswith(ext)), None
+            )
+            if fn is None:
+                continue
+            for c in fn(bytes(content)):
+                rows.append(
+                    {
+                        "file": path,
+                        "chunk_idx": c["chunk_idx"],
+                        "chunk_type": c["chunk_type"],
+                        "column_name": c["column_name"],
+                        "start": c["start"],
+                        "size": c["size"],
+                        "signature": c["signature"],
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in CHUNK_SCHEMA.fields],
+        )
+
+
+def chunk_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan -> chunk table, one parse task per file.
+
+    At 100 TB this is file-level parallel; per-file memory is bounded by the
+    largest file (binaryFile materializes content per row — cap input file
+    size upstream or stripe-stream via range reads for multi-GB files).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_chunk_batches, CHUNK_SCHEMA)
+
+
+@register("parquet_file_chunks")  # rows-only: DuckDB has no binary-file scan
+def parquet_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the fixture parquet files themselves and summarize per type —
+    the reference's client pipeline (scan dir -> chunk -> stats) end-to-end
+    on real columnar files."""
+    chunks = chunk_files(spark, sf_dir, glob="*.parquet")
+    return (
+        chunks.groupBy("chunk_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("size").cast("bigint").alias("bytes"),
+            F.countDistinct("signature").alias("distinct_signatures"),
+        )
+        .orderBy("chunk_type")
+    )

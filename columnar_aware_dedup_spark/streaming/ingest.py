@@ -1,0 +1,113 @@
+"""Continuous-ingest dedup: the reference's client/server loop as Structured
+Streaming (SURVEY §2.9 mapping).
+
+The reference runs a long-lived TCP loop — client streams files as they
+appear, server keeps an unbounded in-heap chunk store
+(``net/SpeedupClient.java:44-64``, ``orc/dedup/NaiveORCChunkStore.java:15``).
+Spark-native: a ``binaryFile`` file-source stream feeds the structural
+chunker; each micro-batch probes a *persisted* signature store (parquet,
+signature-keyed) and appends only misses — an idempotent anti-join merge in
+``foreachBatch``. The store survives restarts and is bucketable by signature
+at scale (vs. the reference's process-lifetime HashMap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.sources.chunkers import CHUNK_SCHEMA, _chunk_batches
+
+#: store layout: signature + provenance, no content (signature-only probes).
+_STORE_COLS = ["signature", "chunk_type", "size"]
+
+
+def load_store(spark: SparkSession, store_path: str) -> DataFrame:
+    if os.path.isdir(store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(store_path)
+    ):
+        return spark.read.parquet(store_path)
+    return spark.createDataFrame([], schema=CHUNK_SCHEMA).select(*_STORE_COLS)
+
+
+def merge_chunks_into_store(
+    chunks: DataFrame, store_path: str
+) -> None:
+    """Idempotent store merge: append signatures not already present.
+
+    Anti-join against the current store, dedup within the batch, append.
+    (With Delta/Iceberg this is MERGE; plain parquet append + anti-join gives
+    the same at-least-once-safe semantics because re-appended duplicates are
+    filtered on the next probe's distinct.)
+    """
+    spark = chunks.sparkSession
+    store = load_store(spark, store_path).select("signature").distinct()
+    new = (
+        chunks.select(*_STORE_COLS)
+        .dropDuplicates(["signature"])
+        .join(store, "signature", "left_anti")
+    )
+    new.write.mode("append").parquet(store_path)
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint: str,
+    glob: str = "*.parquet",
+):
+    """Stream files from ``input_dir`` into the chunk store (availableNow).
+
+    Returns the StreamingQuery; callers ``awaitTermination()``. Restart-safe
+    via checkpoint; store merge is idempotent, so at-least-once delivery is
+    fine.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .load(input_dir)
+        .select("path", "content")
+    )
+    chunks = files.mapInPandas(_chunk_batches, CHUNK_SCHEMA)
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        merge_chunks_into_store(batch, store_path)
+
+    return (
+        chunks.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming variant of ``event_tumbling_window`` (same ``F.window``
+    expression the batch oracle checks) with a late-data watermark.
+
+    ``events_dir`` is a directory of events-schema parquet files (Spark's
+    file stream source tails directories, not single files).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )

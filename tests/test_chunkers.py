@@ -1,0 +1,114 @@
+"""Structural chunker goldens (ports of the reference's implicit checks):
+
+1. chunk coverage / round-trip identity — reassembled chunks byte-equal the
+   input (``main/TestMain.java:48-59``);
+2. re-transfer of an identical copy dedups all content chunks
+   (``README.md:66-78``).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.orc as orc
+import pytest
+
+from columnar_aware_dedup_spark.sources import chunkers
+
+
+@pytest.fixture(scope="module")
+def orc_bytes(tmp_path_factory, sf_dir):
+    """lineitem as a multi-stripe ORC file (the reference's native format)."""
+    out = tmp_path_factory.mktemp("orc") / "lineitem.orc"
+    tbl = duckdb.sql(f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')").arrow()
+    orc.write_table(tbl, str(out), stripe_size=64 * 1024)
+    return out.read_bytes()
+
+
+def _assert_cover(chunks, n):
+    pos = 0
+    for c in chunks:
+        assert c["start"] == pos, f"gap/overlap at {pos}: {c}"
+        pos += c["size"]
+    assert pos == n
+
+
+def test_orc_roundtrip(orc_bytes):
+    chunks = chunkers.chunk_orc_bytes(orc_bytes)
+    assert sum(1 for c in chunks if c["chunk_type"] == "Data") >= 2  # multi-stripe
+    _assert_cover(chunks, len(orc_bytes))
+    assert chunkers.reassemble(orc_bytes, chunks) == orc_bytes
+
+
+def test_orc_zlib_footer(sf_dir):
+    """ZLIB-compressed footers go through the ORC block decoder."""
+    tbl = pa.table({"a": list(range(50000)), "b": [f"v{i}" for i in range(50000)]})
+    import io as _io
+
+    buf = _io.BytesIO()
+    orc.write_table(tbl, buf, compression="zlib", stripe_size=64 * 1024)
+    data = buf.getvalue()
+    chunks = chunkers.chunk_orc_bytes(data)
+    _assert_cover(chunks, len(data))
+    assert chunkers.reassemble(data, chunks) == data
+
+
+def test_parquet_roundtrip(sf_dir):
+    data = open(f"{sf_dir}/lineitem.parquet", "rb").read()
+    chunks = chunkers.chunk_parquet_bytes(data)
+    assert sum(1 for c in chunks if c["chunk_type"] == "ColumnChunk") >= 11
+    _assert_cover(chunks, len(data))
+    assert chunkers.reassemble(data, chunks) == data
+
+
+def test_identical_copy_fully_dedups(orc_bytes):
+    """Second transfer of the same file: every content chunk hits the store
+    (the README.md:75-78 scenario: TransferBytes collapses to overhead)."""
+    first = chunkers.chunk_orc_bytes(orc_bytes)
+    store = {c["signature"] for c in first}
+    second = chunkers.chunk_orc_bytes(orc_bytes)
+    assert all(c["signature"] in store for c in second)
+
+
+def test_modified_file_partial_dedup(orc_bytes, sf_dir):
+    """A file with one extra stripe of data still dedups its unchanged
+    stripes (hierarchical value of structural chunking)."""
+    tbl = duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).arrow()
+    import io as _io
+
+    buf = _io.BytesIO()
+    orc.write_table(
+        pa.concat_tables([tbl, tbl.slice(0, 500)]), buf, stripe_size=64 * 1024
+    )
+    modified = buf.getvalue()
+    # same writer params => common prefix stripes are byte-identical
+    base_io = _io.BytesIO()
+    orc.write_table(tbl, base_io, stripe_size=64 * 1024)
+    base = base_io.getvalue()
+
+    store = {c["signature"] for c in chunkers.chunk_orc_bytes(base)}
+    incoming = [
+        c for c in chunkers.chunk_orc_bytes(modified) if c["chunk_type"] == "Data"
+    ]
+    hits = [c for c in incoming if c["signature"] in store]
+    assert hits, "expected at least one deduped stripe"
+
+
+def test_spark_chunk_files(spark, sf_dir):
+    """Distributed chunker: chunk every fixture parquet via mapInPandas."""
+    chunks = chunkers.chunk_files(spark, sf_dir, glob="*.parquet").cache()
+    per_file = {
+        r["file"].rsplit("/", 1)[-1]: r["total"]
+        for r in chunks.groupBy("file")
+        .agg({"size": "sum"})
+        .withColumnRenamed("sum(size)", "total")
+        .collect()
+    }
+    import os
+
+    for name, total in per_file.items():
+        assert total == os.path.getsize(f"{sf_dir}/{name}")
+    assert len(per_file) == 10
+    chunks.unpersist()

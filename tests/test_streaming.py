@@ -1,0 +1,65 @@
+"""Structured Streaming smoke: continuous chunk-store ingest + windowed agg.
+
+Mirrors the reference's long-lived client/server loop (files arrive ->
+chunk -> probe store -> only misses persisted) with restart/idempotency
+properties the reference lacks.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.streaming import ingest
+
+
+def test_ingest_idempotent_store_merge(spark, sf_dir, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two files
+    shutil.copy(f"{sf_dir}/region.parquet", inbox / "a.parquet")
+    shutil.copy(f"{sf_dir}/nation.parquet", inbox / "b.parquet")
+    q = ingest.start_ingest(spark, str(inbox), store, ckpt)
+    q.awaitTermination(120)
+    n1 = ingest.load_store(spark, store).count()
+    assert n1 > 0
+
+    # batch 2: a byte-identical copy (=> zero new signatures) + one new file
+    shutil.copy(f"{sf_dir}/region.parquet", inbox / "a_copy.parquet")
+    shutil.copy(f"{sf_dir}/supplier.parquet", inbox / "c.parquet")
+    q = ingest.start_ingest(spark, str(inbox), store, ckpt)
+    q.awaitTermination(120)
+    store_df = ingest.load_store(spark, store)
+    n2 = store_df.count()
+    assert n2 > n1, "new file must add signatures"
+    assert store_df.count() == store_df.select("signature").distinct().count(), (
+        "identical copy must not duplicate store signatures"
+    )
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+    out = (
+        ingest.streaming_tumbling_counts(spark, str(events_dir))
+        .writeStream.format("memory")
+        .queryName("tumbling_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tumbling_smoke")
+    # append mode emits only watermark-closed windows: subset of batch result
+    from columnar_aware_dedup_spark.operators.events import event_tumbling_window
+
+    batch = event_tumbling_window(spark, sf_dir).select(
+        "window_start", "event_type", "n_events"
+    )
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0, "streaming rows must match batch"
