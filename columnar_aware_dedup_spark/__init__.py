@@ -11,6 +11,7 @@ from columnar_aware_dedup_spark import registry  # noqa: F401
 from columnar_aware_dedup_spark.operators import dedup  # noqa: F401
 from columnar_aware_dedup_spark.operators import events  # noqa: F401
 from columnar_aware_dedup_spark.operators import relational  # noqa: F401
+from columnar_aware_dedup_spark.operators import relational_ext  # noqa: F401
 from columnar_aware_dedup_spark.operators import similarity  # noqa: F401
 from columnar_aware_dedup_spark.operators import stats  # noqa: F401
 from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401

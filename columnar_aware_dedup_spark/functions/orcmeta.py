@@ -117,6 +117,71 @@ def _decompress_orc_stream(buf: bytes, kind: int) -> bytes:
     return bytes(out)
 
 
+@dataclass(frozen=True)
+class StreamInfo:
+    kind: int  # 0=PRESENT 1=DATA 2=LENGTH 3=DICT_DATA ... 6=ROW_INDEX
+    column: int
+    length: int
+
+
+#: stream kinds that live in the stripe's index region, not the data region.
+_INDEX_KINDS = {6, 7, 8}  # ROW_INDEX, BLOOM_FILTER, BLOOM_FILTER_UTF8
+
+
+def read_stripe_streams(
+    data: bytes, stripe: "StripeInfo", compression: int
+) -> list[StreamInfo]:
+    """Parse a stripe's footer stream list (``StripeFooter.streams``).
+
+    The reference seeks to each stripe footer and protobuf-parses it to map
+    per-column byte ranges (``ColumnBasedORCChunkingAlgorithm.java:57-108``);
+    this is the same walk on raw bytes:
+    ``StripeFooter { repeated Stream streams=1 { kind=1, column=2, length=3 } }``.
+    """
+    fstart = stripe.offset + stripe.index_length + stripe.data_length
+    footer = _decompress_orc_stream(
+        data[fstart : fstart + stripe.footer_length], compression
+    )
+    streams: list[StreamInfo] = []
+    for field, wire, val in _fields(footer):
+        if field == 1 and wire == 2:
+            vals = {f: v for f, _w, v in _fields(val)}
+            streams.append(
+                StreamInfo(
+                    kind=vals.get(1, 0),
+                    column=vals.get(2, 0),
+                    length=vals.get(3, 0),
+                )
+            )
+    return streams
+
+
+def column_spans(
+    data: bytes, stripe: "StripeInfo", compression: int
+) -> list[tuple[int, int, int]]:
+    """Per-column data-region byte spans of one stripe:
+    ``[(column_id, start, size), ...]``.
+
+    Walks the stream list in file order, skipping index-region streams, and
+    coalesces consecutive same-column streams into one span (ORC writers emit
+    a column's streams contiguously; non-contiguous layouts just yield
+    multiple spans). Mirrors ``getStripeColumnChunks``
+    (``ColumnBasedORCChunkingAlgorithm.java:57-97``).
+    """
+    pos = stripe.offset + stripe.index_length
+    spans: list[tuple[int, int, int]] = []
+    for s in read_stripe_streams(data, stripe, compression):
+        if s.kind in _INDEX_KINDS:
+            continue
+        if spans and spans[-1][0] == s.column and spans[-1][1] + spans[-1][2] == pos:
+            col, start, size = spans[-1]
+            spans[-1] = (col, start, size + s.length)
+        else:
+            spans.append((s.column, pos, s.length))
+        pos += s.length
+    return spans
+
+
 def read_orc_structure(data: bytes) -> OrcStructure:
     """Parse stripe/footer boundaries from raw ORC file bytes."""
     if data[:3] != b"ORC":

@@ -344,6 +344,47 @@ def small_chunk_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_RATIO_ORACLE = f"""
+WITH li_a AS ({_SNAPSHOT_A_SQL}),
+long_a AS ({_long_sql('li_a')}),
+long_b AS ({_long_sql('lineitem')}),
+store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
+incoming AS ({_chunks_sql('long_b')}),
+classified AS (
+  SELECT i.size, (s.signature IS NOT NULL) AS hit
+  FROM incoming i LEFT JOIN store s ON i.signature = s.signature
+)
+SELECT CAST(SUM(CASE WHEN hit THEN size ELSE 0 END) AS BIGINT) AS dedup_bytes,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE size END) AS BIGINT) AS transfer_bytes,
+       round(CAST(SUM(CASE WHEN hit THEN size ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(size) AS DOUBLE), 6) AS dedup_ratio
+FROM classified
+"""
+
+
+@register("dedup_ratio", oracle=DEDUP_RATIO_ORACLE)
+def dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline metric: fraction of bytes eliminated on re-transfer.
+
+    Comparable to the reference's published 30.74 % traffic elimination
+    (``figures/tpcds-10g/dat/orc/s+p.dat:1`` -> BASELINE.md); one row.
+    """
+    c = classified_chunks(spark, sf_dir)
+    return c.agg(
+        F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
+        .cast("bigint")
+        .alias("dedup_bytes"),
+        F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
+        .cast("bigint")
+        .alias("transfer_bytes"),
+        F.round(
+            F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0)).cast("double")
+            / F.sum("size").cast("double"),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
 _KEYS_A_SQL = (
     "SELECT o_orderkey FROM orders "
     f"WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUTOFF}'"

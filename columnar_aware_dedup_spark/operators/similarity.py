@@ -158,6 +158,45 @@ def _bucket_expr_sql(col: str = "embedding") -> str:
     return "(" + " || ".join(bits) + ")"
 
 
+_NEAR_DUP_THRESHOLD = 0.99
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {{bucket}} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         {_cosine_sql('a.embedding', 'c.embedding')} AS cosine_sim
+  FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id > a.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim FROM pairs
+WHERE cosine_sim >= {_NEAR_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("embedding_near_dup_pairs")  # oracle attached at module end
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket self-join + exact
+    cosine threshold — the vector analogue of MinHash-LSH text dedup.
+    Candidates bounded per bucket; no quadratic all-pairs at scale."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr_spark())
+    )
+    a = e.alias("a")
+    c = e.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("c.bucket") == F.col("a.bucket"))
+        & (F.col("c.vec_id") > F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("c.vec_id").alias("vec_b"),
+        _cosine_spark("a.embedding", "c.embedding").alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= _NEAR_DUP_THRESHOLD).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 ANN_LSH_ORACLE = f"""
 WITH b AS (SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < {_NQ}),
@@ -205,3 +244,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )
+
+
+# the near-dup oracle references the bucket expression defined above, so it
+# is attached after all definitions exist.
+from columnar_aware_dedup_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["embedding_near_dup_pairs"] = EMBEDDING_NEAR_DUP_ORACLE.format(
+    bucket=_bucket_expr_sql()
+)

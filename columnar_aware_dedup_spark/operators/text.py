@@ -390,6 +390,128 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(len(string_split({_NORM_SQL}, ' ')) AS INTEGER) AS n_ws_tokens
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, twice: whitespace tokenizer vs a BPE-ish regex
+    pre-tokenizer (letter/digit runs + punctuation singles) — the cheap
+    token-budget estimator a training pipeline runs before real BPE."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.expr(_NORM_SPARK), " ")).alias("n_ws_tokens"),
+    )
+
+
+#: SimHash width: 16 bits, one per hex digit of md5(token); bit = high bit of
+#: the digit (digit >= 8). Deterministic across engines (pure string ops).
+_SIMHASH_BITS = 16
+_HI_DIGITS = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_sum_exprs() -> list[str]:
+    return [
+        f"SUM(CASE WHEN substring(md5(token), {j + 1}, 1) IN {_HI_DIGITS}"
+        f" THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    ]
+
+
+_SIMHASH_CONCAT = (
+    "("
+    + " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(_SIMHASH_BITS)
+    )
+    + ")"
+)
+
+
+@register(
+    "simhash_signature",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+),
+sums AS (
+  SELECT doc_id, {", ".join(_simhash_sum_exprs())}
+  FROM toks WHERE token <> '' GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM sums
+""",
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: per-bit vote over token hashes.
+
+    Near-identical documents flip few bits (vs MinHash's set-resemblance) —
+    the complementary near-dup sketch. Explode -> 16 conditional sums ->
+    bit-string; one shuffle keyed by doc_id, all JVM-side.
+    """
+    toks = (
+        normalized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _simhash_sum_exprs()]
+    )
+    return sums.select("doc_id", F.expr(_SIMHASH_CONCAT).alias("simhash"))
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+),
+sums AS (
+  SELECT doc_id, {", ".join(_simhash_sum_exprs())}
+  FROM toks WHERE token <> '' GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(generate_series(1, {_SIMHASH_BITS}),
+                i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)))
+            AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_a
+""",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming distance between adjacent docs' SimHashes (the candidate
+    filter: near-dups are pairs under a small bit-distance)."""
+    sigs = simhash_signature(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.expr(
+        f"size(filter(sequence(1, {_SIMHASH_BITS}),"
+        " i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)))"
+    )
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .orderBy("doc_a")
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""

@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from columnar_aware_dedup_spark.functions.orcmeta import read_orc_structure
+from columnar_aware_dedup_spark.functions.orcmeta import (
+    column_spans,
+    read_orc_structure,
+)
 from columnar_aware_dedup_spark.registry import register
 
 #: output schema of every chunker (content deliberately excluded — signature
@@ -102,6 +105,43 @@ def chunk_orc_bytes(data: bytes) -> list[dict]:
     return _finish(spans, data)
 
 
+def chunk_orc_columns_bytes(data: bytes) -> list[dict]:
+    """ORC stripe+column chunks: per-stripe *per-column* data spans (dedup
+    unit), stripe index/footer Regular, file footer Footer.
+
+    The finer-grained flagship mode of the reference ("s+p"): whole-stripe
+    chunks carry per-column subchunks so a changed column only re-ships
+    itself (``ColumnBasedORCChunkingAlgorithm.java:22-97``,
+    ``StripePlusColumnORCChunkingAlgorithm.java:26-119``). Here the
+    hierarchy is flat rows — parent stripe identity is recoverable from
+    (file, stripe start) and the hierarchical probe runs in the dataflow
+    (``operators.dedup.dedup_hierarchical``).
+    """
+    s = read_orc_structure(data)
+    spans: list[dict] = []
+    for st in s.stripes:
+        spans.append(
+            {"chunk_type": "Regular", "column_name": "index",
+             "start": st.offset, "size": st.index_length}
+        )
+        for col_id, start, size in column_spans(data, st, s.compression):
+            spans.append(
+                {"chunk_type": "Column", "column_name": f"col{col_id}",
+                 "start": start, "size": size}
+            )
+        spans.append(
+            {"chunk_type": "Regular", "column_name": "stripe_footer",
+             "start": st.offset + st.index_length + st.data_length,
+             "size": st.footer_length}
+        )
+    spans.append(
+        {"chunk_type": "Footer", "column_name": None, "start": s.footer_start,
+         "size": s.file_length - s.footer_start}
+    )
+    spans = [c for c in spans if c["size"] > 0]
+    return _finish(spans, data)
+
+
 def chunk_parquet_bytes(data: bytes) -> list[dict]:
     """Parquet column-chunk-level chunks + Footer; gaps (page indexes etc.)
     become Regular."""
@@ -154,49 +194,161 @@ def reassemble(data: bytes, chunks: list[dict]) -> bytes:
 # ---------------------------------------------------------------------------
 
 _BY_EXT = {".orc": chunk_orc_bytes, ".parquet": chunk_parquet_bytes}
+_BY_EXT_COLUMNS = {".orc": chunk_orc_columns_bytes, ".parquet": chunk_parquet_bytes}
 
 
-def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for path, content in zip(pdf["path"], pdf["content"]):
-            fn = next(
-                (f for ext, f in _BY_EXT.items() if path.endswith(ext)), None
-            )
-            if fn is None:
-                continue
-            for c in fn(bytes(content)):
-                rows.append(
-                    {
-                        "file": path,
-                        "chunk_idx": c["chunk_idx"],
-                        "chunk_type": c["chunk_type"],
-                        "column_name": c["column_name"],
-                        "start": c["start"],
-                        "size": c["size"],
-                        "signature": c["signature"],
-                    }
+def make_chunk_batches(by_ext: dict):
+    """Build the mapInPandas kernel for a chunker-per-extension mapping."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fn = next(
+                    (f for ext, f in by_ext.items() if path.endswith(ext)), None
                 )
-        yield pd.DataFrame(
-            rows,
-            columns=[f.name for f in CHUNK_SCHEMA.fields],
-        )
+                if fn is None:
+                    continue
+                for c in fn(bytes(content)):
+                    rows.append(
+                        {
+                            "file": path,
+                            "chunk_idx": c["chunk_idx"],
+                            "chunk_type": c["chunk_type"],
+                            "column_name": c["column_name"],
+                            "start": c["start"],
+                            "size": c["size"],
+                            "signature": c["signature"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+    return _batches
 
 
-def chunk_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+_chunk_batches = make_chunk_batches(_BY_EXT)
+
+
+def chunk_files(
+    spark: SparkSession, path: str, glob: str = "*", orc_mode: str = "stripes"
+) -> DataFrame:
     """binaryFile scan -> chunk table, one parse task per file.
 
-    At 100 TB this is file-level parallel; per-file memory is bounded by the
-    largest file (binaryFile materializes content per row — cap input file
-    size upstream or stripe-stream via range reads for multi-GB files).
+    ``orc_mode='columns'`` selects the stripe+column chunker (finer dedup
+    units, the reference's flagship "s+p" mode). At 100 TB this is file-level
+    parallel; per-file memory is bounded by the largest file (binaryFile
+    materializes content per row — cap input file size upstream or
+    stripe-stream via range reads for multi-GB files).
     """
+    by_ext = _BY_EXT_COLUMNS if orc_mode == "columns" else _BY_EXT
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(_chunk_batches, CHUNK_SCHEMA)
+    return files.mapInPandas(make_chunk_batches(by_ext), CHUNK_SCHEMA)
+
+
+_RECON_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField("reassembled_md5", T.StringType(), False),
+        T.StructField("original_md5", T.StringType(), False),
+        T.StructField("identical", T.BooleanType(), False),
+    ]
+)
+
+
+def reconstruct_files(files: DataFrame, chunker=chunk_orc_bytes) -> DataFrame:
+    """Distributed byte-exact reconstruction check: re-chunk each file and
+    reassemble in chunk order; emit per-file identity verdicts.
+
+    The Spark form of the server-side file sink + the ``TestMain``
+    ``<file>.parsed`` golden (``net/SpeedupReceiver.java:87-161``,
+    ``main/TestMain.java:48-59``): instead of writing bytes back to disk we
+    prove the chunk cover is exact, per file, in parallel.
+    """
+    import hashlib
+
+    def _recon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                chunks = chunker(data)
+                rebuilt = reassemble(data, chunks)
+                rows.append(
+                    {
+                        "file": path,
+                        "n_chunks": len(chunks),
+                        "reassembled_md5": hashlib.md5(rebuilt).hexdigest(),
+                        "original_md5": hashlib.md5(data).hexdigest(),
+                        "identical": rebuilt == data,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RECON_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(_recon, _RECON_SCHEMA)
+
+
+@register("parquet_reconstruction")  # rows-only: DuckDB has no binary-file scan
+def parquet_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-cover identity for every fixture parquet file (distributed)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return reconstruct_files(files, chunker=chunk_parquet_bytes).select(
+        F.element_at(F.split("file", "/"), -1).alias("file_name"),
+        "n_chunks",
+        "identical",
+    ).orderBy("file_name")
+
+
+_PARSE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField("parse_ms", T.DoubleType(), False),
+    ]
+)
+
+
+@register("file_parse_overhead")  # rows-only: wall-clock is nondeterministic
+def file_parse_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParsingOverhead per file: wall time of the structural parse.
+
+    The reference records the same stat around ``eagerChunking``
+    (``orc/net/StripePlusColumnORCStreamer.java:319-322``,
+    ``common/TransferStats.java:93``).
+    """
+    import time
+
+    def _timed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                t0 = time.perf_counter()
+                chunks = chunk_parquet_bytes(bytes(content))
+                rows.append(
+                    {
+                        "file": path.rsplit("/", 1)[-1],
+                        "n_chunks": len(chunks),
+                        "parse_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PARSE_SCHEMA.fields])
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_timed, _PARSE_SCHEMA).orderBy("file")
 
 
 @register("parquet_file_chunks")  # rows-only: DuckDB has no binary-file scan
