@@ -49,8 +49,15 @@ def main() -> None:
     spark = get_spark("cawd-bench")
     queries = entrymod.queries()
 
-    # warm the JVM/session so q1 doesn't pay startup costs
+    # Warm the JVM: run every headline query once at the smallest SF so the
+    # timed runs measure steady-state plan execution, not C2 compilation of
+    # each query's freshly generated whole-stage code (measured: first run of
+    # a query is 2-10x its steady state purely from JIT).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

