@@ -394,6 +394,59 @@ def small_chunk_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: column-name -> coarse type class, mirroring ORCColumnType {Double, Float,
+#: String, Other} (``common/ColumnTypes.java:5-19``) — derived from the typed
+#: schema instead of the reference's schema-string munging
+#: (``StripePlusColumnORCChunkingAlgorithm.java:133-149``).
+_COL_TYPE_CLASS = {
+    n: (
+        "Double"
+        if t == "double"
+        else "String"
+        if t == "string"
+        else "Other"
+    )
+    for n, t in LINEITEM_VALUE_COLS
+}
+
+_COL_TYPE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN col = '{n}' THEN '{c}'" for n, c in _COL_TYPE_CLASS.items()
+    )
+    + " ELSE 'Other' END"
+)
+
+COL_TYPE_STATS_ORACLE = f"""
+WITH li_a AS ({_SNAPSHOT_A_SQL}),
+long_a AS ({_long_sql('li_a')}),
+long_b AS ({_long_sql('lineitem')}),
+store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
+incoming AS ({_chunks_sql('long_b')}),
+classified AS (
+  SELECT {_COL_TYPE_CASE} AS column_type, i.size,
+         (s.signature IS NOT NULL) AS hit
+  FROM incoming i LEFT JOIN store s ON i.signature = s.signature
+)
+{_rollup_sql('classified', key='column_type')}
+"""
+
+
+@register("col_type_stats", oracle=COL_TYPE_STATS_ORACLE)
+def col_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit/miss attribution by column-type class.
+
+    The reference tags columns {Double, Float, String, Other} purely to
+    attribute misses by type (``DoubleColumnMiss``/``StringColumnMissBytes``,
+    ``common/TransferStats.java:98-104``); our classification comes from the
+    real schema, not string munging.
+    """
+    c = classified_chunks(spark, sf_dir).withColumn(
+        "column_type", F.expr(_COL_TYPE_CASE)
+    )
+    return transfer_rollup(c, key="column_type")
+
+
 DEDUP_RATIO_ORACLE = f"""
 WITH li_a AS ({_SNAPSHOT_A_SQL}),
 long_a AS ({_long_sql('li_a')}),

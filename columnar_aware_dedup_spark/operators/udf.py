@@ -1,0 +1,111 @@
+"""User-defined function surface (SURVEY §2.10).
+
+The reference's only extensibility is Java reflection on class names
+(``main/ParquetClientMain.java:38-41``). The engine's extension points are
+Arrow-batched pandas UDFs — one of each registered shape:
+
+- scalar ``@pandas_udf``: vectorized per-row kernel (columns in, column out);
+- grouped-map ``applyInPandas``: whole-group kernel (the shape custom
+  chunkers/sessionizers drop into);
+- ``mapInPandas`` is exercised by the binary chunkers
+  (:mod:`columnar_aware_dedup_spark.sources.chunkers`).
+
+Both queries here are *deterministic* and therefore oracle-checkable — the
+UDF kernels recompute something SQL can express, proving the Arrow transfer
+itself doesn't perturb values.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.registry import register
+
+
+def _net_price_kernel():
+    """Vectorized net-price: identical arithmetic to the SQL expression, so
+    results match bit-for-bit (both are double ops over the same values).
+
+    Built lazily — ``pandas_udf`` return-type parsing needs an active
+    SparkSession, which doesn't exist at import time.
+    """
+
+    @pandas_udf("double")
+    def kernel(ext: pd.Series, disc: pd.Series) -> pd.Series:
+        return ext * (1.0 - disc)
+
+    return kernel
+
+
+@register(
+    "pandas_udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF in a pruned, filtered pipeline — the filter still
+    pushes to the scan (UDF sits above it)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price_kernel()("l_extendedprice", "l_discount").alias("net_price"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _order_profile(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped kernel: per-order revenue profile (deterministic: sorted
+    accumulation in int64 cents)."""
+    pdf = pdf.sort_values("l_linenumber")
+    cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "l_orderkey": [pdf["l_orderkey"].iloc[0]],
+            "n_lines": [len(pdf)],
+            "total_price_cents": [int(cents.sum())],
+            "max_line": [int(pdf["l_linenumber"].max())],
+        }
+    )
+
+
+@register(
+    "apply_in_pandas_group",
+    oracle="""
+SELECT l_orderkey,
+       CAST(COUNT(*) AS INTEGER) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_price_cents,
+       CAST(MAX(l_linenumber) AS INTEGER) AS max_line
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def apply_in_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: one Arrow batch per order key group.
+
+    Scale note: group-shuffle + per-group pandas frames — right only when the
+    kernel genuinely needs whole-group state (here it's a parity check; real
+    uses are custom chunkers/sessionizers that SQL can't express).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .applyInPandas(
+            _order_profile,
+            "l_orderkey long, n_lines int, total_price_cents long, max_line int",
+        )
+        .orderBy("l_orderkey")
+    )

@@ -1,0 +1,64 @@
+"""Custom stateful streaming operator: first-event dedup with explicit state.
+
+The reference's only state is the server's unbounded in-heap chunk store
+(``orc/dedup/NaiveORCChunkStore.java:15``) — process-local, never evicted,
+lost on restart. The engine's stateful path is
+``applyInPandasWithState``: per-key state lives in Spark's checkpointed state
+store (RocksDB/HDFS-backed on a cluster), survives restarts, and can expire
+via timeouts.
+
+This operator is the streaming twin of the batch ``event_dedup_first`` query
+(:mod:`columnar_aware_dedup_spark.operators.events`) — the test asserts the
+two produce identical rows for a bounded input, which is the correctness
+contract for every batch/streaming operator pair in this engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUTPUT_SCHEMA = "user_id long, event_type string, event_id long, ts timestamp"
+_STATE_SCHEMA = "seen_types array<string>"
+
+
+def _dedup_first_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit only the first event per (user, type), across micro-batches.
+
+    State = the set of event types already emitted for this user. Within a
+    batch, events are ordered by (ts, event_id) so 'first' is deterministic
+    — the same total order the batch oracle uses.
+    """
+    (user_id,) = key
+    seen: set[str] = set(state.get[0]) if state.exists else set()
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    fresh = batch[~batch["event_type"].isin(seen)].drop_duplicates(
+        "event_type", keep="first"
+    )
+    seen.update(fresh["event_type"])
+    state.update((sorted(seen),))
+    out = fresh[["user_id", "event_type", "event_id", "ts"]]
+    yield out
+
+
+def dedup_first_stateful(events: DataFrame) -> DataFrame:
+    """events stream -> first event per (user, type), exactly once per key.
+
+    Scale note: state is partitioned by user_id (the group key); the state
+    store shards with the shuffle, so 100 TB of history costs only
+    |distinct (user, type)| state rows.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _dedup_first_fn,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

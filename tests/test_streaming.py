@@ -41,6 +41,47 @@ def test_ingest_idempotent_store_merge(spark, sf_dir, tmp_path):
     )
 
 
+def test_stateful_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState first-event dedup == the batch rank-1 window
+    (the batch/streaming contract for stateful operators)."""
+    import pyspark.sql.functions as SF
+
+    from columnar_aware_dedup_spark.streaming.stateful import dedup_first_stateful
+
+    events_dir = tmp_path / "events_state"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(str(events_dir))
+        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    q = (
+        dedup_first_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_dedup_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, event_type, event_id, ts FROM stateful_dedup_smoke"
+    )
+    from columnar_aware_dedup_spark.operators.events import event_dedup_first
+
+    want = event_dedup_first(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     events_dir = tmp_path / "events_stream"
     events_dir.mkdir()
