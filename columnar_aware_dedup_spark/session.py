@@ -52,10 +52,16 @@ def get_spark(
         # Paying the fault cost once at startup removes the stalls entirely.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseG1GC",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseG1GC"
+            " -Dderby.system.home=/tmp/cawd-derby",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # bucketed store tables (sources/store.py) live outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("CAWD_WAREHOUSE", "/tmp/cawd-warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
