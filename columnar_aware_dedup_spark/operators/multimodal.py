@@ -108,6 +108,111 @@ def decode_payloads(payloads: DataFrame) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("thumb_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def _resize_kernel(payload: bytes, target: int = 32) -> tuple[int, int, bytes]:
+    """STUB resize: deterministic downsample of the fake decode.
+
+    Real kernel would be ``PIL.Image.resize``; the fake emits a thumbnail
+    payload of exactly ``target*target // 64`` bytes derived from the source
+    hash, so batch shapes and byte budgets are testable.
+    """
+    if REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("real image resize not available here")
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    w, hgt, _, _ = _decode_kernel(payload)
+    thumb = (h * ((target * target // 64) // len(h) + 1))[: target * target // 64]
+    return min(w, target), min(hgt, target), thumb
+
+
+def resize_payloads(payloads: DataFrame, target: int = 32) -> DataFrame:
+    """mapInPandas resize: binary in, binary out (thumbnail column)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, hgt, thumb = _resize_kernel(bytes(payload), target)
+                rows.append(
+                    {"doc_id": doc_id, "width": w, "height": hgt,
+                     "thumb_bytes": thumb}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _batches, _RESIZE_SCHEMA
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
+    """mapInPandas frame sampler: 1 row per sampled frame (video shape).
+
+    The fake treats the payload's fake ``n_frames`` as the frame count and
+    derives each frame hash from (payload md5, frame index) — a real ``av``
+    decoder drops into the same signature (one output row per kept frame).
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                _, _, n_frames, _ = _decode_kernel(data)
+                base = hashlib.md5(data).hexdigest()
+                for i in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_md5": hashlib.md5(
+                                f"{base}:{i}".encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SCHEMA.fields]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _batches, _FRAME_SCHEMA
+    )
+
+
+@register("multimodal_frame_sample")  # rows-only: stub kernel, not in DuckDB
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: decode stub -> every-2nd-frame rows ->
+    per-doc frame counts."""
+    frames = sample_frames(payload_table(spark, sf_dir))
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sampled_frames"))
+        .orderBy("doc_id")
+    )
+
+
 @register("multimodal_decode_stub")  # rows-only: fake decode, not in DuckDB
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + aggregate: the full multimodal pipeline shape (binary scan ->

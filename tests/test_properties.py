@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): chunk-cover invariants and dedup edge
+cases the example-based goldens don't reach."""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.orc as orc
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators import dedup
+from columnar_aware_dedup_spark.sources import chunkers
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_rows=st.integers(min_value=1, max_value=5000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    compression=st.sampled_from(["uncompressed", "zlib"]),
+)
+def test_orc_chunk_cover_property(n_rows, seed, compression):
+    """Any ORC file we can write chunks into an exact cover and reassembles
+    byte-identically, at both stripe and column granularity."""
+    import random
+
+    rng = random.Random(seed)
+    tbl = pa.table(
+        {
+            "a": [rng.randint(-(2**40), 2**40) for _ in range(n_rows)],
+            "b": [f"s{rng.randint(0, 999)}" for _ in range(n_rows)],
+            "c": [rng.random() for _ in range(n_rows)],
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(tbl, buf, compression=compression, stripe_size=32 * 1024)
+    data = buf.getvalue()
+    for chunker in (chunkers.chunk_orc_bytes, chunkers.chunk_orc_columns_bytes):
+        chunks = chunker(data)
+        pos = 0
+        for c in chunks:
+            assert c["start"] == pos and c["size"] >= 0
+            pos += c["size"]
+        assert pos == len(data)
+        assert chunkers.reassemble(data, chunks) == data
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_parquet_chunk_cover_property(seed):
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 3000)
+    tbl = pa.table(
+        {
+            "x": [rng.randint(0, 10**9) for _ in range(n)],
+            "y": [rng.choice(["aa", "bb", None]) for _ in range(n)],
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, row_group_size=max(1, n // 3))
+    data = buf.getvalue()
+    chunks = chunkers.chunk_parquet_bytes(data)
+    assert chunkers.reassemble(data, chunks) == data
+
+
+def test_empty_store_all_miss(spark, sf_dir):
+    """Cutoff before the earliest order => empty store => zero dedup
+    (the first-transfer scenario, README.md:73-74)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    incoming = dedup.lineitem_chunks(li)
+    empty_store = incoming.filter(F.lit(False))
+    classified = dedup.dedup_classify(incoming, empty_store)
+    assert classified.filter(F.col("hit")).count() == 0
+
+
+def test_chunk_table_and_fast_path_agree(spark, sf_dir):
+    """The spec formulation (unpivot -> groupBy) and the optimized
+    narrow-first formulation must produce identical chunk tables."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = dedup.chunk_table(dedup.unpivot_lineitem(li))
+    fast = dedup.lineitem_chunks(li)
+    assert spec.exceptAll(fast).count() == 0
+    assert fast.exceptAll(spec).count() == 0
