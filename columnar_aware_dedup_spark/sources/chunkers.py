@@ -250,6 +250,35 @@ def chunk_files(
     return files.mapInPandas(make_chunk_batches(by_ext), CHUNK_SCHEMA)
 
 
+def binary_transfer_stats(
+    spark: SparkSession,
+    store_dir: str,
+    incoming_dir: str,
+    glob: str = "*",
+    orc_mode: str = "columns",
+) -> DataFrame:
+    """The reference's end-to-end pipeline, distributed: chunk every file in
+    ``store_dir`` (the server's warm chunk store), chunk every file in
+    ``incoming_dir`` (the client's send queue), probe signatures, and account
+    bytes per chunk type.
+
+    This is the *binary* twin of the row-level flagship ``dedup_hit_miss``:
+    same probe dataflow (``operators.dedup.dedup_classify`` /
+    ``transfer_rollup``), fed by the structural chunkers instead of row
+    chunks — the full client/server session
+    (``net/SpeedupClient.java:73-153`` -> ``SpeedupServer.run``) as one job
+    with no per-chunk round trips.
+    """
+    from columnar_aware_dedup_spark.operators.dedup import (
+        dedup_classify,
+        transfer_rollup,
+    )
+
+    store = chunk_files(spark, store_dir, glob, orc_mode).select("signature")
+    incoming = chunk_files(spark, incoming_dir, glob, orc_mode)
+    return transfer_rollup(dedup_classify(incoming, store), key="chunk_type")
+
+
 _RECON_SCHEMA = T.StructType(
     [
         T.StructField("file", T.StringType(), False),

@@ -149,6 +149,56 @@ def test_modified_file_partial_dedup(orc_bytes, sf_dir):
     assert hits, "expected at least one deduped stripe"
 
 
+def test_binary_transfer_simulation(spark, sf_dir, tmp_path, orc_bytes):
+    """Distributed binary dedup session (the README.md:66-78 golden, as one
+    Spark job): warm store from snapshot A; incoming = identical copy + a
+    genuinely new file. The copy's content chunks must all hit; totals must
+    show real byte elimination."""
+    import io as _io
+
+    from pyspark.sql import functions as SF
+
+    from columnar_aware_dedup_spark.operators.dedup import dedup_classify
+    from columnar_aware_dedup_spark.sources.chunkers import (
+        binary_transfer_stats,
+        chunk_files,
+    )
+
+    store_dir = tmp_path / "store_files"
+    in_dir = tmp_path / "incoming_files"
+    store_dir.mkdir()
+    in_dir.mkdir()
+    (store_dir / "snap_a.orc").write_bytes(orc_bytes)
+    (in_dir / "copy_of_a.orc").write_bytes(orc_bytes)
+    new_tbl = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).arrow()
+    buf = _io.BytesIO()
+    orc.write_table(new_tbl, buf, stripe_size=64 * 1024)
+    (in_dir / "brand_new.orc").write_bytes(buf.getvalue())
+
+    rollup = {
+        r["chunk_type"]: r
+        for r in binary_transfer_stats(
+            spark, str(store_dir), str(in_dir), glob="*.orc"
+        ).collect()
+    }
+    assert rollup["Column"]["dedup_bytes"] > 0
+    assert rollup["Column"]["transfer_bytes"] > 0  # the new file must miss
+
+    # per-file: the identical copy's column chunks all hit
+    store = chunk_files(spark, str(store_dir), "*.orc", "columns").select(
+        "signature"
+    )
+    incoming = chunk_files(spark, str(in_dir), "*.orc", "columns")
+    classified = dedup_classify(incoming, store)
+    copy_misses = classified.filter(
+        SF.col("file").contains("copy_of_a") & ~SF.col("hit")
+    ).count()
+    assert copy_misses == 0
+
+
 def test_spark_chunk_files(spark, sf_dir):
     """Distributed chunker: chunk every fixture parquet via mapInPandas."""
     chunks = chunkers.chunk_files(spark, sf_dir, glob="*.parquet").cache()
