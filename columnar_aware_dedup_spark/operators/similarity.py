@@ -246,6 +246,105 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF-flat: 8 fixed "centroids" (the vectors with these ids — a seeded
+#: k-means would produce data-dependent floats that break oracle parity;
+#: fixed medoids keep the *structure* real and the values checkable).
+_CENTROID_LO, _CENTROID_HI = 20, 27
+
+#: squared L2 distance, folded in index order, elements cast to double.
+_L2SQ_SPARK = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_HI}
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cid
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round({_l2sq_sql('e.embedding', 'c.ce')}, 6), c.cid) = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, cid FROM assign
+  WHERE vec_id < {_NQ}
+), pairs AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_cosine_sql('q.qe', 'a.embedding')} AS cosine_sim
+  FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= {_TOPK}
+ORDER BY query_id, cosine_sim DESC, neighbor_id
+"""
+
+
+@register("ann_ivf_topk", oracle=ANN_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    centroid (the inverted-file cell), probe only the query's own cell
+    (nprobe=1), exact cosine re-rank inside it.
+
+    This is the other canonical ANN scale path next to LSH: the assignment
+    is a broadcast of the tiny centroid set against the collection (narrow
+    map, no shuffle), and at 100 TB the collection is *written partitioned
+    by cell*, so a query reads 1/k of the data via partition pruning.
+    Distances are rounded with centroid-id tiebreaks so cell assignment is
+    deterministic on both engines.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    d2 = F.expr(
+        f"round({_L2SQ_SPARK.format(a='embedding', b='ce')}, 6)"
+    )
+    aw = Window.partitionBy("vec_id").orderBy(d2, F.col("cid"))
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cid").alias("qcid"),
+    )
+    pairs = assign.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_spark("qe", "embedding").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )
+
+
 # the near-dup oracle references the bucket expression defined above, so it
 # is attached after all definitions exist.
 from columnar_aware_dedup_spark.registry import ORACLES  # noqa: E402
