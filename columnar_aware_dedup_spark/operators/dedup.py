@@ -124,7 +124,11 @@ def lineitem_chunks(df: DataFrame, carry_flag: bool = False) -> DataFrame:
     ``carry_flag=True`` propagates a boolean ``in_a`` column (snapshot
     membership) into ``in_store`` via ``max``.
     """
-    reparted = df.repartition(F.col("l_orderkey"))
+    # explicit width: AQE would coalesce this small-bytes exchange to half
+    # the cores, but the following aggregate is CPU-bound (canonical string
+    # rendering + per-group sort + md5), so size the stage by CPU, not bytes.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    reparted = df.repartition(n, F.col("l_orderkey"))
     aggs = [
         F.collect_list(F.coalesce(canon_col(n, t), F.lit(NULL_MARK))).alias(
             f"v_{n}"

@@ -182,3 +182,63 @@ def event_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id")
         .orderBy("event_id")
     )
+
+
+@register(
+    "event_hypertable_rollup",
+    oracle=f"""
+SELECT 'minute' AS granularity, date_trunc('minute', ts) AS bucket_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {exact_sum_sql('value')} AS sum_value
+FROM events GROUP BY bucket_start, event_type
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), event_type,
+       CAST(COUNT(*) AS BIGINT), {exact_sum_sql('value')}
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       CAST(COUNT(*) AS BIGINT), {exact_sum_sql('value')}
+FROM events GROUP BY 2, 3
+ORDER BY granularity, bucket_start, event_type
+""",
+)
+def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day rollups where
+    each coarser level re-aggregates the FINER level's partials, not the raw
+    table (the timescale continuous-aggregate trick).
+
+    At 100 TB this reads the fact table once: the minute layer is the only
+    scan+shuffle over raw events; hour re-aggregates ~60x fewer rows, day
+    ~1440x fewer. Counts and decimal partial sums are associative, so the
+    result is bit-identical to direct grouping — which is exactly what the
+    oracle computes, proving the rewrite safe.
+    """
+    e = table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("_dsum"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("_dsum").alias("_dsum"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("_dsum").alias("_dsum"))
+
+    def _lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("granularity"),
+            "bucket_start",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("_dsum").cast("double").alias("sum_value"),
+        )
+
+    return (
+        _lvl(minute, "minute")
+        .unionByName(_lvl(hour, "hour"))
+        .unionByName(_lvl(day, "day"))
+        .orderBy("granularity", "bucket_start", "event_type")
+    )

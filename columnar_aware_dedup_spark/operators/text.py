@@ -280,7 +280,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle fingerprint: min md5 over 3-token shingles (rolling-hash
     family). Documents sharing any lowest shingle hash collide — a 1-hash
     MinHash."""
-    return normalized(spark, sf_dir).select(
+    return _fanned(spark, sf_dir).select(
         "doc_id",
         F.expr(
             "array_min(transform(sequence(1, greatest(size(toks) - 2, 1)),"
@@ -311,9 +311,15 @@ _SHINGLES_SQL = (
 
 
 def _minhash_slots_spark() -> list:
+    """k min-hash slots from ONE md5 per shingle: slot i reads hex chars
+    [4i+1, 4i+4] of the digest — 8 independent 16-bit hash functions out of
+    the 128 independent md5 bits (one-permutation-hashing style), 8x fewer
+    digest computations than k seeded hashes. Lexicographic min on
+    fixed-width lowercase hex == numeric min."""
     return [
         F.expr(
-            f"array_min(transform({_SHINGLES_SPARK}, s -> md5('s{i}:' || s)))"
+            f"array_min(transform({_SHINGLES_SPARK},"
+            f" s -> substring(md5(s), {4 * i + 1}, 4)))"
         ).alias(f"mh{i}")
         for i in range(_MINHASH_K)
     ]
@@ -321,7 +327,8 @@ def _minhash_slots_spark() -> list:
 
 def _minhash_slots_sql() -> str:
     return ", ".join(
-        f"list_min(list_transform({_SHINGLES_SQL}, s -> md5('s{i}:' || s))) AS mh{i}"
+        f"list_min(list_transform({_SHINGLES_SQL},"
+        f" s -> substr(md5(s), {4 * i + 1}, 4))) AS mh{i}"
         for i in range(_MINHASH_K)
     )
 
@@ -332,6 +339,20 @@ def _band_exprs(prefix: str = "") -> list[str]:
     ]
 
 
+def _fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``normalized`` spread across all cores before heavy per-doc hashing.
+
+    The documents table is one small parquet file -> one scan task, so a
+    CPU-bound narrow map (an md5 per shingle) would run single-threaded no
+    matter how many cores the cluster has. An explicit fixed-width
+    repartition (AQE does not coalesce user-specified partition counts)
+    makes the stage compute-bound-parallel — the 100 TB lesson in miniature:
+    size stages by CPU work, not input bytes.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return normalized(spark, sf_dir).repartition(n, F.col("doc_id"))
+
+
 @register(
     "minhash_signature",
     oracle=f"""
@@ -340,12 +361,12 @@ SELECT doc_id, {_minhash_slots_sql()} FROM t
 """,
 )
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (k=8 seeded md5 min-hashes).
+    """Per-document MinHash signature (k=8 16-bit slots of one md5/shingle).
 
     Seeded *string* hashing instead of RNG permutations keeps the sketch
     bit-identical across engines — the whole pipeline stays hash-checkable.
     """
-    return normalized(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
+    return _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
 
 
 MINHASH_NEAR_DUP_ORACLE = f"""
@@ -375,7 +396,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raise bands/rows for looser/tighter thresholds), so the self-join never
     quadratically explodes the way naive all-pairs Jaccard would at 100 TB.
     """
-    sigs = normalized(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
+    sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
     band_rows = F.array(
         *[
             F.struct(
@@ -476,7 +497,7 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-string; one shuffle keyed by doc_id, all JVM-side.
     """
     toks = (
-        normalized(spark, sf_dir)
+        _fanned(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("token"))
         .filter(F.col("token") != "")
     )
