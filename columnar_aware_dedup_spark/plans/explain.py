@@ -34,9 +34,12 @@ def n_exchanges(df: DataFrame) -> int:
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if ANY scan in the plan pushed a filter mentioning ``fragment``
+    (multi-table plans list one PushedFilters per scan)."""
     plan = plan_string(df, "formatted")
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-    return bool(m and fragment in m.group(1))
+    return any(
+        fragment in m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    )
 
 
 def read_schema_columns(df: DataFrame) -> set[str]:

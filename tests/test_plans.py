@@ -53,3 +53,53 @@ def test_chunk_simulate_single_shuffle(spark, sf_dir):
     df = dedup.chunk_simulate(spark, sf_dir)
     n = explain.n_exchanges(df)
     assert n == 1, f"chunking must be one shuffle, got {n}"
+
+
+def test_macro_joins_broadcast(spark, sf_dir):
+    """Every macro query's small side must broadcast — a shuffle of the fact
+    table keyed on a dimension would be the 100 TB bottleneck."""
+    from columnar_aware_dedup_spark.operators import macro
+
+    for q in (
+        macro.q10_returned_item,
+        macro.q14_promo_effect,
+        macro.q19_bracketed_or,
+    ):
+        assert explain.has_broadcast_join(q(spark, sf_dir)), q.__name__
+
+
+def test_macro_date_pushdown(spark, sf_dir):
+    """Q10/Q14 date windows must reach the parquet scan."""
+    from columnar_aware_dedup_spark.operators import macro
+
+    assert explain.has_pushed_filter(
+        macro.q10_returned_item(spark, sf_dir), "o_orderdate"
+    )
+    assert explain.has_pushed_filter(
+        macro.q14_promo_effect(spark, sf_dir), "l_shipdate"
+    )
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    from columnar_aware_dedup_spark.operators import macro
+
+    assert explain.has_take_ordered(macro.q10_returned_item(spark, sf_dir))
+    assert explain.has_take_ordered(macro.q18_large_volume(spark, sf_dir))
+
+
+def test_pipeline_curate_shuffle_budget(spark, sf_dir):
+    """filter/normalize fuse into the scan; dedup = one window shuffle;
+    rollup = one agg shuffle (+ final sort)."""
+    from columnar_aware_dedup_spark.operators import macro
+
+    df = macro.pipeline_curate(spark, sf_dir)
+    n = explain.n_exchanges(df)
+    assert n <= 3, f"curation pipeline grew to {n} shuffles:\n{explain.plan_string(df)}"
+
+
+def test_ann_ivf_assignment_broadcasts(spark, sf_dir):
+    """IVF cell assignment must be a broadcast of the centroid set (narrow
+    map over the collection), never a shuffle of the embeddings."""
+    from columnar_aware_dedup_spark.operators import similarity
+
+    assert explain.has_broadcast_join(similarity.ann_ivf_topk(spark, sf_dir))
