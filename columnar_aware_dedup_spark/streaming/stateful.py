@@ -62,3 +62,73 @@ def dedup_first_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk store as expiring streaming state
+# ---------------------------------------------------------------------------
+
+_STORE_OUTPUT_SCHEMA = (
+    "signature string, file string, size long, hit boolean"
+)
+_STORE_STATE_SCHEMA = "seen boolean"
+
+#: default chunk-store TTL (1 h of processing time).
+DEFAULT_STORE_TTL_MS = 60 * 60 * 1000
+
+
+def _make_store_probe_fn(ttl_ms: int):
+    def _store_probe_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Probe one signature group against its state; the first arrival
+        ever is the miss (transfer), everything after is a hit (dedup) —
+        until the TTL evicts the signature and the next arrival transfers
+        again."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (signature,) = key
+        seen = bool(state.get[0]) if state.exists else False
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["file", "chunk_idx"], kind="mergesort")
+        hit = [True] * len(batch)
+        if not seen and len(batch):
+            hit[0] = False  # the first-ever arrival transfers
+        out = pd.DataFrame(
+            {
+                "signature": signature,
+                "file": batch["file"].to_numpy(),
+                "size": batch["size"].to_numpy(),
+                "hit": hit,
+            }
+        )
+        state.update((True,))
+        state.setTimeoutDuration(ttl_ms)
+        yield out
+
+    return _store_probe_fn
+
+
+def chunk_store_stateful(
+    chunks: DataFrame, ttl_ms: int = DEFAULT_STORE_TTL_MS
+) -> DataFrame:
+    """Streaming chunk-store probe with TTL eviction.
+
+    The reference's server store is an unbounded process-lifetime HashMap
+    (``orc/dedup/NaiveORCChunkStore.java:15`` — never evicted, lost on
+    restart). Here the store IS Spark streaming state: keyed by signature,
+    checkpointed (survives restarts), sharded with the shuffle, and expiring
+    via processing-time timeout — at 100 TB the state size is bounded by the
+    signatures seen within one TTL window, not by history.
+
+    Input: a (possibly streaming) chunk table with ``file, chunk_idx,
+    signature, size``. Output: one row per chunk with the hit/miss verdict.
+    """
+    return chunks.groupBy("signature").applyInPandasWithState(
+        _make_store_probe_fn(ttl_ms),
+        outputStructType=_STORE_OUTPUT_SCHEMA,
+        stateStructType=_STORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

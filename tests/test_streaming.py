@@ -104,3 +104,60 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() > 0
     assert got.exceptAll(batch).count() == 0, "streaming rows must match batch"
+
+
+def test_chunk_store_stateful_ttl(spark, sf_dir, tmp_path):
+    """The chunk store as expiring streaming state: within a TTL a repeated
+    signature hits; after eviction it transfers again (the bounded-state
+    answer to the reference's never-evicted HashMap)."""
+    import time
+
+    from columnar_aware_dedup_spark.streaming.stateful import chunk_store_stateful
+
+    inbox = tmp_path / "chunk_inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt_store_state")
+
+    chunk_schema = "file string, chunk_idx int, signature string, size long"
+
+    def run_batch():
+        # foreachBatch sink: the memory sink can't resume from a checkpoint,
+        # and resuming is exactly what this test exercises.
+        collected = []
+
+        def _collect(batch_df, _bid):
+            collected.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(chunk_schema).parquet(str(inbox))
+        q = (
+            chunk_store_stateful(stream, ttl_ms=1)
+            .writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    rows = [
+        ("f1", 0, "sig_a", 10),
+        ("f1", 1, "sig_b", 20),
+        ("f2", 0, "sig_a", 10),  # duplicate of f1's first chunk
+    ]
+    spark.createDataFrame(rows, chunk_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(inbox))
+    got = {(r.file, r.signature): r.hit for r in run_batch()}
+    assert got[("f1", "sig_a")] is False, "first arrival transfers"
+    assert got[("f2", "sig_a")] is True, "repeat within batch hits"
+    assert got[("f1", "sig_b")] is False
+
+    # after the 1 ms TTL passes, the next batch's timeout processing evicts
+    # sig_a; its re-arrival must transfer again.
+    time.sleep(2)
+    spark.createDataFrame(
+        [("f3", 0, "sig_a", 10)], chunk_schema
+    ).coalesce(1).write.mode("append").parquet(str(inbox))
+    got2 = {(r.file, r.signature): r.hit for r in run_batch()}
+    assert got2[("f3", "sig_a")] is False, "evicted signature transfers again"
