@@ -59,14 +59,15 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # min of 2 runs per query: this VM's wall-clock noise is large (host
-    # scheduling); the minimum is the reproducible steady-state cost of the
-    # plan, which is what the engine controls.
+    # min of 3 runs per query: this VM's wall-clock noise is large (host
+    # scheduling / page-cache pressure swings identical code 2x between
+    # consecutive full runs); the minimum is the reproducible steady-state
+    # cost of the plan, which is what the engine controls.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
