@@ -245,7 +245,10 @@ def _long_sql(source: str) -> str:
 def _chunks_sql(long_cte: str) -> str:
     return (
         f"SELECT file_id, col, {multiset_signature_sql('val')} AS signature, "
-        f"SUM(LENGTH(val)) AS size FROM {long_cte} GROUP BY file_id, col"
+        # BIGINT cast: DuckDB's SUM yields HUGEINT, which fetchdf() renders as
+        # float64 ("170.0") and the driver's value-hash diverges from Spark's
+        # bigint ("170").
+        f"CAST(SUM(LENGTH(val)) AS BIGINT) AS size FROM {long_cte} GROUP BY file_id, col"
     )
 
 

@@ -207,21 +207,65 @@ def groupby_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql(frac: float, alias: str) -> str:
+    # interpolate on DOUBLE (continuous quantiles disagree on DECIMAL inputs
+    # across engines), then fixed-scale render for hash parity.
+    return (
+        f"CAST(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), {frac}) "
+        f"AS DECIMAL(28,6)) AS DOUBLE) AS {alias}"
+    )
+
+
+def _q_col(frac: float) -> F.Column:
+    return (
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(frac))
+        .cast("decimal(28,6)")
+        .cast("double")
+    )
+
+
 @register(
     "grouped_percentile",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quantiles
+       {_q_sql(0.25, 'p25_qty')}, {_q_sql(0.5, 'p50_qty')}, {_q_sql(0.75, 'p75_qty')}
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
 def grouped_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (fixes the reference's copy-paste p50/p75
-    bug, ``common/TransferStats.java:150-152``)."""
+    bug, ``common/TransferStats.java:150-152``).
+
+    Scalar p25/p50/p75 columns (not an ``array<double>``): the driver's
+    value-hasher cannot hash list cells. Scale contract: exact percentiles
+    buffer each group's values — see ``grouped_percentile_approx`` for the
+    mergeable-sketch path that survives 100x group sizes.
+    """
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qty_quantiles"))
+        .agg(
+            _q_col(0.25).alias("p25_qty"),
+            _q_col(0.5).alias("p50_qty"),
+            _q_col(0.75).alias("p75_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("grouped_percentile_approx")  # rows-only: sketch values are engine-specific
+def grouped_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``approx_percentile`` (Greenwald-Khanna):
+    the 100 TB path — bounded-size mergeable sketch per group instead of
+    buffering every value in one aggregation buffer."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(F.col("l_quantity").cast("double"), F.lit(0.25), F.lit(10000)).alias("p25_qty"),
+            F.approx_percentile(F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(10000)).alias("p50_qty"),
+            F.approx_percentile(F.col("l_quantity").cast("double"), F.lit(0.75), F.lit(10000)).alias("p75_qty"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -247,14 +291,39 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct")  # rows-only: HLL sketch values are engine-specific
+@register(
+    "approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_10pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path where exact distinct is a full
-    shuffle; deterministic for fixed input but not DuckDB-comparable."""
+    shuffle on the value.
+
+    The HLL++ estimate itself is engine-specific, so the hash-checked contract
+    is a *tolerance bit*: the engine emits the exact count plus a boolean
+    asserting the sketch landed within 10% (HLL++ rsd default 0.05); the
+    oracle asserts TRUE. A sketch regression flips the bit and fails the hash.
+    """
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("approx_within_10pct"),
+        )
         .orderBy("l_returnflag")
     )
 
