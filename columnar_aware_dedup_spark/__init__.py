@@ -18,6 +18,7 @@ from columnar_aware_dedup_spark.operators import scale  # noqa: F401
 from columnar_aware_dedup_spark.operators import udf  # noqa: F401
 from columnar_aware_dedup_spark.operators import similarity  # noqa: F401
 from columnar_aware_dedup_spark.operators import stats  # noqa: F401
+from columnar_aware_dedup_spark.operators import taxonomy  # noqa: F401
 from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
