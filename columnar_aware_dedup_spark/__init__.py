@@ -23,5 +23,71 @@ from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
+from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401
+
+#: the driver's CORRECTNESS window covers the first 50 registered queries —
+#: keep the dedup core, every LLM-pipeline operator, the ORC family, and the
+#: TPC-H macros inside it (see registry.reorder).
+DRIVER_PRIORITY: list[str] = [
+    # dedup core + stats
+    "dedup_hit_miss",
+    "chunk_simulate",
+    "small_chunk_policy",
+    "col_type_stats",
+    "dedup_ratio",
+    "dedup_hierarchical",
+    "transfer_stats_taxonomy",
+    "transfer_stats_rollup",
+    "grouped_percentile",
+    "grouped_percentile_approx",
+    "approx_distinct",
+    # structural file chunkers (ORC + parquet)
+    "orc_file_chunks",
+    "orc_reconstruction",
+    "orc_hierarchical_dedup",
+    "orc_linked_reconstruction",
+    "parquet_file_chunks",
+    "parquet_reconstruction",
+    # text / LLM-curation suite
+    "text_normalize",
+    "text_exact_dedup",
+    "token_topk",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_quality_filter",
+    "lang_id_heuristic",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "minhash_signature",
+    "minhash_near_dup",
+    "simhash_signature",
+    "simhash_hamming_pairs",
+    "ngram_jaccard_pairs",
+    # embeddings / ANN
+    "embedding_norm_stats",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # multimodal
+    "multimodal_meta",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    # TPC-H macros + curation pipeline (q1/q3/q5 shapes hold r01 PASS rows)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_item",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_bracketed_or",
+    "pipeline_curate",
+    # scale techniques + pandas-UDF surface
+    "salted_groupby",
+    "correlated_subquery",
+    "pandas_udf_scalar",
+    "apply_in_pandas_group",
+]
+
+registry.reorder(DRIVER_PRIORITY)
 
 __all__ = ["registry"]

@@ -37,3 +37,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+def reorder(priority: list[str]) -> None:
+    """Rebuild the registry dicts with ``priority`` names first, in order.
+
+    The driver records CORRECTNESS rows for the first N registered queries in
+    dict order, so registration order is part of the driver contract: the
+    priority window must hold the queries whose driver verification matters
+    most (the dedup core, every LLM-pipeline operator, the TPC-H macros);
+    the long tail of scalar-function variants stays registered — and covered
+    by ``tests/test_registry_oracles.py`` — behind them.
+    """
+    missing = [n for n in priority if n not in QUERIES]
+    if missing:
+        raise ValueError(f"priority list names unregistered queries: {missing}")
+    if len(set(priority)) != len(priority):
+        raise ValueError("priority list contains duplicates")
+    rest = [n for n in QUERIES if n not in set(priority)]
+    for order in (priority, rest):
+        for n in order:
+            QUERIES[n] = QUERIES.pop(n)
+            if n in ORACLES:
+                ORACLES[n] = ORACLES.pop(n)

@@ -1,0 +1,417 @@
+"""ORC fixture materialization + the linked stripe->subchunk chunker.
+
+The reference is an ORC-first system (its flagship is the s+p ORC streamer,
+``orc/net/StripePlusColumnORCStreamer.java``), but the driver fixtures are
+parquet-only. This module materializes a deterministic two-snapshot ORC
+workload from the parquet fixtures (driver-side, cached, fixture prep only —
+the registered queries themselves are fully distributed binaryFile ->
+mapInPandas dataflows):
+
+- ``store/``: snapshot A (orders before the cutoff) as multi-stripe ORC;
+- ``incoming/``: snapshot B written append-style (A's rows first, same sort,
+  same writer parameters — so A's stripes are byte-identical prefixes, the
+  re-transfer scenario of ``README.md:66-78``), a one-column-modified variant
+  (stripe misses that still dedup at column level — the s+p fallback,
+  ``StripePlusColumnORCStreamer.java:130-209``), and a brand-new file.
+
+The *linked* chunker emits the reference's chunk-with-subchunks model
+(``orc/dedup/StripePlusColumnORCChunkingAlgorithm.java:26-119``): one row per
+stripe, signed over the stripe's data region
+(``StripePlusColumnORCStreamer.java:110-118`` hashes stripeData), carrying an
+``array<struct>`` of subchunks (index stream span, one span per column, the
+stripe footer) — so a stripe hit can reconstruct index+data+footer from the
+store (``orc/net/StripePlusColumnORCReceiver.java:103-122``) and a stripe
+miss probes the subchunks.
+
+Scale: chunking is one task per file (embarrassingly parallel); the probes
+are signature equi-joins; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnar_aware_dedup_spark.functions.orcmeta import (
+    column_spans,
+    read_orc_structure,
+)
+from columnar_aware_dedup_spark.registry import register
+
+#: snapshot cutoff shared with the row-level workload (operators/dedup.py).
+_CUTOFF = "1998-01-01"
+
+_STRIPE_SIZE = 64 * 1024
+
+_SUB_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("signature", T.StringType(), False),
+    ]
+)
+
+LINKED_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("chunk_type", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("signature", T.StringType(), False),
+        T.StructField("subchunks", T.ArrayType(_SUB_SCHEMA), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# fixture materialization (driver-side, cached)
+# ---------------------------------------------------------------------------
+
+def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
+    """Materialize (store_dir, incoming_dir) of ORC files for ``sf_dir``.
+
+    Cached under the system temp dir keyed by the fixture name; built once,
+    atomically (write to a tmp dir, then rename).
+    """
+    import duckdb
+    import pyarrow.orc as orc
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cawd_orc_fixtures",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    store, incoming = os.path.join(base, "store"), os.path.join(base, "incoming")
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        return store, incoming
+
+    tmp = base + ".tmp"
+    os.makedirs(os.path.join(tmp, "store"), exist_ok=True)
+    os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
+    con = duckdb.connect()
+    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
+    od = f"read_parquet('{sf_dir}/orders.parquet')"
+    in_a = (
+        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
+        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
+    )
+    sort = "ORDER BY l_orderkey, l_linenumber"
+
+    def _write(sql: str, rel_path: str) -> None:
+        tbl = con.execute(sql).arrow()
+        orc.write_table(tbl, os.path.join(tmp, rel_path), stripe_size=_STRIPE_SIZE)
+
+    # store: snapshot A
+    _write(f"SELECT * FROM {li} WHERE {in_a} {sort}", "store/lineitem.orc")
+    # incoming 1: snapshot B, append layout (A's rows first, same sort) so
+    # A's stripes are byte-identical prefixes -> stripe-level hits.
+    _write(
+        f"SELECT * FROM {li} ORDER BY (CASE WHEN {in_a} THEN 0 ELSE 1 END), "
+        "l_orderkey, l_linenumber",
+        "incoming/lineitem.orc",
+    )
+    # incoming 2: one column perturbed -> stripe misses, other columns hit.
+    _write(
+        f"SELECT * REPLACE (l_partkey + 7 AS l_partkey) FROM {li} WHERE {in_a} {sort}",
+        "incoming/lineitem_mod.orc",
+    )
+    # incoming 3: brand-new content -> full miss.
+    _write(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM {od} ORDER BY o_orderkey",
+        "incoming/orders_new.orc",
+    )
+    con.close()
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()  # marker travels with the rename
+    try:
+        os.replace(tmp, base)
+    except OSError:
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):  # lost a race?
+            raise
+    return store, incoming
+
+
+# ---------------------------------------------------------------------------
+# linked chunker (pure function over bytes)
+# ---------------------------------------------------------------------------
+
+def chunk_orc_stripes_linked(data: bytes) -> list[dict]:
+    """ORC file -> stripe chunks with subchunk arrays + Footer + Regular.
+
+    Stripe signature = md5 over the stripe's *data region* (the s+p probe
+    hash); subchunks = index stream, per-column data spans, stripe footer —
+    each with its own span signature. Covers [0, len) exactly (gap chunks are
+    Regular), so reassembly is concatenation.
+    """
+    s = read_orc_structure(data)
+
+    def sig(start: int, size: int) -> str:
+        return hashlib.md5(data[start : start + size]).hexdigest()
+
+    chunks: list[dict] = []
+    pos = 0
+    for st in s.stripes:
+        if st.offset > pos:
+            chunks.append(
+                {"chunk_type": "Regular", "start": pos, "size": st.offset - pos,
+                 "signature": sig(pos, st.offset - pos), "subchunks": None}
+            )
+        data_start = st.offset + st.index_length
+        subs = [
+            {"column_name": "index", "start": st.offset, "size": st.index_length,
+             "signature": sig(st.offset, st.index_length)}
+        ]
+        # per-column data spans, gap-filled so the subchunks cover the data
+        # region exactly (stream kinds we don't span become 'pad' subchunks) —
+        # reconstruction-from-store is then pure concatenation.
+        cover = data_start
+        for cid, c_start, c_size in sorted(
+            column_spans(data, st, s.compression), key=lambda t: t[1]
+        ):
+            if c_start > cover:
+                subs.append(
+                    {"column_name": "pad", "start": cover, "size": c_start - cover,
+                     "signature": sig(cover, c_start - cover)}
+                )
+            subs.append(
+                {"column_name": f"col{cid}", "start": c_start, "size": c_size,
+                 "signature": sig(c_start, c_size)}
+            )
+            cover = c_start + c_size
+        ftr_start = data_start + st.data_length
+        if ftr_start > cover:
+            subs.append(
+                {"column_name": "pad", "start": cover, "size": ftr_start - cover,
+                 "signature": sig(cover, ftr_start - cover)}
+            )
+        subs.append(
+            {"column_name": "stripe_footer", "start": ftr_start,
+             "size": st.footer_length, "signature": sig(ftr_start, st.footer_length)}
+        )
+        total = st.index_length + st.data_length + st.footer_length
+        chunks.append(
+            {"chunk_type": "Stripe", "start": st.offset, "size": total,
+             "signature": sig(data_start, st.data_length),
+             "subchunks": [c for c in subs if c["size"] > 0]}
+        )
+        pos = st.offset + total
+    if s.footer_start > pos:
+        chunks.append(
+            {"chunk_type": "Regular", "start": pos, "size": s.footer_start - pos,
+             "signature": sig(pos, s.footer_start - pos), "subchunks": None}
+        )
+    chunks.append(
+        {"chunk_type": "Footer", "start": s.footer_start,
+         "size": s.file_length - s.footer_start,
+         "signature": sig(s.footer_start, s.file_length - s.footer_start),
+         "subchunks": None}
+    )
+    for i, c in enumerate(chunks):
+        c["chunk_idx"] = i
+    return chunks
+
+
+def linked_chunk_files(spark: SparkSession, path: str, glob: str = "*.orc") -> DataFrame:
+    """binaryFile scan -> linked chunk table (one parse task per file)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in LINKED_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for c in chunk_orc_stripes_linked(bytes(content)):
+                    rows.append({"file": path_, **c})
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_batches, LINKED_SCHEMA)
+
+
+def _file_name(col: str = "file"):
+    return F.element_at(F.split(col, "/"), -1).alias("file_name")
+
+
+# ---------------------------------------------------------------------------
+# registered queries (R: DuckDB cannot parse ORC bytes)
+# ---------------------------------------------------------------------------
+
+@register("orc_file_chunks")  # rows-only: no binary-file scan in DuckDB
+def orc_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe+column chunk census of the incoming ORC files — the ORC twin of
+    ``parquet_file_chunks`` (flat s+p granularity via ``chunk_orc_columns_bytes``)."""
+    from columnar_aware_dedup_spark.sources.chunkers import chunk_files
+
+    _, incoming = orc_fixture_dirs(sf_dir)
+    chunks = chunk_files(spark, incoming, glob="*.orc", orc_mode="columns")
+    return (
+        chunks.groupBy("chunk_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("size").cast("bigint").alias("bytes"),
+            F.countDistinct("signature").alias("distinct_signatures"),
+        )
+        .orderBy("chunk_type")
+    )
+
+
+@register("orc_reconstruction")  # rows-only: no binary-file scan in DuckDB
+def orc_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact chunk-cover identity for every fixture ORC file — the ORC
+    twin of ``parquet_reconstruction`` (``main/TestMain.java:48-59``)."""
+    from columnar_aware_dedup_spark.sources.chunkers import (
+        chunk_orc_columns_bytes,
+        reconstruct_files,
+    )
+
+    store, incoming = orc_fixture_dirs(sf_dir)
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.orc").load(
+        [store, incoming]
+    )
+    two_level = F.concat_ws(
+        "/",
+        F.element_at(F.split("file", "/"), -2),
+        F.element_at(F.split("file", "/"), -1),
+    ).alias("file_name")
+    return (
+        reconstruct_files(files, chunker=chunk_orc_columns_bytes)
+        .select(two_level, "n_chunks", "identical")
+        .orderBy("file_name")
+    )
+
+
+@register("orc_hierarchical_dedup")  # rows-only: no binary-file scan in DuckDB
+def orc_hierarchical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level s+p probe on real ORC bytes: stripe signatures first, only
+    stripe *misses* fan out to subchunk probes; footers probed per file.
+
+    The dataflow form of ``StripePlusColumnORCStreamer.java:110-209`` (a
+    stripe hit at :121-129 skips all column work) over the materialized
+    two-snapshot workload. Per-level hit/miss/byte rollup.
+    """
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    store = linked_chunk_files(spark, store_dir)
+    incoming = linked_chunk_files(spark, incoming_dir)
+
+    # store signatures at both granularities (the receiver indexes stripes
+    # AND their subchunks — StripePlusColumnORCReceiver.java:198-226).
+    store_stripe = store.filter(F.col("chunk_type") == "Stripe").select("signature")
+    store_sub = (
+        store.filter(F.col("chunk_type") == "Stripe")
+        .select(F.explode("subchunks").alias("s"))
+        .select(F.col("s.signature").alias("signature"))
+    )
+    store_footer = store.filter(F.col("chunk_type") == "Footer").select("signature")
+
+    inc_stripes = incoming.filter(F.col("chunk_type") == "Stripe")
+    stripe_probe = inc_stripes.join(
+        store_stripe.distinct().withColumn("_hit", F.lit(1)), "signature", "left"
+    ).withColumn("hit", F.col("_hit").isNotNull()).drop("_hit")
+
+    sub_probe = (
+        stripe_probe.filter(~F.col("hit"))
+        .select("file", F.explode("subchunks").alias("s"))
+        .select("file", F.col("s.signature").alias("signature"), F.col("s.size").alias("size"))
+        .join(store_sub.distinct().withColumn("_hit", F.lit(1)), "signature", "left")
+        .withColumn("hit", F.col("_hit").isNotNull())
+        .drop("_hit")
+    )
+    footer_probe = (
+        incoming.filter(F.col("chunk_type") == "Footer")
+        .join(store_footer.distinct().withColumn("_hit", F.lit(1)), "signature", "left")
+        .withColumn("hit", F.col("_hit").isNotNull())
+        .drop("_hit")
+    )
+    leveled = (
+        stripe_probe.select(F.lit("stripe").alias("level"), "size", "hit")
+        .unionByName(sub_probe.select(F.lit("column").alias("level"), "size", "hit"))
+        .unionByName(footer_probe.select(F.lit("footer").alias("level"), "size", "hit"))
+    )
+    return (
+        leveled.groupBy("level")
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("hits"),
+            F.sum(F.when(~F.col("hit"), 1).otherwise(0)).cast("bigint").alias("misses"),
+            F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_bytes"),
+            F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("transfer_bytes"),
+        )
+        .orderBy("level")
+    )
+
+
+@register("orc_linked_reconstruction")  # rows-only: no binary-file scan in DuckDB
+def orc_linked_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe-hit reconstruction from the store's linked subchunks.
+
+    On a stripe hit the receiver rebuilds index+data+footer from its own
+    store (``orc/net/StripePlusColumnORCReceiver.java:103-122``). Here: join
+    incoming hit stripes to store stripes on the stripe signature, explode
+    the STORE side's subchunks, and prove per stripe that the store-held
+    cover is structurally identical (byte total + subchunk signature
+    multiset) to what the client holds. Per-file verdicts.
+    """
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    store = linked_chunk_files(spark, store_dir).filter(F.col("chunk_type") == "Stripe")
+    incoming = linked_chunk_files(spark, incoming_dir).filter(
+        F.col("chunk_type") == "Stripe"
+    )
+
+    def sub_digest(side: DataFrame, prefix: str) -> DataFrame:
+        """(signature, stripe size, md5 over sorted subchunk sigs, byte sum)."""
+        return (
+            side.select(
+                "file", "chunk_idx", "signature", "size",
+                F.explode("subchunks").alias("s"),
+            )
+            .groupBy("file", "chunk_idx", "signature", "size")
+            .agg(
+                F.md5(
+                    F.array_join(F.array_sort(F.collect_list("s.signature")), ",")
+                ).alias(f"{prefix}_subsig"),
+                F.sum("s.size").cast("bigint").alias(f"{prefix}_subbytes"),
+            )
+        )
+
+    inc = sub_digest(incoming, "inc")
+    sto = (
+        sub_digest(store, "sto")
+        .select("signature", "sto_subsig", "sto_subbytes")
+        .distinct()
+    )
+    joined = inc.join(sto, "signature", "left").withColumn(
+        "reconstructed_ok",
+        F.col("sto_subsig").isNotNull()
+        & (F.col("sto_subsig") == F.col("inc_subsig"))
+        & (F.col("sto_subbytes") == F.col("inc_subbytes"))
+        & (F.col("inc_subbytes") == F.col("size")),
+    )
+    return (
+        joined.groupBy(_file_name())
+        .agg(
+            F.count("*").cast("bigint").alias("n_stripes"),
+            F.sum(F.col("sto_subsig").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.sum(F.col("reconstructed_ok").cast("long"))
+            .cast("bigint")
+            .alias("n_reconstructed_ok"),
+        )
+        .orderBy("file_name")
+    )

@@ -28,3 +28,14 @@ def test_rows_only(name, spark, sf_dir):
 
 def test_every_oracle_has_a_query():
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_driver_window_holds_priority_queries():
+    """The driver checks the first 50 registered queries in dict order; the
+    priority surface (dedup core, LLM pipeline, ORC family, macros) must sit
+    inside that window."""
+    import columnar_aware_dedup_spark as pkg
+
+    names = list(_QUERIES)
+    assert len(pkg.DRIVER_PRIORITY) == 50
+    assert names[: len(pkg.DRIVER_PRIORITY)] == pkg.DRIVER_PRIORITY
