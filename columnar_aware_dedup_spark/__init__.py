@@ -38,6 +38,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_hierarchical",
     "transfer_stats_taxonomy",
     "transfer_stats_rollup",
+    "transfer_stats_rollup_approx",
     "grouped_percentile",
     "grouped_percentile_approx",
     "approx_distinct",
@@ -47,7 +48,6 @@ DRIVER_PRIORITY: list[str] = [
     "orc_hierarchical_dedup",
     "orc_linked_reconstruction",
     "parquet_file_chunks",
-    "parquet_reconstruction",
     # text / LLM-curation suite
     "text_normalize",
     "text_exact_dedup",

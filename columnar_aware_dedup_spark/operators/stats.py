@@ -100,6 +100,12 @@ def transfer_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``TransferStats.globalStats`` + ``TransferStatValue.percentile``
     (``common/TransferStats.java:38-47,129-132``) — per-file stats re-aggregated
     across files, with min/p25/p50/p75/max over the per-file values.
+
+    Scale contract: ``F.percentile`` is EXACT — it buffers every per-file
+    value per group in one aggregation buffer, which is fine at fixture scale
+    (values per group == file count) but an executor-memory risk at 100x file
+    counts. ``transfer_stats_rollup_approx`` is the production path: a
+    bounded-size mergeable Greenwald-Khanna sketch per group.
     """
     stats = per_file_stats(classified_chunks(spark, sf_dir))
     return (
@@ -111,6 +117,28 @@ def transfer_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", F.lit(0.25)).alias("p25"),
             F.percentile("value", F.lit(0.50)).alias("p50"),
             F.percentile("value", F.lit(0.75)).alias("p75"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("stat_type")
+    )
+
+
+@register("transfer_stats_rollup_approx")  # rows-only: sketch values are engine-specific
+def transfer_stats_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``transfer_stats_rollup``: ``approx_percentile``
+    replaces the exact value-buffering percentile, so per-group aggregation
+    state is a bounded mergeable sketch (accuracy 1/10000) regardless of how
+    many files feed a group."""
+    stats = per_file_stats(classified_chunks(spark, sf_dir))
+    return (
+        stats.groupBy("stat_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+            F.count("*").alias("occurrences"),
+            F.min("value").alias("min_value"),
+            F.approx_percentile("value", F.lit(0.25), F.lit(10000)).alias("p25"),
+            F.approx_percentile("value", F.lit(0.50), F.lit(10000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.75), F.lit(10000)).alias("p75"),
             F.max("value").alias("max_value"),
         )
         .orderBy("stat_type")

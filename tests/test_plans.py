@@ -103,3 +103,39 @@ def test_ann_ivf_assignment_broadcasts(spark, sf_dir):
     from columnar_aware_dedup_spark.operators import similarity
 
     assert explain.has_broadcast_join(similarity.ann_ivf_topk(spark, sf_dir))
+
+
+def test_lsh_bucket_population_bounded(spark, sf_dir):
+    """The banded LSH self-join must never approach quadratic: with 16-bit
+    band buckets the largest (band, bucket) population must stay a small
+    fraction of N (r01's single 8-plane band put ~N/256 in a bucket)."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators import similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    top = (
+        similarity.lsh_buckets(e)
+        .groupBy("bucket")
+        .count()
+        .agg(F.max("count").alias("max_pop"))
+        .collect()[0]["max_pop"]
+    )
+    assert top <= max(16, n * 0.05), f"max bucket {top} of {n} vectors"
+
+
+def test_lsh_planes_distinct():
+    """The affine hyperplane family must not repeat within the 64 planes the
+    banded construction uses (a small modulus would alias planes and
+    correlate band bits)."""
+    from columnar_aware_dedup_spark.operators import similarity
+
+    n_planes = similarity._N_BANDS * similarity._PLANES_PER_BAND
+    dim = 64
+    seen = set()
+    for j in range(n_planes):
+        w = tuple((i * 37 + j * 101) % 97 - 48 for i in range(1, dim + 1))
+        assert w not in seen, f"plane {j} duplicates an earlier plane"
+        seen.add(w)

@@ -1,0 +1,80 @@
+"""Recall goldens for the banded-LSH family.
+
+The driver fixtures contain no true near-duplicates (max pairwise cosine
+~0.51), so ``embedding_near_dup_pairs`` correctly returning zero rows proves
+only precision. These tests plant near-identical vectors and require the
+banded construction to *find* them — the property the single-band r01
+construction traded away when buckets got finer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from columnar_aware_dedup_spark.operators import similarity
+
+_DIM = 64
+
+
+def _planted(spark, n_base: int = 200, n_dup: int = 20):
+    """n_base deterministic pseudo-random vectors + n_dup near-copies of the
+    first n_dup of them (one component nudged by 1%%)."""
+
+    def vec(seed: int) -> list[float]:
+        return [((seed * 31 + i * 17) % 101 - 50) / 10.0 for i in range(_DIM)]
+
+    rows = [(i, vec(i)) for i in range(n_base)]
+    for d in range(n_dup):
+        v = vec(d)
+        v[0] *= 1.01
+        rows.append((10_000 + d, v))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_banded_lsh_finds_planted_near_dups(spark):
+    e = _planted(spark)
+    b = similarity.lsh_buckets(e).select("vec_id", "bucket")
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("c.bucket") == F.col("a.bucket"))
+            & (F.col("c.vec_id") > F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in cand.filter(F.col("vec_b") >= 10_000).collect()
+    }
+    planted = {(d, 10_000 + d) for d in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"banded LSH recalled only {recall:.0%} of planted near-dups"
+
+
+def test_banded_lsh_candidate_set_is_sparse(spark):
+    """The OR-construction must not degenerate into all-pairs: candidates
+    should be a small fraction of the n^2/2 pair space."""
+    e = _planted(spark)
+    n = e.count()
+    b = similarity.lsh_buckets(e).select("vec_id", "bucket")
+    a, c = b.alias("a"), b.alias("c")
+    n_cand = (
+        a.join(
+            c,
+            (F.col("c.bucket") == F.col("a.bucket"))
+            & (F.col("c.vec_id") > F.col("a.vec_id")),
+        )
+        .select("a.vec_id", "c.vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 0.05 * n * (n - 1) / 2, f"{n_cand} candidates of {n} vectors"
