@@ -71,7 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivf_topk",
     # multimodal
     "multimodal_meta",
-    "multimodal_decode_stub",
+    "multimodal_decode",
     "multimodal_frame_sample",
     # TPC-H macros + curation pipeline (q1/q3/q5 shapes hold r01 PASS rows)
     "q4_order_priority",

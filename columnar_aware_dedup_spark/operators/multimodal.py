@@ -15,6 +15,8 @@ path (metadata-only projections) and decode parallelism is per-file/row-batch.
 
 from __future__ import annotations
 
+import io
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,6 +27,11 @@ from pyspark.sql import types as T
 
 from columnar_aware_dedup_spark.io import table
 from columnar_aware_dedup_spark.registry import register
+
+try:  # optional real kernel: present on production images, absent in CI
+    from PIL import Image as _PILImage
+except Exception:  # pragma: no cover - import guard
+    _PILImage = None
 
 
 def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,18 +73,40 @@ _DECODE_SCHEMA = T.StructType(
     ]
 )
 
-REAL_DECODE = False  # flip when PIL/ffmpeg-class libs are available
+#: real kernels are used when PIL imports AND the payload actually decodes;
+#: everything else falls back to the deterministic fake. Opt out with
+#: CAWD_REAL_DECODE=0 (e.g. to pin fake-path goldens on an image-lib host).
+REAL_DECODE = _PILImage is not None and os.environ.get("CAWD_REAL_DECODE", "1") != "0"
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int, float] | None:
+    """PIL decode -> (width, height, n_frames, mean_luma); None if the
+    payload is not a decodable image (caller falls back to the fake)."""
+    if not REAL_DECODE:
+        return None
+    try:
+        img = _PILImage.open(io.BytesIO(payload))
+        n_frames = int(getattr(img, "n_frames", 1))
+        gray = img.convert("L")
+        data = list(gray.getdata())
+        luma = round(sum(data) / (255.0 * len(data)), 6) if data else 0.0
+        return img.width, img.height, n_frames, luma
+    except Exception:
+        return None
 
 
 def _decode_kernel(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decode: deterministic fake metadata from the payload hash.
+    """Decode: real PIL metadata when the payload is a decodable image,
+    deterministic fake (md5-derived) otherwise.
 
-    The real kernel (``PIL.Image.open`` / ``av``) is not installable in this
-    container; this fake keeps the full distributed pipeline testable. Byte
-    layout of the fake: md5 bytes -> (width, height, frames, luma).
+    The fixture corpus carries UTF-8 text payloads, so its results are
+    identical with or without PIL installed — the real path is exercised by
+    ``tests/test_multimodal.py`` with synthetic PNG payloads when PIL is
+    importable. Fake byte layout: md5 bytes -> (width, height, frames, luma).
     """
-    if REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("real image/audio decode not available here")
+    real = _real_decode(payload)
+    if real is not None:
+        return real
     import hashlib
 
     h = hashlib.md5(payload).digest()
@@ -119,14 +148,22 @@ _RESIZE_SCHEMA = T.StructType(
 
 
 def _resize_kernel(payload: bytes, target: int = 32) -> tuple[int, int, bytes]:
-    """STUB resize: deterministic downsample of the fake decode.
+    """Resize: real ``PIL.Image.resize`` (PNG thumbnail bytes) when the
+    payload decodes; deterministic fake downsample otherwise.
 
-    Real kernel would be ``PIL.Image.resize``; the fake emits a thumbnail
-    payload of exactly ``target*target // 64`` bytes derived from the source
-    hash, so batch shapes and byte budgets are testable.
+    The fake emits a thumbnail payload of exactly ``target*target // 64``
+    bytes derived from the source hash, so batch shapes and byte budgets are
+    testable without image libs.
     """
-    if REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("real image resize not available here")
+    if REAL_DECODE:
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+            thumb_img = img.convert("RGB").resize((target, target))
+            buf = io.BytesIO()
+            thumb_img.save(buf, format="PNG")
+            return target, target, buf.getvalue()
+        except Exception:
+            pass  # not an image -> deterministic fake below
     import hashlib
 
     h = hashlib.md5(payload).digest()
@@ -213,10 +250,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stub")  # rows-only: fake decode, not in DuckDB
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("multimodal_decode")  # rows-only: decode kernel not in DuckDB
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + aggregate: the full multimodal pipeline shape (binary scan ->
-    Arrow batch decode -> columnar rollup)."""
+    Arrow batch decode -> columnar rollup). Real PIL kernel per payload when
+    importable, deterministic fake fallback (identical on the text-payload
+    fixtures either way)."""
     meta = decode_payloads(payload_table(spark, sf_dir))
     return (
         meta.groupBy("n_frames")

@@ -265,28 +265,44 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- fingerprinting & near-dup ------------------------------------------------
 
+#: short-doc guard (ADVICE r01): a document with fewer than 3 tokens has no
+#: 3-shingle — indexing element_at(toks, i+2) would throw under ANSI mode and
+#: silently diverge from the oracle with ANSI off. Chosen semantics, mirrored
+#: on both engines: such a document contributes its whole normalized text as
+#: its single shingle.
+_SHINGLES_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN"
+    " array_distinct(transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+    " element_at(toks, i + 2))))"
+    " ELSE array(array_join(toks, ' ')) END"
+)
+_SHINGLES_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN"
+    " list_distinct(list_transform(generate_series(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    " ELSE [array_to_string(toks, ' ')] END"
+)
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""
 WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
 SELECT doc_id,
-       list_min(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
-                i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
-         AS fingerprint
+       list_min(list_transform({_SHINGLES_SQL}, s -> md5(s))) AS fingerprint
 FROM t
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle fingerprint: min md5 over 3-token shingles (rolling-hash
-    family). Documents sharing any lowest shingle hash collide — a 1-hash
-    MinHash."""
+    family; short docs contribute their whole text as one shingle — see the
+    guard note at ``_SHINGLES_SPARK``). Documents sharing any lowest shingle
+    hash collide — a 1-hash MinHash."""
     return _fanned(spark, sf_dir).select(
         "doc_id",
         F.expr(
-            "array_min(transform(sequence(1, greatest(size(toks) - 2, 1)),"
-            # Spark arrays are 0-based via element_at offsets; i runs 1-based
-            " i -> md5(concat_ws(' ', element_at(toks, i),"
-            " element_at(toks, i + 1), element_at(toks, i + 2)))))"
+            f"array_min(transform({_SHINGLES_SPARK}, s -> md5(s)))"
         ).alias("fingerprint"),
     )
 
@@ -298,17 +314,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the shingle space is |vocab|^3 and buckets stay near-duplicate-sized.
 _MINHASH_K = 8
 _MINHASH_BANDS = 4  # 2 rows per band
-
-_SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
-    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-    " element_at(toks, i + 2))))"
-)
-_SHINGLES_SQL = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
-    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
-)
-
 
 def _minhash_slots_spark() -> list:
     """k min-hash slots from ONE md5 per shingle: slot i reads hex chars

@@ -57,11 +57,27 @@ CHUNK_SCHEMA = T.StructType(
 
 def _gap_fill(spans: list[dict], file_len: int) -> list[dict]:
     """Insert Regular chunks for uncovered byte ranges; guarantees exact
-    cover of [0, file_len) so reassembly is concatenation."""
+    cover of [0, file_len) so reassembly is concatenation.
+
+    Overlapping spans (a malformed/hostile footer declaring stripes or
+    column chunks that intersect) are a parse error, not a chunking: they
+    would reassemble to duplicated bytes and silently corrupt the byte
+    accounting.
+    """
     spans.sort(key=lambda c: c["start"])
     out: list[dict] = []
     pos = 0
     for c in spans:
+        if c["start"] < pos:
+            raise ValueError(
+                f"overlapping chunk spans: {c['chunk_type']} at {c['start']} "
+                f"starts before cover position {pos}"
+            )
+        if c["start"] + c["size"] > file_len:
+            raise ValueError(
+                f"chunk span past EOF: {c['chunk_type']} "
+                f"[{c['start']}, {c['start'] + c['size']}) > {file_len}"
+            )
         if c["start"] > pos:
             out.append(
                 {"chunk_type": "Regular", "column_name": None, "start": pos,
@@ -149,6 +165,14 @@ def chunk_parquet_bytes(data: bytes) -> list[dict]:
 
     if data[:4] != b"PAR1":
         raise ValueError("not a parquet file (missing magic)")
+    footer_len = int.from_bytes(data[-8:-4], "little")
+    if not 0 <= footer_len <= len(data) - 12:
+        # 4 B leading magic + >=0 B body + footer + 8 B tail; anything else
+        # is a truncated/corrupt file, not a negative-index Footer span.
+        raise ValueError(
+            f"parquet footer length {footer_len} out of bounds for "
+            f"{len(data)}-byte file"
+        )
     md = pq.ParquetFile(io.BytesIO(data)).metadata
     spans: list[dict] = [
         {"chunk_type": "Header", "column_name": None, "start": 0, "size": 4}
@@ -164,7 +188,6 @@ def chunk_parquet_bytes(data: bytes) -> list[dict]:
                 {"chunk_type": "ColumnChunk", "column_name": col.path_in_schema,
                  "start": start, "size": col.total_compressed_size}
             )
-    footer_len = int.from_bytes(data[-8:-4], "little")
     spans.append(
         {"chunk_type": "Footer", "column_name": None,
          "start": len(data) - 8 - footer_len, "size": footer_len + 8}

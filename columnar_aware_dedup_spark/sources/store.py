@@ -58,17 +58,65 @@ def merge_into_store(
 ) -> int:
     """Idempotent merge: append only signatures the store lacks; returns the
     number appended. (MERGE INTO with Delta/Iceberg; anti-join + append on
-    plain parquet buckets.)"""
+    plain parquet buckets.)
+
+    The anti-join result is persisted so the count and the append see the
+    SAME rows — re-executing the plan for each action could disagree if the
+    store changed in between or the input is nondeterministic. Single-writer
+    assumption: concurrent merges can still both observe a signature as
+    missing and double-append it (collapsed by the probe-side ``distinct``,
+    but byte-wasteful); serialize writers per store table.
+    """
     store_sigs = spark.table(table_name).select("signature")
     new = (
         chunks.select(*[c for c in _STORE_COLS if c in chunks.columns])
         .dropDuplicates(["signature"])
         .join(store_sigs, "signature", "left_anti")
+        .persist()
     )
-    n = new.count()
-    if n:
-        new.write.format("parquet").mode("append").insertInto(table_name)
+    try:
+        n = new.count()
+        if n:
+            new.write.format("parquet").mode("append").insertInto(table_name)
+    finally:
+        new.unpersist()
     return n
+
+
+def linked_store_rows(linked: DataFrame) -> DataFrame:
+    """Flatten linked stripe chunks to store rows at BOTH granularities.
+
+    On a stripe miss the reference receiver indexes the received stripe as a
+    whole AND each of its column subchunks, so future transfers can hit at
+    either level (``orc/net/StripePlusColumnORCReceiver.java:198-226``).
+    Store rows: the stripe signature, every subchunk signature, plus footer /
+    regular chunks as themselves.
+    """
+    stripes = linked.filter(F.col("chunk_type") == "Stripe")
+    stripe_rows = stripes.select(
+        "signature", F.lit("Stripe").alias("chunk_type"), "size"
+    )
+    sub_rows = (
+        stripes.select(F.explode("subchunks").alias("s"))
+        .select(
+            F.col("s.signature").alias("signature"),
+            F.lit("StripeSubchunk").alias("chunk_type"),
+            F.col("s.size").alias("size"),
+        )
+    )
+    other_rows = linked.filter(F.col("chunk_type") != "Stripe").select(
+        "signature", "chunk_type", "size"
+    )
+    return stripe_rows.unionByName(sub_rows).unionByName(other_rows)
+
+
+def merge_linked_into_store(
+    spark: SparkSession, linked: DataFrame, table_name: str
+) -> int:
+    """Two-granularity backfill merge: one idempotent append covering stripe
+    signatures and their subchunk signatures (plus footers), so a stripe
+    miss in this batch makes the NEXT batch's column probes hit."""
+    return merge_into_store(spark, linked_store_rows(linked), table_name)
 
 
 def probe_store(

@@ -13,8 +13,6 @@ at scale (vs. the reference's process-lifetime HashMap).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,11 +23,19 @@ _STORE_COLS = ["signature", "chunk_type", "size"]
 
 
 def load_store(spark: SparkSession, store_path: str) -> DataFrame:
-    if os.path.isdir(store_path) and any(
-        f.endswith(".parquet") for f in os.listdir(store_path)
-    ):
-        return spark.read.parquet(store_path)
-    return spark.createDataFrame([], schema=CHUNK_SCHEMA).select(*_STORE_COLS)
+    """Read the persisted store, empty-frame fallback for a missing one.
+
+    Asks Spark (not the filesystem) whether the store exists: a store written
+    with partitioning or a nonstandard file layout has no ``*.parquet``
+    directly in the directory, and a string-match on entries would misread it
+    as empty — silently re-transferring every signature on the next merge.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)  # schema inference is eager
+    except AnalysisException:
+        return spark.createDataFrame([], schema=CHUNK_SCHEMA).select(*_STORE_COLS)
 
 
 def merge_chunks_into_store(

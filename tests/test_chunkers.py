@@ -106,6 +106,29 @@ def test_orc_column_level_dedup_on_modified_file(sf_dir):
     assert misses, "modified column should miss"
 
 
+def test_overlapping_spans_rejected():
+    """Malformed metadata declaring intersecting spans must raise, not
+    silently duplicate bytes on reassembly (ADVICE r01)."""
+    spans = [
+        {"chunk_type": "A", "column_name": None, "start": 0, "size": 10},
+        {"chunk_type": "B", "column_name": None, "start": 5, "size": 10},
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        chunkers._gap_fill(spans, 20)
+    with pytest.raises(ValueError, match="EOF"):
+        chunkers._gap_fill(
+            [{"chunk_type": "A", "column_name": None, "start": 0, "size": 99}], 20
+        )
+
+
+def test_corrupt_parquet_footer_rejected():
+    """A tail declaring an impossible footer length must be a clean parse
+    error, not a negative-index span (ADVICE r01)."""
+    bogus = b"PAR1" + b"\x00" * 16 + (2**31 - 1).to_bytes(4, "little") + b"PAR1"
+    with pytest.raises(ValueError, match="footer length"):
+        chunkers.chunk_parquet_bytes(bogus)
+
+
 def test_spark_reconstruction_query(spark, sf_dir):
     from columnar_aware_dedup_spark.sources.chunkers import parquet_reconstruction
 

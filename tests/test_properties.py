@@ -70,6 +70,42 @@ def test_parquet_chunk_cover_property(seed):
     assert chunkers.reassemble(data, chunks) == data
 
 
+def test_shingle_short_doc_parity(spark):
+    """Docs with <3 tokens must shingle identically on both engines (ADVICE
+    r01: unguarded element_at threw under ANSI mode / silently diverged with
+    ANSI off). The guard maps a short doc to its whole text as one shingle."""
+    import duckdb
+
+    from columnar_aware_dedup_spark.operators.text import (
+        _SHINGLES_SPARK,
+        _SHINGLES_SQL,
+    )
+
+    docs = ["", "one", "one two", "one two three", "a b c d e", "x x x x"]
+    sdf = spark.createDataFrame([(d,) for d in docs], ["text"]).selectExpr(
+        "text", "split(text, ' ') AS toks"
+    )
+    spark_out = {
+        r["text"]: sorted(r["sh"])
+        for r in sdf.selectExpr("text", f"{_SHINGLES_SPARK} AS sh").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(d,) for d in docs])
+    duck_out = {
+        text: sorted(sh)
+        for text, sh in con.execute(
+            "SELECT text, "
+            + _SHINGLES_SQL.replace("toks", "string_split(text, ' ')")
+            + " FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert spark_out == duck_out
+    assert spark_out["one two"] == ["one two"]  # whole-text single shingle
+    assert len(spark_out["a b c d e"]) == 3
+
+
 def test_empty_store_all_miss(spark, sf_dir):
     """Cutoff before the earliest order => empty store => zero dedup
     (the first-transfer scenario, README.md:73-74)."""

@@ -48,6 +48,59 @@ def test_probe_results_match_unbucketed(spark, sf_dir):
         assert r["hit"] == (r["signature"] in store_sigs)
 
 
+def test_two_granularity_backfill(spark, sf_dir):
+    """A stripe MISS in batch 1 must index the stripe at both granularities,
+    so batch 2's COLUMN probes hit even though its stripes differ
+    (``orc/net/StripePlusColumnORCReceiver.java:198-226``)."""
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        linked_chunk_files,
+        orc_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    backfill_table = "test_backfill_store"
+
+    # batch 0: an empty store; batch 1: the store snapshot's linked chunks
+    # arrive (every stripe misses) and are merged at both granularities.
+    batch1 = linked_chunk_files(spark, store_dir)
+    empty = batch1.limit(0)
+    store.create_store(spark, store.linked_store_rows(empty), backfill_table, n_buckets=8)
+    added = store.merge_linked_into_store(spark, batch1, backfill_table)
+    assert added > 0
+    by_type = {
+        r["chunk_type"]: r["n"]
+        for r in spark.table(backfill_table)
+        .groupBy("chunk_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type.get("Stripe", 0) > 0, "stripe granularity must be indexed"
+    assert by_type.get("StripeSubchunk", 0) > 0, "column granularity must be indexed"
+
+    # batch 2: the one-column-modified file — its stripes miss, but its
+    # unchanged columns must HIT thanks to the batch-1 backfill.
+    mod = linked_chunk_files(spark, incoming_dir).filter(
+        F.col("file").contains("lineitem_mod")
+    )
+    stripe_probe = store.probe_store(
+        spark, mod.filter(F.col("chunk_type") == "Stripe"), backfill_table
+    )
+    missed = stripe_probe.filter(~F.col("hit"))
+    assert missed.count() > 0, "modified stripes should miss at stripe level"
+    col_probe = store.probe_store(
+        spark,
+        missed.select(F.explode("subchunks").alias("s")).select(
+            F.col("s.signature").alias("signature")
+        ),
+        backfill_table,
+    )
+    assert col_probe.filter(F.col("hit")).count() > 0, (
+        "backfilled column signatures must make later column probes hit"
+    )
+    # idempotence across granularities
+    assert store.merge_linked_into_store(spark, batch1, backfill_table) == 0
+
+
 def test_probe_shuffles_only_incoming(spark, sf_dir):
     """The scale property: the bucketed store side joins without an
     exchange — only the incoming chunk table shuffles."""
