@@ -107,7 +107,7 @@ def chunk_table(long_df: DataFrame) -> DataFrame:
     )
 
 
-def lineitem_chunks(df: DataFrame, carry_flag: bool = False) -> DataFrame:
+def lineitem_chunks(df: DataFrame) -> DataFrame:
     """Chunk table computed narrow-first: one shuffle, no exploded aggregate.
 
     Two scale lessons baked in (measured at sf0.1, see PROGRESS notes):
@@ -120,9 +120,6 @@ def lineitem_chunks(df: DataFrame, carry_flag: bool = False) -> DataFrame:
        Catalyst plans a single-phase aggregate after the shuffle. The partial
        phase is pure overhead for ``collect_list`` (lists don't combine), and
        in a one-file scan stage it would also run single-threaded.
-
-    ``carry_flag=True`` propagates a boolean ``in_a`` column (snapshot
-    membership) into ``in_store`` via ``max``.
     """
     # explicit width: AQE would coalesce this small-bytes exchange to half
     # the cores, but the following aggregate is CPU-bound (canonical string
@@ -135,8 +132,6 @@ def lineitem_chunks(df: DataFrame, carry_flag: bool = False) -> DataFrame:
         )
         for n, t in LINEITEM_VALUE_COLS
     ]
-    if carry_flag:
-        aggs.append(F.max("in_a").alias("in_store"))
     per_file = reparted.groupBy(F.col("l_orderkey").alias("file_id")).agg(*aggs)
     structs = F.array(
         *[
@@ -152,14 +147,9 @@ def lineitem_chunks(df: DataFrame, carry_flag: bool = False) -> DataFrame:
             for n, _ in LINEITEM_VALUE_COLS
         ]
     )
-    out_cols = ["file_id", F.explode(structs).alias("c")] + (
-        ["in_store"] if carry_flag else []
+    return per_file.select("file_id", F.explode(structs).alias("c")).select(
+        "file_id", "c.col", "c.signature", "c.size"
     )
-    result = per_file.select(*out_cols)
-    keep = ["file_id", "c.col", "c.signature", "c.size"] + (
-        ["in_store"] if carry_flag else []
-    )
-    return result.select(*keep)
 
 
 def dedup_classify(incoming: DataFrame, store: DataFrame) -> DataFrame:
@@ -291,47 +281,36 @@ classified AS (
 
 def classified_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk table of the full snapshot with a ``hit`` flag vs. the snapshot-A
-    store, computed in TWO shuffles total.
+    store.
 
     Because the store is a subset of the incoming chunks (snapshot A is whole
-    orders), the probe doesn't need a distinct+join: tag each lineitem row
-    with membership in A *before* the unpivot (one join at 1/10th the rows),
-    carry the flag through the chunk aggregation, and resolve cross-file hits
-    with a single window — ``hit = max(in_store) over (partition by
-    signature)``. Same semantics as the signature join (a chunk of a new
-    order still hits if any store chunk has identical content); one fewer
-    full-table shuffle.
+    orders), chunking runs ONCE: tag each lineitem row with membership in A
+    *before* the unpivot (one join at 1/10th the rows), carry the flag
+    through the chunk aggregation, and derive the store as the distinct
+    signatures of the flagged chunks. The probe is a hash equi-join against
+    that store set.
+
+    r02 plan note: r01 resolved hits with ``max(in_store) over (partition by
+    signature)`` to save the store-side shuffle — but a window is
+    shuffle + SORT of the full chunk table, and the sort dominates. Chunking
+    the raw table untagged once, deriving the store by a semi-join on the A
+    keys, and probing with a hash equi-join measured ~2.4x faster at sf0.1
+    (2.7 s vs 6.6 s min-of-3; identical results, same DuckDB oracle) — the
+    extra exchanges touch only the distinct signature set and the per-file
+    key list.
     """
-    from pyspark.sql import Window
-
-    li = table(spark, sf_dir, "lineitem")
-    keys_a = snapshot_a_keys(spark, sf_dir).withColumn("in_a", F.lit(True))
-    tagged = li.join(
-        keys_a, li.l_orderkey == keys_a.o_orderkey, "left"
-    ).withColumn("in_a", F.coalesce(F.col("in_a"), F.lit(False)))
-    chunks = lineitem_chunks(tagged, carry_flag=True)
-    w = Window.partitionBy("signature")
-    return chunks.withColumn("hit", F.max("in_store").over(w)).drop("in_store")
-
-
-def unpivot_lineitem_tagged(df: DataFrame) -> DataFrame:
-    """Like :func:`unpivot_lineitem` but carries the snapshot-membership
-    flag through the explode."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("col"),
-                F.coalesce(canon_col(n, t), F.lit(NULL_MARK)).alias("val"),
-            )
-            for n, t in LINEITEM_VALUE_COLS
-        ]
+    chunks = lineitem_chunks(table(spark, sf_dir, "lineitem"))
+    keys_a = snapshot_a_keys(spark, sf_dir)
+    store = (
+        chunks.join(keys_a, chunks.file_id == keys_a.o_orderkey, "left_semi")
+        .select("signature")
+        .distinct()
+        .withColumn("_h", F.lit(1))
     )
     return (
-        df.select(
-            F.col("l_orderkey").alias("file_id"),
-            F.col("in_a"),
-            F.explode(pairs).alias("p"),
-        ).select("file_id", "in_a", F.col("p.col").alias("col"), F.col("p.val").alias("val"))
+        chunks.join(store, "signature", "left")
+        .withColumn("hit", F.col("_h").isNotNull())
+        .drop("_h")
     )
 
 
@@ -563,33 +542,43 @@ def dedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``orc/net/StripePlusColumnORCStreamer.java:110-209`` (hit at :121-129
     skips all column work) with its three signature stores
     (``StripePlusColumnORCReceiver.java:42-44``).
-    """
-    from pyspark.sql import Window
 
-    li = table(spark, sf_dir, "lineitem")
-    keys_a = snapshot_a_keys(spark, sf_dir).withColumn("in_a", F.lit(True))
-    tagged = li.join(
-        keys_a, li.l_orderkey == keys_a.o_orderkey, "left"
-    ).withColumn("in_a", F.coalesce(F.col("in_a"), F.lit(False)))
-    chunks = lineitem_chunks(tagged, carry_flag=True)
+    r02 plan note: untagged chunking once; each level's store is a semi-join
+    of that level's chunk table on the A keys, each probe a hash equi-join —
+    no signature window over the full chunk table (sort dominated; the
+    rewrite measured ~2x faster at sf0.1 with identical results).
+    """
+    chunks = lineitem_chunks(table(spark, sf_dir, "lineitem"))
+    keys_a = snapshot_a_keys(spark, sf_dir)
 
     # parent stripes: groupBy(file_id) rides the chunking's partitioning — no
-    # extra shuffle; in_store is uniform per file (min == the file flag).
+    # extra shuffle.
     stripes = chunks.groupBy("file_id").agg(
         F.md5(F.array_join(F.array_sort(F.collect_list("signature")), ",")).alias(
             "signature"
         ),
         F.sum("size").cast("bigint").alias("size"),
-        F.min("in_store").alias("in_store"),
     )
-    w_sig = Window.partitionBy("signature")
-    stripe_probe = stripes.withColumn(
-        "hit", F.max("in_store").over(w_sig)
-    )
+
+    def _store_sigs(level: DataFrame) -> DataFrame:
+        return (
+            level.join(keys_a, level.file_id == keys_a.o_orderkey, "left_semi")
+            .select("signature")
+            .distinct()
+            .withColumn("_h", F.lit(1))
+        )
+
+    def _probe(level: DataFrame, store: DataFrame) -> DataFrame:
+        return (
+            level.join(store, "signature", "left")
+            .withColumn("hit", F.col("_h").isNotNull())
+            .drop("_h")
+        )
+
+    stripe_probe = _probe(stripes, _store_sigs(stripes))
     missed_files = stripe_probe.filter(~F.col("hit")).select("file_id")
-    col_probe = (
-        chunks.withColumn("hit", F.max("in_store").over(w_sig))
-        .join(missed_files, "file_id", "left_semi")
+    col_probe = _probe(
+        chunks.join(missed_files, "file_id", "left_semi"), _store_sigs(chunks)
     )
     leveled = stripe_probe.select(
         F.lit("stripe").alias("level"), "size", "hit"

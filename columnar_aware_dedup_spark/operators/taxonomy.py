@@ -94,15 +94,24 @@ TAXONOMY: list[tuple[str, str]] = [
 def _per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per file with every protocol-derived quantity (Spark side)."""
     li = table(spark, sf_dir, "lineitem")
-    keys_a = snapshot_a_keys(spark, sf_dir).withColumn("in_a", F.lit(True))
-    tagged = li.join(
-        keys_a, li.l_orderkey == keys_a.o_orderkey, "left"
-    ).withColumn("in_a", F.coalesce(F.col("in_a"), F.lit(False)))
-    chunks = lineitem_chunks(tagged, carry_flag=True)
+    chunks = lineitem_chunks(li)
+    keys_a = snapshot_a_keys(spark, sf_dir)
 
-    w_sig = Window.partitionBy("signature")
-    ch = chunks.withColumn("col_hit", F.max("in_store").over(w_sig)).withColumn(
-        "type_class", F.expr(_COL_TYPE_CASE)
+    # column-store membership via semi-join-derived distinct set + hash join
+    # (not a signature window over the full chunk table — see the r02 plan
+    # note in ``dedup.classified_chunks``); per-file stripe/footer windows
+    # below stay (one row per file, cheap).
+    col_store = (
+        chunks.join(keys_a, chunks.file_id == keys_a.o_orderkey, "left_semi")
+        .select("signature")
+        .distinct()
+        .withColumn("_h", F.lit(1))
+    )
+    ch = (
+        chunks.join(col_store, "signature", "left")
+        .withColumn("col_hit", F.col("_h").isNotNull())
+        .drop("_h")
+        .withColumn("type_class", F.expr(_COL_TYPE_CASE))
     )
     small = F.col("size") <= SMALL_COL_MAX
     large = ~small
@@ -113,7 +122,6 @@ def _per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.collect_list("signature")), ",")).alias(
             "stripe_sig"
         ),
-        F.min("in_store").alias("in_a"),
         F.count("*").cast("bigint").alias("n_cols"),
         F.sum(small.cast("long")).alias("n_small"),
         F.sum((large & hit).cast("long")).alias("n_large_hit"),
@@ -147,6 +155,14 @@ def _per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("string_miss_bytes"),
     )
 
+    # per-file snapshot membership: a join on the (small) per-file table,
+    # not a tag carried through the raw-row chunking.
+    in_a_flag = keys_a.select(F.col("o_orderkey").alias("file_id")).withColumn(
+        "in_a", F.lit(True)
+    )
+    per_file_cols = per_file_cols.join(in_a_flag, "file_id", "left").withColumn(
+        "in_a", F.coalesce(F.col("in_a"), F.lit(False))
+    )
     w_stripe = Window.partitionBy("stripe_sig")
     stripes = per_file_cols.withColumn("stripe_hit", F.max("in_a").over(w_stripe))
 

@@ -41,12 +41,14 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_flagship_shuffle_budget(spark, sf_dir):
-    """classified_chunks = chunk agg + signature window (+ the snapshot tag
-    join). More exchanges than that means a regression re-shuffling the
-    full chunk table."""
+    """classified_chunks r02 shape: chunk agg (repartition), semi-join store
+    derivation + distinct, probe join, rollup agg. Only TWO of those
+    exchanges move the full chunk table (the chunk agg and the probe join);
+    the rest carry the distinct signature set / per-file keys. More than 5
+    total means a regression re-shuffling full-table data."""
     df = dedup.dedup_hit_miss(spark, sf_dir)
     n = explain.n_exchanges(df)
-    assert n <= 4, f"flagship grew to {n} shuffles:\n{explain.plan_string(df)}"
+    assert n <= 5, f"flagship grew to {n} shuffles:\n{explain.plan_string(df)}"
 
 
 def test_chunk_simulate_single_shuffle(spark, sf_dir):
