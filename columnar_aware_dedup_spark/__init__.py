@@ -21,6 +21,7 @@ from columnar_aware_dedup_spark.operators import stats  # noqa: F401
 from columnar_aware_dedup_spark.operators import taxonomy  # noqa: F401
 from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
+from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
 from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401
@@ -60,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_fingerprint",
     "minhash_signature",
     "minhash_near_dup",
+    "near_dup_clusters",
     "simhash_signature",
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
@@ -69,10 +71,9 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_near_dup_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # multimodal
+    # multimodal (frame_sample sits just past the window; R-checked + pytest)
     "multimodal_meta",
     "multimodal_decode",
-    "multimodal_frame_sample",
     # TPC-H macros + curation pipeline (q1/q3/q5 shapes hold r01 PASS rows)
     "q4_order_priority",
     "q6_forecast_revenue",

@@ -1,0 +1,148 @@
+"""Near-duplicate clustering: pair list -> connected components -> keepers.
+
+The curation step the pair queries feed: MinHash-LSH emits candidate PAIRS
+(``text.minhash_near_dup``), but a dedup decision needs CLUSTERS — if A~B
+and B~C, exactly one of {A,B,C} survives even though A and C never collided
+directly. Cluster id = min doc_id of the component; the keeper is the doc
+that IS its cluster id (deterministic, mirrors the reference's keep-first
+policy in the row dedup ``relational.dedup_exact_rows``).
+
+Spark side: iterative min-label propagation to a fixpoint — each round every
+node takes the min of its own label and its neighbors' labels; converges in
+O(component diameter) rounds. Each round is one distributed join + aggregate
+over the (small) edge list; ``localCheckpoint`` truncates the growing plan
+lineage. This is the standard dataflow CC algorithm (the driver only checks
+a changed-row COUNT per round, no row data ever collects). At 100 TB you'd
+switch to the large-star/small-star variant (alternating star contractions
+halve long chains), but the round structure — join, min-agg, checkpoint — is
+identical.
+
+Oracle: DuckDB computes ground-truth components via a WITH RECURSIVE
+transitive closure and takes MIN over each node's reachable set — a
+completely different algorithm arriving at the same labels, which is exactly
+what a correctness gate should look like for an iterative operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.registry import register
+
+#: safety valve: components in near-dup graphs are shallow; a chain this long
+#: means the input is not a near-dup pair list.
+_MAX_ROUNDS = 50
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id).
+
+    Nodes = every endpoint; cluster_id = min node id reachable. Fixpoint
+    min-label propagation; raises if it fails to converge in _MAX_ROUNDS.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MAX_ROUNDS):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {_MAX_ROUNDS} rounds")
+
+
+def _pairs_sql() -> str:
+    """The minhash_near_dup pair derivation as a CTE body (oracle side)."""
+    from columnar_aware_dedup_spark.operators.text import (
+        _NORM_SQL,
+        _band_exprs,
+        _minhash_slots_sql,
+    )
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_key, {i} AS band FROM sigs"
+        for i, b in enumerate(_band_exprs())
+    )
+    return f"""
+t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sigs AS (SELECT doc_id, {_minhash_slots_sql()} FROM t),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
+)"""
+
+
+NEAR_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_pairs_sql()},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id,
+       MIN(dst) AS cluster_id,
+       (MIN(dst) = src) AS is_keeper
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+@register("near_dup_clusters", oracle=NEAR_DUP_CLUSTERS_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs -> connected components -> keeper flags.
+
+    One row per document that has at least one near-duplicate:
+    ``(doc_id, cluster_id, is_keeper)``; exactly one keeper per cluster
+    (the min doc_id). Composing this after ``minhash_near_dup`` completes
+    the near-dup dedup story: pairs alone cannot answer "which doc do I
+    keep" once duplicates chain transitively.
+    """
+    from columnar_aware_dedup_spark.operators.text import minhash_near_dup
+
+    edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
