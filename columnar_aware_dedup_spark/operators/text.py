@@ -263,6 +263,109 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- repetition scoring (Gopher-style) ----------------------------------------
+
+#: n-gram lists WITH multiplicity (unlike ``_SHINGLES_*``, which dedups —
+#: repetition measurement is exactly about the multiplicity). Short docs get
+#: an empty typed array, never an out-of-bounds index (ANSI-safe).
+def _grams_spark(n: int) -> str:
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+        " ELSE cast(array() AS array<string>) END"
+    )
+
+
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN"
+        f" list_transform(generate_series(1, len(toks) - {n - 1}), i -> {parts})"
+        " ELSE []::VARCHAR[] END"
+    )
+
+
+#: per-doc repetition fractions from a grams array ``{gs}`` — the whole
+#: computation is array-local (distinct grams x occurrence scan), so the
+#: operator is a pure narrow map: NO shuffle at any scale. The per-doc cost
+#: is O(unique_grams x n_grams); for book-length documents flip to the
+#: explode -> groupBy(doc_id, gram) formulation instead (one shuffle,
+#: linear per doc).
+_TOP_FRAC_SPARK = (
+    "CASE WHEN size({gs}) = 0 THEN 0.0 ELSE round("
+    "CAST(array_max(transform(array_distinct({gs}),"
+    " g -> size(filter({gs}, x -> x = g)))) AS DOUBLE)"
+    " / CAST(size({gs}) AS DOUBLE), 6) END"
+)
+_TOP_FRAC_SQL = (
+    "CASE WHEN len({gs}) = 0 THEN 0.0 ELSE round("
+    "CAST(list_max(list_transform(list_distinct({gs}),"
+    " g -> len(list_filter({gs}, x -> x = g)))) AS DOUBLE)"
+    " / CAST(len({gs}) AS DOUBLE), 6) END"
+)
+_DUP_FRAC_SPARK = (
+    "CASE WHEN size({gs}) = 0 THEN 0.0 ELSE round("
+    "CAST(aggregate(transform(array_distinct({gs}),"
+    " g -> size(filter({gs}, x -> x = g))), 0,"
+    " (acc, c) -> acc + IF(c > 1, c, 0)) AS DOUBLE)"
+    " / CAST(size({gs}) AS DOUBLE), 6) END"
+)
+_DUP_FRAC_SQL = (
+    "CASE WHEN len({gs}) = 0 THEN 0.0 ELSE round("
+    "CAST(list_sum(list_transform(list_distinct({gs}),"
+    " g -> CASE WHEN len(list_filter({gs}, x -> x = g)) > 1"
+    " THEN len(list_filter({gs}, x -> x = g)) ELSE 0 END)) AS DOUBLE)"
+    " / CAST(len({gs}) AS DOUBLE), 6) END"
+)
+
+#: Gopher-style keep thresholds (Rae et al. 2021, table A1 family): most
+#: common 2-gram fraction and duplicated-3-gram fraction.
+_TOP_BIGRAM_MAX = 0.18
+_DUP_TRIGRAM_MAX = 0.30
+
+
+@register(
+    "doc_repetition_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, {_grams_sql(2)} AS bi, {_grams_sql(3)} AS tri FROM t)
+SELECT doc_id,
+       CAST(len(bi) AS INTEGER) AS n_bigrams,
+       {_TOP_FRAC_SQL.format(gs="bi")} AS top_bigram_frac,
+       {_DUP_FRAC_SQL.format(gs="tri")} AS dup_trigram_frac,
+       ({_TOP_FRAC_SQL.format(gs="bi")} <= {_TOP_BIGRAM_MAX}
+        AND {_DUP_FRAC_SQL.format(gs="tri")} <= {_DUP_TRIGRAM_MAX}) AS keep
+FROM g
+""",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality: Gopher-style n-gram repetition fractions.
+
+    Per document: fraction of 2-gram occurrences taken by the single most
+    frequent 2-gram, fraction of 3-gram occurrences belonging to 3-grams seen
+    more than once, and the resulting keep/drop decision. Catches the
+    boilerplate/spam the token-ratio features (``doc_quality_score``) miss.
+    Entirely array-local built-ins — a narrow shuffle-free map at any scale
+    (cost note at ``_TOP_FRAC_SPARK``).
+    """
+    df = normalized(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_grams_spark(2)).alias("bi"),
+        F.expr(_grams_spark(3)).alias("tri"),
+    )
+    top = F.expr(_TOP_FRAC_SPARK.format(gs="bi"))
+    dup = F.expr(_DUP_FRAC_SPARK.format(gs="tri"))
+    return df.select(
+        "doc_id",
+        F.size("bi").alias("n_bigrams"),
+        top.alias("top_bigram_frac"),
+        dup.alias("dup_trigram_frac"),
+        ((top <= _TOP_BIGRAM_MAX) & (dup <= _DUP_TRIGRAM_MAX)).alias("keep"),
+    )
+
+
 # -- fingerprinting & near-dup ------------------------------------------------
 
 #: short-doc guard (ADVICE r01): a document with fewer than 3 tokens has no

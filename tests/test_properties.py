@@ -124,3 +124,63 @@ def test_chunk_table_and_fast_path_agree(spark, sf_dir):
     fast = dedup.lineitem_chunks(li)
     assert spec.exceptAll(fast).count() == 0
     assert fast.exceptAll(spec).count() == 0
+
+
+def test_repetition_score_planted_docs(spark):
+    """Repetition fractions on hand-computable docs, both engines; the
+    fixture corpus has no repetitive docs, so the drop branch and the
+    short-doc guards are only exercised here."""
+    import duckdb
+
+    from columnar_aware_dedup_spark.operators.text import (
+        _DUP_FRAC_SPARK,
+        _DUP_FRAC_SQL,
+        _TOP_FRAC_SPARK,
+        _TOP_FRAC_SQL,
+        _grams_spark,
+        _grams_sql,
+    )
+
+    docs = [
+        "",                          # empty -> all-zero fractions
+        "one",                       # 1 token: no bigrams
+        "spam spam spam spam spam",  # fully repetitive: top=1.0, dup=1.0
+        "a b c d e f",               # all distinct: top=1/5, dup=0
+        "a b a b a b x",             # 'a b' 3 of 6 bigrams
+    ]
+    sdf = spark.createDataFrame([(d,) for d in docs], ["text"]).selectExpr(
+        "text", "split(text, ' ') AS toks"
+    )
+    got = {
+        r["text"]: (r["topf"], r["dupf"])
+        for r in sdf.selectExpr(
+            "text",
+            f"{_TOP_FRAC_SPARK.format(gs=_grams_spark(2))} AS topf",
+            f"{_DUP_FRAC_SPARK.format(gs=_grams_spark(3))} AS dupf",
+        ).collect()
+    }
+    assert got[""] == (0.0, 0.0)
+    assert got["one"] == (0.0, 0.0)
+    assert got["spam spam spam spam spam"] == (1.0, 1.0)
+    assert got["a b c d e f"] == (0.2, 0.0)
+    assert got["a b a b a b x"][0] == 0.5  # 'a b' x3 of 6 bigrams
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(d,) for d in docs])
+    duck = {
+        text: (topf, dupf)
+        for text, topf, dupf in con.execute(
+            "SELECT text, "
+            + _TOP_FRAC_SQL.format(gs=_grams_sql(2)).replace(
+                "toks", "string_split(text, ' ')"
+            )
+            + ", "
+            + _DUP_FRAC_SQL.format(gs=_grams_sql(3)).replace(
+                "toks", "string_split(text, ' ')"
+            )
+            + " FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert duck == got
