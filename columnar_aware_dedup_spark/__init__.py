@@ -23,6 +23,7 @@ from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
+from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
 from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401

@@ -1,0 +1,282 @@
+"""Training-data curation operators beyond filtering/dedup: benchmark
+decontamination, PII redaction, sequence packing, stratified sampling.
+
+These complete the LLM-pipeline surface (north-star extension; no reference
+analogue — the reference dedups bytes, a training pipeline also has to
+*curate*). All four are hash-checked (H) against DuckDB; the only
+engine-specific care is float discipline (everything here is integer/string
+work) and identical regex/hash semantics on both sides.
+
+Scale notes per operator:
+
+- **decontamination**: the eval set's distinct n-grams are tiny relative to
+  the corpus (benchmarks are MBs, corpora are TBs) — broadcast them and the
+  train side never shuffles its grams; the per-doc overlap count is one
+  partial-aggregated groupBy on doc_id.
+- **PII redaction**: pure narrow map (regexp built-ins, WholeStageCodegen);
+  zero shuffles at any scale.
+- **sequence packing**: packing is per-source (PARTITION BY source), so the
+  cumulative-sum window parallelizes across sources/shards instead of one
+  global total order — the standard concat-and-chunk layout used for LLM
+  training batches. One shuffle on source.
+- **stratified sampling**: deterministic hash-threshold keep decision
+  (md5-hex prefix compare) — a narrow map, reproducible run-to-run and
+  engine-to-engine, unlike ``df.sample`` whose RNG is partition-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.text import (
+    _NORM_SQL,
+    _grams_spark,
+    _grams_sql,
+    normalized,
+)
+from columnar_aware_dedup_spark.registry import register
+
+# -- benchmark decontamination ------------------------------------------------
+
+#: contamination n-gram width (GPT-3 appendix C uses 13; fixture docs are
+#: ~40-70 tokens from a small vocabulary, so 8 keeps the test meaningful).
+_DECON_N = 8
+#: deterministic "benchmark" slice: every 97th doc plays the eval set.
+_EVAL_MOD = 97
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({_grams_sql(_DECON_N)})) AS gram FROM t),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+h AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g JOIN e USING (gram)
+      WHERE g.doc_id % {_EVAL_MOD} <> 0
+      GROUP BY g.doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap_grams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+WHERE t.doc_id % {_EVAL_MOD} <> 0
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing an n-gram with
+    the eval set (GPT-3-style overlap check, distinct 8-gram granularity).
+
+    The eval slice (``doc_id % 97 == 0``) stands in for a benchmark suite;
+    its distinct grams broadcast (eval sets are small by construction), so
+    the train side's gram stream joins map-side — the only shuffle is the
+    per-doc overlap count.
+    """
+    docs = normalized(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_grams_spark(_DECON_N)))).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap_grams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# -- PII detection / redaction ------------------------------------------------
+
+#: (name, pattern, replacement) — patterns restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): \b \d char classes and
+#: bounded repetition only. Redaction applies in this order on both sides.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ssn", r"\b\d\d\d-\d\d-\d\d\d\d\b", "<SSN>"),
+    ("phone", r"\b\d\d\d[-.]\d\d\d[-.]\d\d\d\d\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def _pii_oracle() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in _PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, repl in _PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in _PII_PATTERNS
+    )
+    return (
+        "SELECT doc_id,\n       "
+        + counts
+        + f",\n       ({total}) > 0 AS has_pii"
+        + f",\n       md5({redacted}) AS redacted_sig\nFROM documents"
+    )
+
+
+@register("pii_redaction", oracle=_pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact emails / SSNs / phones / IPv4s.
+
+    A narrow regexp-only map (no shuffle, WholeStageCodegen); the redacted
+    text is emitted as an md5 signature so the row stays skinny. The fixture
+    corpus is PII-free (all-zero counts) — the positive branch is pinned by
+    planted-document tests in ``tests/test_curation.py``.
+    """
+    from columnar_aware_dedup_spark.io import table
+
+    df = table(spark, sf_dir, "documents")
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    redacted = F.col("text")
+    for _, pat, repl in _PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    total = None
+    for name, pat, _ in _PII_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        total = c if total is None else total + c
+    return df.select(
+        "doc_id",
+        *counts,
+        (total > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_sig"),
+    )
+
+
+# -- sequence packing ---------------------------------------------------------
+
+#: training-sequence token budget (concat-and-chunk packing).
+_SEQ_BUDGET = 1024
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+WITH t AS (SELECT source, doc_id,
+                  CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+           FROM documents),
+c AS (SELECT source, doc_id, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT source,
+       CAST((cum - n) // {_SEQ_BUDGET} AS INTEGER) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM c
+GROUP BY source, seq_id
+""",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign docs to fixed token-budget
+    training sequences per source shard.
+
+    A doc's sequence is the one its *first* token lands in under cumulative
+    concatenation (``floor((cum - n) / budget)``) — deterministic, integer
+    arithmetic only. PARTITION BY source keeps the cumsum window parallel
+    across shards; a global ORDER BY would serialize the whole corpus
+    through one task at 100 TB.
+    """
+    docs = normalized(spark, sf_dir).select(
+        "source", "doc_id", F.size("toks").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n").over(w))
+    return (
+        c.withColumn(
+            "seq_id", F.floor((F.col("cum") - F.col("n")) / _SEQ_BUDGET).cast("int")
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+# -- stratified sampling ------------------------------------------------------
+
+#: per-source keep thresholds over the first 4 md5-hex chars (of 0x10000):
+#: lexicographic compare of lowercase hex == numeric compare, identical in
+#: both engines. Unlisted sources fall back to the default rate.
+_SAMPLE_THRESHOLDS = {"src0": "4000", "src1": "8000"}  # 25 %, 50 %
+_SAMPLE_DEFAULT = "2000"  # 12.5 %
+
+
+def _sample_thr_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{t}'" for s, t in _SAMPLE_THRESHOLDS.items()
+    )
+    return f"CASE {whens} ELSE '{_SAMPLE_DEFAULT}' END"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_sample_thr_sql()} AS keep
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       round(CAST(COUNT(*) FILTER (WHERE keep) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+FROM t
+GROUP BY source
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling: keep a doc iff the md5-hex
+    prefix of its id clears the source's threshold.
+
+    Unlike ``df.sample`` (partition-layout-dependent RNG), the keep decision
+    is a pure function of (doc_id, source) — stable across runs, engines,
+    and repartitioning, which is what makes a sampled corpus reproducible.
+    Narrow map + one aggregation shuffle on source.
+    """
+    from columnar_aware_dedup_spark.io import table
+
+    thr = F.lit(_SAMPLE_DEFAULT)
+    for s, t in _SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == s, t).otherwise(thr)
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("kept_frac"),
+        )
+    )

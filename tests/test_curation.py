@@ -1,0 +1,144 @@
+"""Curation-operator tests: the fixture corpus is PII-free and mostly
+uncontaminated, so the positive branches (planted PII, planted overlap,
+packing invariants) live here."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from columnar_aware_dedup_spark.operators import curation
+
+
+def test_pii_redaction_planted(spark):
+    """Planted PII docs: counts, flag, and redaction on both engines."""
+    import duckdb
+
+    rows = [
+        (0, "contact a@b.com or c.d+x@e-f.org today"),
+        (1, "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567"),
+        (2, "server at 10.0.0.1 and 192.168.254.3"),
+        (3, "no pii here at all"),
+        (4, ""),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in curation._PII_PATTERNS
+    ]
+    red = F.col("text")
+    for _, pat, repl in curation._PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"], r["red"])
+        for r in sdf.select("doc_id", *counts, red.alias("red")).collect()
+    }
+    assert got[0][:4] == (2, 0, 0, 0)
+    assert "<EMAIL>" in got[0][4] and "@" not in got[0][4]
+    assert got[1][:4] == (0, 1, 2, 0)
+    assert "<SSN>" in got[1][4] and "<PHONE>" in got[1][4]
+    assert got[2][:4] == (0, 0, 0, 2)
+    assert got[3][:4] == (0, 0, 0, 0) and got[3][4] == "no pii here at all"
+    assert got[4][:4] == (0, 0, 0, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            curation._pii_oracle().replace("md5(", "(")  # compare raw text
+        ).fetchall()
+    }
+    con.close()
+    for doc_id, (n_e, n_s, n_p, n_i, redacted) in got.items():
+        d = duck[doc_id]
+        assert d[:4] == (n_e, n_s, n_p, n_i), doc_id
+        assert d[5] == redacted, doc_id
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Every sequence except a shard's last is filled past the budget line;
+    doc ranges within a source never overlap; token totals are preserved."""
+    out = curation.sequence_pack(spark, sf_dir).orderBy("source", "seq_id")
+    rows = out.collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    total = 0
+    for src, seqs in by_source.items():
+        ids = [s["seq_id"] for s in seqs]
+        assert ids == sorted(ids)
+        for prev, nxt in zip(seqs, seqs[1:]):
+            assert prev["last_doc_id"] < nxt["first_doc_id"]
+            # a new sequence only starts once the previous crossed the budget
+            assert nxt["seq_id"] > prev["seq_id"]
+        total += sum(s["n_tokens"] for s in seqs)
+    from columnar_aware_dedup_spark.operators.text import normalized
+
+    expect = (
+        normalized(spark, sf_dir)
+        .select(F.sum(F.size("toks").cast("long")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == expect
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Kept fractions track the configured thresholds (md5 prefix uniform)."""
+    rows = {r["source"]: r for r in curation.stratified_sample(spark, sf_dir).collect()}
+    for src, r in rows.items():
+        want = (
+            int(curation._SAMPLE_THRESHOLDS.get(src, curation._SAMPLE_DEFAULT), 16)
+            / 0x10000
+        )
+        assert r["n_kept"] <= r["n_docs"]
+        if r["n_docs"] >= 200:  # enough mass for a loose band
+            assert abs(r["kept_frac"] - want) < 0.12, (src, r["kept_frac"], want)
+
+
+def test_decontamination_planted(spark):
+    """A train doc sharing an 8-gram with an eval doc is flagged; an
+    unrelated doc is not; eval docs are excluded from the output."""
+    toks = "w x y z p q r s"  # exactly one 8-gram
+    rows = [
+        (0, f"EVAL {toks}"),          # doc_id % 97 == 0 -> eval set
+        (5, f"lead {toks} tail"),     # contains the eval 8-gram
+        (7, "a b c d e f g h i j"),   # clean
+        (9, "short doc"),             # too short for any 8-gram
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    sdf.createOrReplaceTempView("planted_docs")
+
+    from columnar_aware_dedup_spark.operators import text as T
+
+    docs = sdf.withColumn("norm", F.expr(T._NORM_SPARK)).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(curation._grams_spark(curation._DECON_N)))
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % curation._EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["n"] > 0)
+        for r in docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .fillna(0, ["n"])
+        .collect()
+    }
+    assert 0 not in out  # eval docs excluded
+    assert out[5][1] is True and out[5][0] >= 1
+    assert out[7] == (0, False)
+    assert out[9] == (0, False)
