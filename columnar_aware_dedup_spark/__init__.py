@@ -14,6 +14,7 @@ from columnar_aware_dedup_spark.operators import relational  # noqa: F401
 from columnar_aware_dedup_spark.operators import relational_ext  # noqa: F401
 from columnar_aware_dedup_spark.operators import relational_fns  # noqa: F401
 from columnar_aware_dedup_spark.operators import macro  # noqa: F401
+from columnar_aware_dedup_spark.operators import macro2  # noqa: F401
 from columnar_aware_dedup_spark.operators import scale  # noqa: F401
 from columnar_aware_dedup_spark.operators import udf  # noqa: F401
 from columnar_aware_dedup_spark.operators import similarity  # noqa: F401
