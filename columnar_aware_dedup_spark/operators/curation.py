@@ -219,6 +219,110 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- corpus-level line dedup (C4-style) ---------------------------------------
+
+#: "line" width in tokens: fixture docs are single-line token streams, so the
+#: C4 notion of a line becomes a fixed 10-token segment (documented
+#: adaptation; the dataflow — explode lines, dedup globally, reassemble in
+#: order — is exactly the C4 line-dedup pipeline).
+_LINE_W = 10
+
+_SEGS_SPARK = (
+    f"transform(sequence(0, cast(ceil(size(toks) / {_LINE_W}.0) as int) - 1),"
+    f" i -> array_join(slice(toks, i * {_LINE_W} + 1, {_LINE_W}), ' '))"
+)
+
+
+@register(
+    "line_dedup_corpus",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+  FROM documents WHERE {_NORM_SQL} <> ''
+),
+s1 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {_LINE_W}.0) AS INT) - 1))
+             AS seg_idx
+  FROM t
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(toks[seg_idx * {_LINE_W} + 1 : seg_idx * {_LINE_W} + {_LINE_W}], ' ')
+             AS seg
+  FROM s1
+),
+keep AS (
+  SELECT doc_id, seg_idx, seg FROM segs
+  QUALIFY row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) = 1
+),
+ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_sig
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.toks) / {_LINE_W}.0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(ka.cleaned_sig, '') AS cleaned_sig
+FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+""",
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: drop every repeated line (10-token
+    segment) across the WHOLE corpus, keeping only its first occurrence
+    (lowest ``(doc_id, seg_idx)``), then reassemble each doc in order.
+
+    This is the C4 "three-sentence span" / line-dedup pipeline re-expressed:
+    segment -> global dedup on content hash -> ordered reassembly. The
+    fixture's docs are single-line token streams, so a "line" is a fixed
+    10-token segment (stated adaptation; the dataflow is the operator).
+
+    Plan at scale: the keeper is ``min(struct(doc_id, seg_idx, seg))`` per
+    segment hash — ONE partial-aggregated shuffle, no window sort over the
+    exploded segment table (a signature window would sort ~10x the corpus;
+    the same lesson as the dedup core's r02 rewrite). Reassembly is one
+    groupBy(doc_id) whose per-group sort is array-local; per-doc segment
+    totals come from the narrow doc table, not the exploded one.
+    """
+    docs = normalized(spark, sf_dir).filter(F.col("norm") != "")
+    segs = docs.select(
+        "doc_id", F.posexplode(F.expr(_SEGS_SPARK)).alias("seg_idx", "seg")
+    )
+    kept = (
+        segs.groupBy(F.md5("seg").alias("sig"))
+        .agg(F.min(F.struct("doc_id", "seg_idx", "seg")).alias("k"))
+        .select("k.doc_id", "k.seg_idx", "k.seg")
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x.seg,
+                ),
+                " ",
+            )
+        ).alias("cleaned_sig"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.ceil(F.size("toks") / F.lit(float(_LINE_W)))
+            .cast("bigint")
+            .alias("n_segments"),
+        )
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned_sig", F.lit("")).alias("cleaned_sig"),
+        )
+    )
+
+
 # -- stratified sampling ------------------------------------------------------
 
 #: per-source keep thresholds over the first 4 md5-hex chars (of 0x10000):

@@ -142,3 +142,31 @@ def test_decontamination_planted(spark):
     assert out[5][1] is True and out[5][0] >= 1
     assert out[7] == (0, False)
     assert out[9] == (0, False)
+
+
+def test_line_dedup_corpus_planted(spark):
+    """Planted duplicate segments: first occurrence wins, later docs drop
+    the repeated segment, a fully-duplicate doc keeps nothing."""
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (0, f"{seg_a} {seg_b}"),        # both kept
+        (1, f"{seg_a} {seg_c}"),        # seg_a dropped (doc 0 owns it)
+        (2, seg_b),                     # fully duplicate -> nothing kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "norm"]).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(F.expr(curation._SEGS_SPARK)).alias("seg_idx", "seg")
+    )
+    kept = (
+        segs.groupBy(F.md5("seg").alias("sig"))
+        .agg(F.min(F.struct("doc_id", "seg_idx", "seg")).alias("k"))
+        .select("k.doc_id", "k.seg_idx", "k.seg")
+    )
+    got = {
+        (r["doc_id"], r["seg_idx"]): r["seg"] for r in kept.collect()
+    }
+    assert got == {(0, 0): seg_a, (0, 1): seg_b, (1, 1): seg_c}
