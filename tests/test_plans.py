@@ -141,3 +141,39 @@ def test_lsh_planes_distinct():
         w = tuple((i * 37 + j * 101) % 97 - 48 for i in range(1, dim + 1))
         assert w not in seen, f"plane {j} duplicates an earlier plane"
         seen.add(w)
+
+
+def test_q21_semi_anti_and_topk(spark, sf_dir):
+    """The EXISTS / NOT-EXISTS self-joins must plan as semi/anti hash joins
+    (never a row-exploding inner join + dedup), and the final top-100 as a
+    heap, not a full sort."""
+    from columnar_aware_dedup_spark.operators import macro2
+
+    df = macro2.q21_waiting_supplier(spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert explain.has_take_ordered(df), plan
+
+
+def test_q16_distinct_reduces_before_part_join(spark, sf_dir):
+    """The supply relation must reduce lineitem to distinct (partkey,
+    suppkey) pairs and read ONLY those two columns — the fact table never
+    reaches the part join at line granularity or full width."""
+    from columnar_aware_dedup_spark.operators import macro2
+
+    df = macro2.q16_parts_supplier_cnt(spark, sf_dir)
+    assert explain.read_schema_columns(df) >= {"l_partkey", "l_suppkey"}
+    cols = explain.read_schema_columns(df)
+    assert "l_extendedprice" not in cols and "l_quantity" not in cols, cols
+    assert explain.has_broadcast_join(df)
+
+
+def test_line_dedup_keeper_has_no_window_sort(spark, sf_dir):
+    """The corpus line-dedup keeper must be a partial-aggregated min(struct)
+    groupBy, never a window over the exploded segment table (window = shuffle
+    + sort of ~10x the corpus; the dedup core's r02 lesson)."""
+    from columnar_aware_dedup_spark.operators import curation
+
+    df = curation.line_dedup_corpus(spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert "Window" not in plan, plan
