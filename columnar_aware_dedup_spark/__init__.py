@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "orc_linked_reconstruction",
     "parquet_file_chunks",
     # text / LLM-curation suite
+    "line_dedup_corpus",
     "text_normalize",
     "text_exact_dedup",
     "token_topk",
@@ -87,7 +88,6 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_curate",
     # scale techniques + pandas-UDF surface
     "salted_groupby",
-    "correlated_subquery",
     "pandas_udf_scalar",
     "apply_in_pandas_group",
 ]
