@@ -32,10 +32,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (plain parquet scan, fully Catalyst-visible).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark 4 refuses to
-    read natively; we read it as a long (legacy conf) and truncate to
-    microseconds — the same value DuckDB produces when it reads the file, so
-    oracle comparisons line up.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (which Spark 4 refuses
+    to read natively — legacy conf reads it as a nanosecond long) and plain
+    TIMESTAMP(MICROS) depending on fixture generation. Handle both: only
+    truncate long nanos to microseconds, matching what DuckDB produces when it
+    reads the same file, so oracle comparisons line up.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
@@ -43,8 +44,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

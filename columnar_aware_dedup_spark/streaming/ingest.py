@@ -93,6 +93,34 @@ def start_ingest(
     )
 
 
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events-schema parquet, ts normalized to micros.
+
+    Fixtures have shipped ``ts`` as both TIMESTAMP(NANOS) (unreadable natively
+    by Spark 4 — legacy conf surfaces it as a nanosecond long) and plain
+    TIMESTAMP(MICROS). A stream needs a declared schema, so probe the physical
+    type with a batch read of the same directory and branch.
+    """
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = isinstance(
+        spark.read.parquet(events_dir).schema["ts"].dataType, LongType
+    )
+    ts_decl = "ts long" if ts_is_long else "ts timestamp_ntz"
+    stream = spark.readStream.schema(
+        f"event_id long, {ts_decl}, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(events_dir)
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks require TIMESTAMP (with zone); the session tz is pinned
+        # to UTC so the NTZ→TZ cast is wall-clock-identical to the batch read.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def streaming_tumbling_counts(
     spark: SparkSession, events_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -102,15 +130,7 @@ def streaming_tumbling_counts(
     ``events_dir`` is a directory of events-schema parquet files (Spark's
     file stream source tails directories, not single files).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string,"
-            " value double, props string"
-        )
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = events_stream(spark, events_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

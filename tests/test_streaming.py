@@ -51,15 +51,10 @@ def test_stateful_dedup_matches_batch(spark, sf_dir, tmp_path):
     events_dir = tmp_path / "events_state"
     events_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string,"
-            " value double, props string"
-        )
-        .parquet(str(events_dir))
-        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
-        .select("user_id", "event_type", "event_id", "ts")
+    from columnar_aware_dedup_spark.streaming.ingest import events_stream
+
+    stream = events_stream(spark, str(events_dir)).select(
+        "user_id", "event_type", "event_id", "ts"
     )
     q = (
         dedup_first_stateful(stream)
