@@ -404,3 +404,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )
+
+
+#: cells probed by the nprobe variant (the standard IVF recall knob).
+_NPROBE = 2
+
+ANN_IVF_NPROBE_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_HI}
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cid
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round({_l2sq_sql('e.embedding', 'c.ce')}, 6), c.cid) = 1
+), qcells AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id < {_NQ}
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round({_l2sq_sql('e.embedding', 'c.ce')}, 6), c.cid) <= {_NPROBE}
+), pairs AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_cosine_sql('q.qe', 'a.embedding')} AS cosine_sim
+  FROM qcells q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) <= {_TOPK}
+ORDER BY query_id, cosine_sim DESC, neighbor_id
+"""
+
+
+@register("ann_ivf_nprobe_topk", oracle=ANN_IVF_NPROBE_ORACLE)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k with nprobe=2: each query probes its two
+    nearest cells instead of one — the standard IVF recall/latency knob
+    (r01 VERDICT called the nprobe=1 variant out as the toy setting).
+
+    Plan shape is unchanged from ``ann_ivf_topk``: centroids broadcast for
+    assignment (narrow map), the per-query probed-cell set broadcast against
+    the cell-partitioned collection, exact re-rank inside the probed cells.
+    At 100 TB with a cell-partitioned layout this reads nprobe/k of the
+    collection via partition pruning; candidates stay disjoint because every
+    vector lives in exactly one cell.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    d2 = F.expr(f"round({_L2SQ_SPARK.format(a='embedding', b='ce')}, 6)")
+    aw = Window.partitionBy("vec_id").orderBy(d2, F.col("cid"))
+    ranked = e.join(F.broadcast(cent)).withColumn(
+        "_rn", F.row_number().over(aw)
+    )
+    assign = ranked.filter(F.col("_rn") == 1).select("vec_id", "embedding", "cid")
+    qcells = (
+        ranked.filter((F.col("vec_id") < _NQ) & (F.col("_rn") <= _NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cid").alias("qcid"),
+        )
+    )
+    pairs = assign.join(
+        F.broadcast(qcells),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_spark("qe", "embedding").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )

@@ -132,3 +132,23 @@ def chunk_store_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Built-in streaming dedup: ``dropDuplicatesWithinWatermark``.
+
+    The engine's third streaming-dedup flavor next to the custom
+    ``applyInPandasWithState`` operators: Spark's native bounded-state dedup,
+    which keeps a key in state only until the event-time watermark passes it
+    — the framework-managed form of the TTL store above, and the right
+    default for exactly-once event dedup at 100 TB (state size is bounded by
+    keys within one watermark window, eviction handled by the engine).
+
+    Contract (proven in ``tests/test_streaming.py``): for a bounded input
+    replayed with duplicates, the output has exactly one row per key.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

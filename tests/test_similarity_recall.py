@@ -78,3 +78,28 @@ def test_banded_lsh_candidate_set_is_sparse(spark):
         .count()
     )
     assert n_cand <= 0.05 * n * (n - 1) / 2, f"{n_cand} candidates of {n} vectors"
+
+
+def test_ivf_nprobe2_dominates_nprobe1(spark, sf_dir):
+    """More probed cells can only improve the candidate pool: for every
+    query, the k-th best cosine under nprobe=2 is >= the k-th best under
+    nprobe=1 (elementwise dominance of the sorted top-k lists)."""
+    from columnar_aware_dedup_spark.operators.similarity import (
+        ann_ivf_nprobe_topk,
+        ann_ivf_topk,
+    )
+
+    def ranked(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(r["cosine_sim"])
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    one = ranked(ann_ivf_topk(spark, sf_dir))
+    two = ranked(ann_ivf_nprobe_topk(spark, sf_dir))
+    assert set(two) >= set(one)
+    for q, sims1 in one.items():
+        sims2 = two[q]
+        assert len(sims2) >= len(sims1)
+        for s2, s1 in zip(sims2, sims1):
+            assert s2 >= s1 - 1e-12, f"query {q}: nprobe=2 top-k worse than nprobe=1"

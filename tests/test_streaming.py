@@ -156,3 +156,37 @@ def test_chunk_store_stateful_ttl(spark, sf_dir, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(inbox))
     got2 = {(r.file, r.signature): r.hit for r in run_batch()}
     assert got2[("f3", "sig_a")] is False, "evicted signature transfers again"
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_dir, tmp_path):
+    """Native dropDuplicatesWithinWatermark: replaying the same events file
+    twice yields exactly one row per event_id (same key set as batch
+    distinct), with state bounded by the watermark instead of a custom TTL."""
+    import shutil
+
+    from columnar_aware_dedup_spark.streaming.ingest import events_stream
+    from columnar_aware_dedup_spark.streaming.stateful import dedup_within_watermark
+
+    events_dir = tmp_path / "events_wm"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "b.parquet")
+
+    q = (
+        dedup_within_watermark(events_stream(spark, str(events_dir)))
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM wm_dedup")
+    n_events = got.count()
+    n_keys = got.distinct().count()
+
+    from columnar_aware_dedup_spark.io import table
+
+    expected = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n_events == n_keys == expected
