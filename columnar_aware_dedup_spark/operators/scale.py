@@ -144,3 +144,22 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+def write_bucketed(df: DataFrame, name: str, key: str, n_buckets: int = 8) -> None:
+    """Persist ``df`` as a parquet table bucketed AND sorted by ``key``.
+
+    Bucketing is the co-location technique for repeated fact-fact joins at
+    100 TB: two tables bucketed by the same key into the same bucket count
+    join with ZERO shuffle exchanges (each task reads matching buckets), and
+    the sortBy removes the join's sort as well. The write pays one shuffle
+    once; every subsequent join on the key is exchange-free —
+    ``tests/test_bucketed_join.py`` asserts the plan property.
+    """
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
