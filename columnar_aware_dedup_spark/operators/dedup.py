@@ -29,7 +29,7 @@ the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.functions.hashing import (
@@ -543,55 +543,87 @@ def dedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips all column work) with its three signature stores
     (``StripePlusColumnORCReceiver.java:42-44``).
 
-    r02 plan note: untagged chunking once; each level's store is a semi-join
-    of that level's chunk table on the A keys, each probe a hash equi-join —
-    no signature window over the full chunk table (sort dominated; the
-    rewrite measured ~2x faster at sf0.1 with identical results).
+    r02 plan note (second rewrite, measured 2.15x faster than the
+    store-semi-join + probe-join form at sf0.1, identical results): each
+    level is classified by ONE ``groupBy(signature)`` aggregation instead of
+    a store derivation (semi-join + distinct = shuffle) plus a probe
+    (equi-join = shuffle). Store membership is just ``max(A-marker)`` per
+    signature group, and the rollup only needs per-signature totals — so the
+    full chunk table crosses the wire exactly once. The A-marker and the
+    stripe-miss file list attach as broadcasts (both are per-file, bounded
+    by file count; at 100 TB the persisted signature-bucketed store —
+    ``sources/store.py`` — replaces the in-plan A-marker entirely).
 
-    The chunk table is a diamond with three consumers (stripe derivation,
-    column store, column probe); exchange reuse shares only the *shuffle*,
-    so the CPU-heavy post-shuffle aggregation (per-file sort + md5) would
-    re-run per consumer. A lazy ``localCheckpoint`` materializes it once
-    (~15% faster at sf0.1, interleaved min-of-4). Lineage truncation trades
-    executor-loss re-derivation for one materialization — the right trade
-    for a batch query whose retry unit is the query; a persisted/bucketed
-    chunk table (``sources/store.py``) is the durable form at 100 TB.
+    The chunk table still feeds two consumers (stripe derivation, column
+    classify); exchange reuse shares only the *shuffle*, so the CPU-heavy
+    post-shuffle aggregation (per-file sort + md5) would re-run per
+    consumer. A lazy ``localCheckpoint`` materializes it once. Lineage
+    truncation trades executor-loss re-derivation for one materialization —
+    the right trade for a batch query whose retry unit is the query.
     """
     chunks = lineitem_chunks(table(spark, sf_dir, "lineitem")).localCheckpoint(
         eager=False
     )
-    keys_a = snapshot_a_keys(spark, sf_dir)
+    marked = F.broadcast(
+        snapshot_a_keys(spark, sf_dir).withColumn("_a", F.lit(1))
+    )
 
     # parent stripes: groupBy(file_id) rides the chunking's partitioning — no
-    # extra shuffle.
+    # extra shuffle. The stripe table is 10x smaller than the chunk table,
+    # so a signature window is cheap here (and yields the per-file hit flag
+    # the column fan-out needs).
     stripes = chunks.groupBy("file_id").agg(
         F.md5(F.array_join(F.array_sort(F.collect_list("signature")), ",")).alias(
             "signature"
         ),
         F.sum("size").cast("bigint").alias("size"),
     )
-
-    def _store_sigs(level: DataFrame) -> DataFrame:
-        return (
-            level.join(keys_a, level.file_id == keys_a.o_orderkey, "left_semi")
-            .select("signature")
-            .distinct()
-            .withColumn("_h", F.lit(1))
-        )
-
-    def _probe(level: DataFrame, store: DataFrame) -> DataFrame:
-        return (
-            level.join(store, "signature", "left")
-            .withColumn("hit", F.col("_h").isNotNull())
-            .drop("_h")
-        )
-
-    stripe_probe = _probe(stripes, _store_sigs(stripes))
-    missed_files = stripe_probe.filter(~F.col("hit")).select("file_id")
-    col_probe = _probe(
-        chunks.join(missed_files, "file_id", "left_semi"), _store_sigs(chunks)
+    sm = stripes.join(marked, stripes.file_id == marked.o_orderkey, "left")
+    s_cls = sm.withColumn(
+        "hit", F.max("_a").over(Window.partitionBy("signature")).isNotNull()
     )
-    leveled = stripe_probe.select(
-        F.lit("stripe").alias("level"), "size", "hit"
-    ).unionByName(col_probe.select(F.lit("column").alias("level"), "size", "hit"))
-    return transfer_rollup(leveled, key="level")
+    missed = s_cls.filter(~F.col("hit")).select("file_id")
+
+    # column level, one shuffle: mark each chunk row with (in A?, in a
+    # stripe-missed file?) via broadcasts, then classify per signature —
+    # store membership = any A occurrence; probed volume = missed-file rows.
+    cm = chunks.join(marked, chunks.file_id == marked.o_orderkey, "left").join(
+        F.broadcast(missed.withColumnRenamed("file_id", "_mf")),
+        chunks.file_id == F.col("_mf"),
+        "left",
+    )
+    sig_stats = cm.groupBy("signature").agg(
+        F.max("_a").alias("_in_store"),
+        F.sum(F.when(F.col("_mf").isNotNull(), F.col("size"))).alias("_psize"),
+        F.count(F.when(F.col("_mf").isNotNull(), 1)).alias("_prows"),
+    )
+
+    def _level_stats(df, hit_col, size_col, rows_col, label: str) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(hit_col, rows_col).otherwise(0)).cast("bigint").alias("hits"),
+            F.sum(F.when(~hit_col, rows_col).otherwise(0))
+            .cast("bigint")
+            .alias("misses"),
+            F.sum(F.when(hit_col, size_col).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_bytes"),
+            F.sum(F.when(~hit_col, size_col).otherwise(0))
+            .cast("bigint")
+            .alias("transfer_bytes"),
+        ).select(
+            F.lit(label).alias("level"),
+            "hits",
+            "misses",
+            "dedup_bytes",
+            "transfer_bytes",
+        )
+
+    stripe_lvl = _level_stats(s_cls, F.col("hit"), F.col("size"), F.lit(1), "stripe")
+    col_lvl = _level_stats(
+        sig_stats.filter(F.col("_prows") > 0),
+        F.col("_in_store").isNotNull(),
+        F.col("_psize"),
+        F.col("_prows"),
+        "column",
+    )
+    return col_lvl.unionByName(stripe_lvl).orderBy("level")
