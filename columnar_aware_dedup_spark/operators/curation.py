@@ -384,3 +384,133 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+# -- deterministic corpus shuffle + split ------------------------------------
+
+#: salt for the shuffle/split hash — changing it re-shuffles reproducibly.
+_SHUFFLE_SALT = "epoch0"
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+SELECT doc_id, source,
+       md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}') AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}'), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+ORDER BY position
+""",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: the reproducible training-order pass.
+
+    Training runs need the corpus in a random-but-reproducible order
+    (re-runs, resumption, and data ablations must see identical batches).
+    ``df.orderBy(rand())`` is neither reproducible across engines nor stable
+    under retries; hashing a salt into the key is both. A new epoch is a new
+    salt, not a new algorithm.
+
+    Global positions WITHOUT a global window (``row_number over (order by
+    key)`` funnels the corpus through one partition): the md5 key's leading
+    byte buckets rows into 256 uniform groups; rank within bucket in
+    parallel, then add per-bucket offsets from a 256-row running sum — the
+    only single-partition step touches exactly 256 rows at any corpus size.
+    Bucket-then-offset IS the distributed global-numbering pattern (the
+    DataFrame form of zipWithIndex).
+    """
+    from columnar_aware_dedup_spark.io import table
+
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+    keyed = d.select("doc_id", "source").withColumn("shuffle_key", key)
+    # leading md5 byte = bucket; ordering by (bucket, key) == ordering by key.
+    keyed = keyed.withColumn(
+        "_b", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    )
+    wb = Window.partitionBy("_b").orderBy("shuffle_key", "doc_id")
+    local = keyed.withColumn("_pos_in_b", F.row_number().over(wb))
+    offsets = (
+        keyed.groupBy("_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn("position", (F.col("_offset") + F.col("_pos_in_b")).cast("bigint"))
+        .select("doc_id", "source", "shuffle_key", "position")
+        .orderBy("position")
+    )
+
+
+#: split thresholds on the first 4 hex chars of md5(doc_id||salt):
+#: ~90% train / ~5% val / ~5% test, deterministic per doc forever.
+_VAL_LO, _TEST_LO = 0xE666, 0xF333
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}'), 1, 4)) AS INTEGER) AS b
+  FROM documents
+)
+SELECT source,
+       CASE WHEN b < {_VAL_LO} THEN 'train'
+            WHEN b < {_TEST_LO} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment (~90/5/5), per-source counts.
+
+    The split must be a pure function of the document identity — growing the
+    corpus, re-running, or re-sharding must never move a doc across splits
+    (that's eval-set leakage). Same discipline as ``stratified_sample``:
+    decide from an md5 prefix, not an RNG. Narrow map + one aggregation; at
+    100 TB the assignment is also the partition column for the written
+    layout, so downstream eval jobs prune to their split.
+    """
+    from columnar_aware_dedup_spark.io import table
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(bucket < _VAL_LO, "train")
+        .when(bucket < _TEST_LO, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source", "split")
+    )

@@ -170,3 +170,51 @@ def test_line_dedup_corpus_planted(spark):
         (r["doc_id"], r["seg_idx"]): r["seg"] for r in kept.collect()
     }
     assert got == {(0, 0): seg_a, (0, 1): seg_b, (1, 1): seg_c}
+
+
+def test_corpus_shuffle_is_permutation_without_global_window(spark, sf_dir):
+    """Positions are exactly 1..N in shuffle_key order, and the plan's data
+    window is partitioned by the hash bucket (no corpus-sized single
+    partition; the only unpartitioned window is the 256-row offset sum)."""
+    from columnar_aware_dedup_spark.operators.curation import corpus_shuffle
+    from columnar_aware_dedup_spark.plans import explain
+
+    df = corpus_shuffle(spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    ordered = sorted(rows, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["position"] for r in ordered] == list(range(1, n + 1))
+
+    plan = explain.plan_string(df, "formatted")
+    assert "partitionBy" not in plan  # formatted mode spells windows differently
+    assert "_b" in plan  # bucketed window + offset join present
+
+
+def test_corpus_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split assignment never changes when the corpus grows: the
+    assignment computed on a half-corpus equals the full-corpus one."""
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators import curation
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(curation._SHUFFLE_SALT))
+    )
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
+    split = (
+        F.when(bucket < curation._VAL_LO, "train")
+        .when(bucket < curation._TEST_LO, "val")
+        .otherwise("test")
+    )
+    full = {r["doc_id"]: r["split"] for r in d.select("doc_id", split.alias("split")).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("split"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    # and all three splits are populated at fixture scale
+    assert {s for s in full.values()} == {"train", "val", "test"}
