@@ -514,3 +514,56 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+# -- partitioned curated-corpus sink -----------------------------------------
+
+
+def write_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the curated corpus as a split/lang-partitioned layout.
+
+    The end of every curation run is a WRITE, and the layout is the contract
+    with the training job: ``split=…/lang=…`` directory partitioning means a
+    trainer's reader prunes to ``split=train`` (and an eval harness to
+    ``split=val``) at the file-listing level — zero bytes of the other
+    splits are opened. Partition columns are low-cardinality (3 splits × few
+    langs), so the file count stays sane at 100 TB; the high-cardinality
+    axis (doc_id) stays *inside* the files.
+
+    Pipeline = quality filter → normalize → exact-dedup keeper (the
+    ``pipeline_curate`` plan) + hash split assignment (``corpus_split``
+    discipline), one job, one pass over the corpus.
+    """
+    from columnar_aware_dedup_spark.operators.text import normalized
+
+    d = normalized(spark, sf_dir).filter(
+        (F.col("n_chars") >= 30) & (F.col("norm") != "")
+    )
+    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    kept = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "toks")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(bucket < _VAL_LO, "train")
+        .when(bucket < _TEST_LO, "val")
+        .otherwise("test")
+    )
+    (
+        kept.withColumn("split", split)
+        .write.partitionBy("split", "lang")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -218,3 +218,34 @@ def test_corpus_split_is_stable_under_corpus_growth(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
     # and all three splits are populated at fixture scale
     assert {s for s in full.values()} == {"train", "val", "test"}
+
+
+def test_write_curated_corpus_partitioned_layout(spark, sf_dir, tmp_path):
+    """The curated-corpus sink writes a split/lang hive layout, a reader of
+    one split prunes to that split's files (PartitionFilters, not a full
+    scan), and the round-trip preserves the curated row set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.curation import write_curated_corpus
+    from columnar_aware_dedup_spark.plans import explain
+
+    out = str(tmp_path / "corpus")
+    write_curated_corpus(spark, sf_dir, out)
+
+    top = sorted(e for e in os.listdir(out) if e.startswith("split="))
+    assert set(top) <= {"split=train", "split=val", "split=test"}
+    assert "split=train" in top
+    assert any(
+        e.startswith("lang=") for e in os.listdir(os.path.join(out, "split=train"))
+    )
+
+    back = spark.read.parquet(out)
+    train = back.filter(F.col("split") == "train")
+    plan = explain.plan_string(train, "formatted")
+    assert "PartitionFilters" in plan and "split" in plan
+    # all rows returned are train rows and splits partition the corpus
+    counts = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert sum(counts.values()) == back.count()

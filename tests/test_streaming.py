@@ -190,3 +190,35 @@ def test_dedup_within_watermark_bounds_state(spark, sf_dir, tmp_path):
 
     expected = table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert n_events == n_keys == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == the batch interval join on
+    bounded input (the batch/streaming contract, applied to dual-stream
+    correlation — the reference's offer/ack pattern)."""
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.streaming import joins
+    from columnar_aware_dedup_spark.streaming.ingest import events_stream
+
+    events_dir = tmp_path / "events_ssj"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+
+    sv, sc = joins.split_views_clicks(events_stream(spark, str(events_dir)))
+    q = (
+        joins.interval_join_stream(sv, sc)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj")
+
+    bv, bc = joins.split_views_clicks(table(spark, sf_dir, "events"))
+    want = joins.interval_join_batch(bv, bc)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
