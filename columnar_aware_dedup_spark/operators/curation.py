@@ -567,3 +567,67 @@ def write_curated_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> None
         .mode("overwrite")
         .parquet(out_dir)
     )
+
+
+# -- corpus report card -------------------------------------------------------
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+WITH t AS (
+  SELECT source, lang, doc_id, n_chars,
+         {_NORM_SQL} AS norm,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) > 1 AS is_dup
+  FROM t
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM d
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus report card: per (source, lang) volume, token mass, and
+    exact-duplicate burden — the first query a curation run's owner looks at
+    and the one dashboards poll.
+
+    One pass: narrow normalize, one window on the text signature for the
+    duplicate flag (same single-shuffle keeper discipline as
+    ``pipeline_curate``), one partial-aggregated rollup on the
+    low-cardinality (source, lang) key.
+    """
+    t = normalized(spark, sf_dir).select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.md5("norm").alias("_sig"),
+    )
+    w = Window.partitionBy("_sig").orderBy("doc_id")
+    d = t.withColumn("is_dup", F.row_number().over(w) > 1)
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -487,3 +487,62 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({EMBEDDING_TOPK_ORACLE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_ORACLE})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_NPROBE_ORACLE})),
+l AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM exact e JOIN lsh USING (query_id, neighbor_id) GROUP BY e.query_id),
+i AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM exact e JOIN ivf USING (query_id, neighbor_id) GROUP BY e.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS lsh_hits,
+       CAST(COALESCE(i.n, 0) AS BIGINT) AS ivf_hits,
+       CAST(COALESCE(l.n, 0) AS DOUBLE) / {_TOPK} AS lsh_recall,
+       CAST(COALESCE(i.n, 0) AS DOUBLE) / {_TOPK} AS ivf_recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN l ON l.query_id = q.query_id
+LEFT JOIN i ON i.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+@register("ann_recall_report", oracle=ANN_RECALL_ORACLE)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of both ANN indexes against the exact baseline —
+    the quality gate a production vector-search deployment runs before
+    switching from brute force to an index.
+
+    Per query: how many of the exact top-k the banded-LSH and IVF(nprobe=2)
+    variants recovered. All three result sets are engine queries, so this is
+    one plan: two semi-join-and-count passes over top-k sets of size
+    #queries x k (tiny regardless of collection size — the expensive scans
+    are inside the underlying queries, each already scale-shaped).
+    """
+    exact = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_nprobe_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    base = exact.select("query_id").distinct()
+    out = (
+        base.join(hits(lsh, "lsh_hits"), "query_id", "left")
+        .join(hits(ivf, "ivf_hits"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("lsh_hits", F.lit(0)).cast("bigint").alias("lsh_hits"),
+            F.coalesce("ivf_hits", F.lit(0)).cast("bigint").alias("ivf_hits"),
+        )
+        .withColumn("lsh_recall", (F.col("lsh_hits") / _TOPK).cast("double"))
+        .withColumn("ivf_recall", (F.col("ivf_hits") / _TOPK).cast("double"))
+        .orderBy("query_id")
+    )
+    return out
