@@ -38,6 +38,10 @@ HEADLINE = [
     "embedding_cosine_topk",
     "event_session_window",
     "parquet_file_chunks",
+    # r02 additions: the reference's ORC-first flagship path over real ORC
+    # bytes (binaryFile -> mapInPandas chunker -> linked s+p probe).
+    "orc_file_chunks",
+    "orc_hierarchical_dedup",
 ]
 
 
