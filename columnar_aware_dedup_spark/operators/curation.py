@@ -631,3 +631,131 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# -- temperature-weighted domain mixing ---------------------------------------
+
+#: token budget as a fraction of the corpus, and the mixing temperature
+#: (alpha=0.5 == sqrt-weighting, the standard multilingual/multi-domain
+#: re-balancing that upweights small sources without drowning large ones).
+_MIX_BUDGET_FRAC = 0.5
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix:{_SHUFFLE_SALT}'), 1, 4)) AS INTEGER) / 65536.0 AS frac
+  FROM documents
+),
+s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS toks FROM t GROUP BY source),
+g AS (SELECT SUM(sqrt(CAST(toks AS DOUBLE))) AS wsum, SUM(toks) AS total FROM s),
+r AS (
+  SELECT s.source, s.toks,
+         round(least(1.0,
+           {_MIX_BUDGET_FRAC} * g.total * (sqrt(CAST(s.toks AS DOUBLE)) / g.wsum)
+             / CAST(s.toks AS DOUBLE)), 6) AS keep_rate
+  FROM s CROSS JOIN g
+)
+SELECT t.source,
+       r.keep_rate,
+       CAST(r.toks AS BIGINT) AS source_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.frac < r.keep_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN t.frac < r.keep_rate THEN t.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM t JOIN r ON r.source = t.source
+GROUP BY t.source, r.keep_rate, r.toks
+ORDER BY t.source
+""",
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (alpha=0.5): compute per-source
+    keep rates that re-balance the corpus toward sqrt-of-token-mass shares
+    within a global token budget, then keep docs by deterministic hash.
+
+    The mixture spec is data-dependent (rates derive from per-source token
+    totals) but the plan never collects: the per-source totals are a tiny
+    aggregated frame, the global sums a single-row frame, and both join back
+    as broadcasts — so at 100 TB the two extra inputs are measured in
+    kilobytes. The keep decision reuses the ``stratified_sample`` md5
+    discipline: a doc's fate is a pure function of its id, stable under
+    corpus growth and re-sharding.
+    """
+    t = normalized(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.lit("mix"),
+                            F.lit(_SHUFFLE_SALT),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            / 65536.0
+        ).alias("frac"),
+    )
+    s = t.groupBy("source").agg(F.sum("n_tokens").cast("bigint").alias("toks"))
+    g = s.agg(
+        F.sum(F.sqrt(F.col("toks").cast("double"))).alias("wsum"),
+        F.sum("toks").alias("total"),
+    )
+    # single-row global frame joined on a literal key (broadcast nested loop
+    # over 1 row — the declarative "attach global aggregate" idiom).
+    r = (
+        s.withColumn("_k", F.lit(1))
+        .join(F.broadcast(g.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+        .select(
+            "source",
+            "toks",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_MIX_BUDGET_FRAC)
+                    * F.col("total")
+                    * (F.sqrt(F.col("toks").cast("double")) / F.col("wsum"))
+                    / F.col("toks").cast("double"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        t.join(F.broadcast(r), "source")
+        .groupBy("source", "keep_rate", F.col("toks").alias("source_tokens"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("frac") < F.col("keep_rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("frac") < F.col("keep_rate"), F.col("n_tokens")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "keep_rate",
+            "source_tokens",
+            "n_docs",
+            "n_kept",
+            "tokens_kept",
+        )
+        .orderBy("source")
+    )
