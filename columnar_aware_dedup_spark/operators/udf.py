@@ -109,3 +109,57 @@ def apply_in_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+def _weighted_mean_kernel():
+    """Grouped-agg kernel: discount-weighted mean price in integer cents
+    (sum of products / sum of weights — deterministic int64 accumulation,
+    final division in double)."""
+
+    @pandas_udf("double")
+    def kernel(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        num = int((cents * q).sum())
+        den = int(q.sum())
+        return float(num) / float(den) / 100.0
+
+    return kernel
+
+
+@register(
+    "pandas_udf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
+         AS qty_weighted_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the third pandas-UDF shape next to
+    scalar and grouped-map: a whole group reduces to ONE value through an
+    Arrow batch (custom aggregators — weighted means, trimmed stats,
+    sketches — drop into this slot).
+
+    Determinism discipline: the kernel accumulates in int64 cents x int64
+    quantities so the sum is exact and order-free; only the final ratio is
+    floating point — which is why it can be H-checked against SQL at all.
+    Scale note: grouped-agg buffers one group per Arrow batch, so group
+    cardinality (6 flags) and per-group size both matter; for unbounded
+    groups prefer built-in aggregates or a two-phase partial design.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _weighted_mean_kernel()("l_extendedprice", "l_quantity").alias(
+                "qty_weighted_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
