@@ -222,3 +222,40 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_hypertable_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Chained minute->hour streaming aggregation (two stateful operators in
+    one query) emits exactly rows of the batch hourly rollup."""
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.streaming.ingest import events_stream
+    from columnar_aware_dedup_spark.streaming.rollup import streaming_hypertable_rollup
+
+    events_dir = tmp_path / "events_ht"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+
+    q = (
+        streaming_hypertable_rollup(events_stream(spark, str(events_dir)))
+        .writeStream.format("memory")
+        .queryName("ht_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ht"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ht_stream")
+
+    e = table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0, "streaming rows must match batch"
