@@ -177,3 +177,38 @@ def test_line_dedup_keeper_has_no_window_sort(spark, sf_dir):
     df = curation.line_dedup_corpus(spark, sf_dir)
     plan = explain.plan_string(df)
     assert "Window" not in plan, plan
+
+
+def test_hierarchical_dedup_single_big_shuffle(spark, sf_dir):
+    """The r02 rewrite's contract: the full chunk table crosses the wire
+    exactly once for classification — the plan may shuffle the chunking
+    aggregate, the small stripe table, and tiny final aggregates, but there
+    is no store-derivation + probe-join pair re-shuffling chunk-table-sized
+    data (bounded total exchange count)."""
+    from columnar_aware_dedup_spark.operators import dedup
+
+    df = dedup.dedup_hierarchical(spark, sf_dir)
+    # chunking repartition + stripe window + column groupBy + 2 scalar aggs
+    # + final order: the old formulation planned 8+.
+    assert explain.n_exchanges(df) <= 7, explain.plan_string(df)
+
+
+def test_domain_mix_rates_broadcast(spark, sf_dir):
+    """The data-dependent mixture rates must attach as broadcasts (tiny
+    aggregated frames), never shuffle the corpus side on source."""
+    from columnar_aware_dedup_spark.operators import curation
+
+    df = curation.domain_mix_sample(spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ann_recall_report_joins_stay_topk_sized(spark, sf_dir):
+    """The recall comparison must semi-join top-k sets; collection-sized
+    scans appear only inside the underlying index/baseline subplans, never
+    in the comparison joins themselves."""
+    from columnar_aware_dedup_spark.operators import similarity
+
+    df = similarity.ann_recall_report(spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert "LeftSemi" in plan, plan
