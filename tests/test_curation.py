@@ -249,3 +249,42 @@ def test_write_curated_corpus_partitioned_layout(spark, sf_dir, tmp_path):
     counts = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts.get("train", 0) > counts.get("val", 0)
     assert sum(counts.values()) == back.count()
+
+
+def test_domain_mix_rates_and_bands(spark, sf_dir):
+    """Mixing invariants: every keep_rate in (0, 1]; sources kept in full
+    have rate 1.0; sampled sources land within a tolerance band of their
+    rate (hash uniformity); sqrt weighting upweights the smallest source
+    relative to proportional sampling."""
+    from columnar_aware_dedup_spark.operators.curation import domain_mix_sample
+
+    rows = {r["source"]: r for r in domain_mix_sample(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 < r["keep_rate"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+        if r["keep_rate"] == 1.0:
+            assert r["n_kept"] == r["n_docs"]
+        else:
+            got = r["n_kept"] / r["n_docs"]
+            # binomial 4-sigma band: at fixture scale (25 docs/source) noise
+            # dominates; the band tightens as 1/sqrt(n) at real scale.
+            p = r["keep_rate"]
+            tol = max(0.15, 4.0 * (p * (1 - p) / r["n_docs"]) ** 0.5)
+            assert abs(got - p) < tol, (r["source"], got, p, tol)
+    # temperature mixing: smaller sources get a HIGHER keep rate
+    by_tokens = sorted(rows.values(), key=lambda r: r["source_tokens"])
+    assert by_tokens[0]["keep_rate"] >= by_tokens[-1]["keep_rate"]
+
+
+def test_corpus_split_ratios(spark, sf_dir):
+    """The hash-threshold split lands near the designed ~90/5/5 shares."""
+    from columnar_aware_dedup_spark.operators.curation import corpus_split
+
+    agg = {}
+    for r in corpus_split(spark, sf_dir).collect():
+        agg[r["split"]] = agg.get(r["split"], 0) + r["n_docs"]
+    total = sum(agg.values())
+    assert 0.80 <= agg["train"] / total <= 0.97
+    assert 0.005 <= agg["val"] / total <= 0.12
+    assert 0.005 <= agg["test"] / total <= 0.12
