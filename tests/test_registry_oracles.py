@@ -39,3 +39,31 @@ def test_driver_window_holds_priority_queries():
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
     assert names[: len(pkg.DRIVER_PRIORITY)] == pkg.DRIVER_PRIORITY
+
+
+#: every rows-only (no-oracle) query must be on this list with its reason —
+#: a new registration without an oracle is a test failure, not a silent skip.
+R_ALLOWLIST = {
+    "transfer_stats_rollup_approx": "sketch percentiles are engine-specific",
+    "grouped_percentile_approx": "sketch percentiles are engine-specific",
+    "orc_file_chunks": "binary ORC bytes; DuckDB cannot chunk files",
+    "orc_reconstruction": "binary reassembly golden, pytest-verified",
+    "orc_hierarchical_dedup": "binary ORC probe over generated fixtures",
+    "orc_linked_reconstruction": "binary reassembly golden, pytest-verified",
+    "parquet_file_chunks": "binary parquet bytes; DuckDB cannot chunk files",
+    "parquet_reconstruction": "binary reassembly golden, pytest-verified",
+    "multimodal_decode": "kernel output engine-specific (PIL/fake gated)",
+    "multimodal_frame_sample": "kernel output engine-specific",
+    "ivf_train_kmeans": "iterative float averages; recovery pytest-verified",
+    "file_inventory": "no DuckDB directory scan",
+    "file_parse_overhead": "wall-clock measurement",
+}
+
+
+def test_rows_only_queries_are_allowlisted():
+    rows_only = set(_QUERIES) - set(_ORACLES)
+    assert rows_only == set(R_ALLOWLIST), (
+        "every no-oracle query needs an R_ALLOWLIST reason; "
+        f"unexpected: {sorted(rows_only - set(R_ALLOWLIST))}, "
+        f"stale: {sorted(set(R_ALLOWLIST) - rows_only)}"
+    )
