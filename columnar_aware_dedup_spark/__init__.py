@@ -92,6 +92,66 @@ DRIVER_PRIORITY: list[str] = [
     "apply_in_pandas_group",
 ]
 
+#: r03 rotation (NOT active): the 39 queries with no driver CORRECTNESS row
+#: from r01 or r02, plus 11 high-value re-checks to fill the 50-slot window.
+#: After r02's CORRECTNESS lands, set ``registry.reorder(ROTATION_R3)`` (and
+#: update the window test) so every registered query accumulates a driver row.
+ROTATION_R3: list[str] = [
+    # never driver-checked (r01 window held relational/events; r02 holds
+    # dedup core + LLM pipeline + ORC + macro batch 1)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "correlated_subquery",
+    "pandas_udf_grouped_agg",
+    "ann_ivf_nprobe_topk",
+    "ann_recall_report",
+    "doc_repetition_score",
+    "decontaminate_ngram_overlap",
+    "pii_redaction",
+    "sequence_pack",
+    "stratified_sample",
+    "corpus_shuffle",
+    "corpus_split",
+    "corpus_report",
+    "domain_mix_sample",
+    "union_all_counts",
+    "intersect_all",
+    "except_all",
+    "posexplode_tokens",
+    "null_fns",
+    "like_rlike_pred",
+    "cast_fns",
+    "limit_offset",
+    "ivf_train_kmeans",
+    "multimodal_frame_sample",
+    "file_inventory",
+    "parquet_reconstruction",
+    "file_parse_overhead",
+    # high-value re-checks (flagship + headline surface stays exercised)
+    "dedup_hit_miss",
+    "chunk_simulate",
+    "dedup_ratio",
+    "dedup_hierarchical",
+    "transfer_stats_taxonomy",
+    "text_exact_dedup",
+    "minhash_near_dup",
+    "line_dedup_corpus",
+    "embedding_cosine_topk",
+    "pipeline_curate",
+    "orc_hierarchical_dedup",
+]
+
 registry.reorder(DRIVER_PRIORITY)
 
 __all__ = ["registry"]

@@ -67,3 +67,14 @@ def test_rows_only_queries_are_allowlisted():
         f"unexpected: {sorted(rows_only - set(R_ALLOWLIST))}, "
         f"stale: {sorted(set(R_ALLOWLIST) - rows_only)}"
     )
+
+
+def test_rotation_r3_is_a_valid_window():
+    """The prepared r03 rotation must stay consistent with the registry: 50
+    unique registered names covering every query that still lacks a driver
+    CORRECTNESS row from r01/r02."""
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R3) == 50
+    assert len(set(pkg.ROTATION_R3)) == 50
+    assert set(pkg.ROTATION_R3) <= set(_QUERIES)
