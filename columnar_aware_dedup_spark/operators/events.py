@@ -242,3 +242,78 @@ def event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_lvl(day, "day"))
         .orderBy("granularity", "bucket_start", "event_type")
     )
+
+
+# -- funnel analysis ----------------------------------------------------------
+
+EVENT_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS stages_completed
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = c.user_id
+ORDER BY v.user_id
+"""
+
+
+@register("event_funnel", oracle=EVENT_FUNNEL_ORACLE)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: earliest view -> first click after it -> first
+    purchase after that, per user — the staged-conversion shape event
+    analytics runs constantly (strictly ordered, so a click before the
+    first view does not count).
+
+    Plan: three MIN aggregations chained by inequality-filtered equi-joins,
+    everything keyed on user_id — one partitioning reused across all stages
+    (co-partitioned joins after the first shuffle; at 100 TB, bucket the
+    events table by user_id and no stage re-shuffles). No window over the
+    raw event stream and no per-user sort: each stage is a partial-aggregated
+    MIN, so state is one timestamp per user per stage.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stages_completed"),
+        )
+        .orderBy("user_id")
+    )
