@@ -317,3 +317,64 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INTEGER)
+           AS week_offset
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("cohort_retention", oracle=COHORT_RETENTION_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted as
+    active per week offset — the retention-matrix shape behind every growth
+    dashboard (funnel's longitudinal companion).
+
+    Plan: one MIN aggregation for cohort assignment, joined back (both sides
+    keyed on user_id — co-partitioned after one shuffle), then a distinct +
+    count over (cohort, offset) — low-cardinality final rollup. No window
+    over the raw stream; at 100 TB the cohort table is the only per-user
+    state and the fact scan stays single-pass.
+    """
+    e = table(spark, sf_dir, "events")
+    # .cast("date"): DuckDB's date_trunc('week', ts) yields DATE, Spark's a
+    # TIMESTAMP — pin both engines to DATE for hash parity.
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
