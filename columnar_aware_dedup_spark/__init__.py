@@ -92,10 +92,12 @@ DRIVER_PRIORITY: list[str] = [
     "apply_in_pandas_group",
 ]
 
-#: r03 rotation (NOT active): the 39 queries with no driver CORRECTNESS row
-#: from r01 or r02, plus 11 high-value re-checks to fill the 50-slot window.
-#: After r02's CORRECTNESS lands, set ``registry.reorder(ROTATION_R3)`` (and
-#: update the window test) so every registered query accumulates a driver row.
+#: r03 rotation (ACTIVE): the 41 queries with no driver CORRECTNESS row from
+#: r01 or r02, plus high-value re-checks to fill the 50-slot window.  With
+#: this window checked, every registered query has at least one driver row.
+#: ``tests/test_registry_oracles.py`` derives the never-checked set from the
+#: recorded CORRECTNESS_r0*.json files and asserts this list covers it, so a
+#: new registration fails the suite until it is rotated into a window.
 ROTATION_R3: list[str] = [
     # never driver-checked (r01 window held relational/events; r02 holds
     # dedup core + LLM pipeline + ORC + macro batch 1)
@@ -138,20 +140,20 @@ ROTATION_R3: list[str] = [
     "file_inventory",
     "parquet_reconstruction",
     "file_parse_overhead",
+    "event_funnel",
+    "cohort_retention",
     # high-value re-checks (flagship + headline surface stays exercised)
     "dedup_hit_miss",
     "chunk_simulate",
     "dedup_ratio",
     "dedup_hierarchical",
     "transfer_stats_taxonomy",
-    "text_exact_dedup",
     "minhash_near_dup",
-    "line_dedup_corpus",
     "embedding_cosine_topk",
     "pipeline_curate",
     "orc_hierarchical_dedup",
 ]
 
-registry.reorder(DRIVER_PRIORITY)
+registry.reorder(ROTATION_R3)
 
 __all__ = ["registry"]

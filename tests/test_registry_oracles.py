@@ -30,15 +30,15 @@ def test_every_oracle_has_a_query():
     assert set(_ORACLES) <= set(_QUERIES)
 
 
-def test_driver_window_holds_priority_queries():
+def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    priority surface (dedup core, LLM pipeline, ORC family, macros) must sit
-    inside that window."""
+    active r03 rotation (never-driver-checked queries + flagship re-checks)
+    must be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.DRIVER_PRIORITY)] == pkg.DRIVER_PRIORITY
+    assert names[: len(pkg.ROTATION_R3)] == pkg.ROTATION_R3
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -70,11 +70,27 @@ def test_rows_only_queries_are_allowlisted():
 
 
 def test_rotation_r3_is_a_valid_window():
-    """The prepared r03 rotation must stay consistent with the registry: 50
-    unique registered names covering every query that still lacks a driver
-    CORRECTNESS row from r01/r02."""
+    """The active r03 rotation must be 50 unique registered names covering
+    EVERY query that lacks a driver CORRECTNESS row from r01/r02.  The
+    never-checked set is derived from the recorded CORRECTNESS_r0*.json files
+    rather than a hand-maintained list, so registering a new query fails this
+    test until it is rotated into the driver window."""
+    import json
+    from pathlib import Path
+
     import columnar_aware_dedup_spark as pkg
 
     assert len(pkg.ROTATION_R3) == 50
     assert len(set(pkg.ROTATION_R3)) == 50
     assert set(pkg.ROTATION_R3) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    checked: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(path.read_text()))
+    never_checked = set(_QUERIES) - checked
+    missing = never_checked - set(pkg.ROTATION_R3)
+    assert not missing, (
+        "queries with no driver CORRECTNESS row must be in the active "
+        f"rotation window: {sorted(missing)}"
+    )
