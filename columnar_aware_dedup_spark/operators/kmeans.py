@@ -5,10 +5,11 @@ stays DuckDB-oracle-checkable; a production IVF index TRAINS its coarse
 quantizer. This module is that trainer, expressed entirely as DataFrame
 dataflow (no .collect(), no RDDs):
 
-- **assignment**: broadcast the k-row centroid table against the collection
-  and keep each vector's nearest centroid (squared-L2 folded in index order
-  via ``zip_with``+``aggregate``, ties to the lowest cell id) — a narrow
-  broadcast join, no shuffle of the collection;
+- **assignment**: fold the k centroids into a ONE-ROW array, broadcast it
+  against the collection, and take each vector's argmin centroid with a
+  per-row array fold (squared-L2 via ``zip_with``+``aggregate``, ties to
+  the lowest cell id) — a narrow map with zero shuffle of the collection
+  (plan-pinned in ``tests/test_plans.py``);
 - **update**: ``posexplode`` the assigned vectors and average per
   (cell, dim) — partial aggregation means the shuffle carries only
   k x dim partial sums per map task, not the vectors;
@@ -31,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.io import table
-from columnar_aware_dedup_spark.operators.similarity import _DOT_SPARK, _L2SQ_SPARK
+from columnar_aware_dedup_spark.operators.similarity import (
+    _DOT_SPARK,
+    _L2SQ_SPARK,
+    centroid_array,
+    nearest_cell_expr,
+)
 from columnar_aware_dedup_spark.registry import register
 
 _K = 8
@@ -56,14 +62,16 @@ def init_centroids(e: DataFrame, k: int) -> DataFrame:
 
 
 def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell): nearest centroid, ties to lowest cell."""
-    d2 = F.expr(_L2SQ_SPARK.format(a="embedding", b="ce"))
-    aw = Window.partitionBy("vec_id").orderBy(d2, F.col("cell"))
-    return (
-        e.join(F.broadcast(cent))
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    """(vec_id, embedding, cell): nearest centroid, ties to lowest cell.
+
+    Zero-shuffle: the k centroids fold into a one-row array that broadcasts
+    against the collection; the argmin is a per-row array fold (unrounded
+    squared-L2, id tiebreak — same ordering the r02 window produced, minus
+    its 8N-row shuffle+sort; VERDICT r02 finding #2)."""
+    cent_arr = centroid_array(cent, id_col="cell", vec_col="ce")
+    best = nearest_cell_expr("embedding", rounded=False)
+    return e.join(F.broadcast(cent_arr)).select(
+        "vec_id", "embedding", best.alias("cell")
     )
 
 

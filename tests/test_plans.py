@@ -107,6 +107,46 @@ def test_ann_ivf_assignment_broadcasts(spark, sf_dir):
     assert explain.has_broadcast_join(similarity.ann_ivf_topk(spark, sf_dir))
 
 
+def test_ivf_assignment_zero_shuffle(spark, sf_dir):
+    """The r03 assignment contract (VERDICT r02 finding #2): between the
+    embeddings scan and the (vec_id, cid) projection there is NO exchange of
+    the collection — no window, no hash partitioning. The only exchange
+    allowed anywhere in the plan is the single-row centroid-array aggregate
+    on the broadcast build side."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators import kmeans, similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id").between(20, 27)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    for assign in (
+        similarity.ivf_assign(e, cent),
+        kmeans.assign_cells(
+            e, cent.select(F.col("cid").alias("cell"), "ce")
+        ),
+    ):
+        plan = explain.plan_string(assign)
+        assert "Window" not in plan, plan
+        assert "hashpartitioning" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ntile_has_no_global_order_window(spark, sf_dir):
+    """window_ntile_dist must never plan a window ordered over the whole
+    table without a partition key (the single-reducer funnel); every window
+    spec must lead with a partition column. The order key appearing first in
+    a windowspecdefinition means an unpartitioned global sort."""
+    from columnar_aware_dedup_spark.operators import relational_fns
+
+    df = relational_fns.window_ntile_dist(spark, sf_dir)
+    plan = explain.plan_string(df, "extended")
+    assert "windowspecdefinition(o_totalprice" not in plan, plan
+    assert "windowspecdefinition(" in plan  # the bucket-local windows exist
+
+
 def test_lsh_bucket_population_bounded(spark, sf_dir):
     """The banded LSH self-join must never approach quadratic: with 16-bit
     band buckets the largest (band, bucket) population must stay a small
