@@ -31,16 +31,92 @@ ORDER BY o_orderkey
 )
 def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows (ntile/percent_rank/cume_dist) + lead-with-default
-    over a global total order."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    over a global total order — WITHOUT a global-order window.
+
+    ``ntile()/percent_rank()/cume_dist() OVER (ORDER BY ...)`` funnels the
+    whole table through one partition (VERDICT r02 finding #3). Scale-safe
+    two-pass formulation, the ``corpus_shuffle`` bucket-offset pattern over
+    *range* buckets:
+
+    1. bucket rows by ``approx_percentile`` boundaries of the order key
+       (monotone in the key, so bucket-then-offset reproduces the global
+       order; boundary values only affect load balance, never results);
+    2. rank within bucket in parallel + per-bucket offsets from a tiny
+       running sum -> exact global rank; the ordering key is unique
+       (price, orderkey), so rank == row_number and the distribution
+       functions are closed-form arithmetic over (rank, total);
+    3. ``lead(2)`` within bucket; the <=2 rows at each bucket tail patch
+       from the broadcast set of bucket heads (a global successor of a
+       bucket-tail row is always within the first 2 rows of a later
+       bucket), default -1.0 at the corpus end.
+
+    The only single-partition steps touch <=64 boundary/offset rows at any
+    scale; pinned by ``test_plans.test_ntile_has_no_global_order_window``.
+    """
+    n_buckets = 64
+    probs = ", ".join(f"{i / n_buckets}" for i in range(1, n_buckets))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bounds = o.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array({probs}), 1000)"
+        ).alias("_bounds")
+    )
+    b = (
+        o.join(F.broadcast(bounds))
+        .withColumn("_b", F.expr("size(filter(_bounds, x -> x < o_totalprice))"))
+        .drop("_bounds")
+    )
+    wb = Window.partitionBy("_b").orderBy("o_totalprice", "o_orderkey")
+    local = b.withColumn("_lrn", F.row_number().over(wb)).withColumn(
+        "_lead_local", F.lead("o_totalprice", 2).over(wb)
+    )
+    offsets = (
+        b.groupBy("_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    total = b.agg(
+        F.count("*").cast("bigint").alias("_total"),
+        (F.count("*") / 4).cast("bigint").alias("_q"),
+        (F.count("*") % 4).cast("bigint").alias("_rem"),
+    )
+    g = (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn("_rn", (F.col("_offset") + F.col("_lrn")).cast("bigint"))
+        .join(F.broadcast(total))
+    )
+    heads = g.filter(F.col("_lrn") <= 2).select(
+        F.col("_rn").alias("_hrn"), F.col("o_totalprice").alias("_hprice")
+    )
+    g = g.join(F.broadcast(heads), F.col("_hrn") == F.col("_rn") + 2, "left")
+    # SQL ntile(k): first (n % k) buckets take (n div k)+1 rows; integer
+    # arithmetic only, so the boundary stays exact at any row count.
+    quartile = F.expr(
+        "CAST(CASE WHEN _rn <= (_q + 1) * _rem THEN (_rn + _q) DIV (_q + 1)"
+        " ELSE _rem + (_rn - (_q + 1) * _rem + _q - 1) DIV _q END AS INT)"
+    )
     return (
-        table(spark, sf_dir, "orders")
-        .select(
+        g.select(
             "o_orderkey",
-            F.ntile(4).over(w).alias("price_quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
-            F.lead("o_totalprice", 2, -1.0).over(w).alias("price_2_ahead"),
+            quartile.alias("price_quartile"),
+            F.round((F.col("_rn") - 1) / (F.col("_total") - 1), 6).alias(
+                "price_pct_rank"
+            ),
+            F.round(F.col("_rn") / F.col("_total"), 6).alias("price_cume_dist"),
+            F.coalesce("_lead_local", "_hprice", F.lit(-1.0)).alias(
+                "price_2_ahead"
+            ),
         )
         .orderBy("o_orderkey")
     )
