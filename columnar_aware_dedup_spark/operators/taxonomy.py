@@ -30,8 +30,16 @@ Row model: one order = one single-stripe ORC file. The stripe's data region
 is the 10 column chunks (stripe index/stripe-footer are zero-length — the
 row model has no physical encodings); the file footer is the canonical
 schema + row-count rendering, so files with equal layout dedup footers, like
-real ORC footers. TransferTime / ParsingOverhead are runtime measurements,
-not data properties — they live in ``file_parse_overhead`` (R-checked).
+real ORC footers.
+
+TransferTime / ParsingOverhead are runtime *measurements* in the reference
+(``common/TransferStats.java:92-97``); a wall clock is not
+oracle-reproducible, so here they are explicit deterministic MODELS — a
+linear bytes->milliseconds proxy (``TransferTime = ceil(TotalBytes /
+{WIRE}B/ms)``, ``ParsingOverhead = ceil(FileBytes / {PARSE}B/ms)``, both
+divisors powers of two so the double division is exact on both engines).
+The measured wall-clock variant stays available as ``file_parse_overhead``
+(R-checked). With them the taxonomy covers all 21 reference stat types.
 
 Scale: three shuffles (chunk agg by file, signature window, stat rollup) and
 every intermediate is narrow; the 19-way explode happens *after* per-file
@@ -65,6 +73,11 @@ WHOLE_STRIPE_HDR = 12         # <size><size><size> framing of index+data+footer
 IDX_FTR_HDR = 8               # <size><size> framing of index+footer
 FILE_HDR_FIXED = 12           # <4 B name-len> + <8 B file-len>
 
+#: bytes-per-millisecond divisors for the modeled time stats (powers of two:
+#: double division by them is exact, keeping Spark/DuckDB bit-identical).
+WIRE_BYTES_PER_MS = 128       # modeled client->server link for TransferTime
+PARSE_BYTES_PER_MS = 1024     # modeled metadata-walk rate for ParsingOverhead
+
 _SCHEMA_STR = ",".join(n for n, _ in LINEITEM_VALUE_COLS)
 
 #: (stat_type, unit) in the reference enum order (TransferStats.java:86-108).
@@ -72,8 +85,10 @@ TAXONOMY: list[tuple[str, str]] = [
     ("FileBytes", "Bytes"),
     ("TransferBytes", "Bytes"),
     ("TotalBytes", "Bytes"),
+    ("TransferTime", "Milliseconds"),
     ("ExtraTransferBytes", "Bytes"),
     ("DedupBytes", "Bytes"),
+    ("ParsingOverhead", "Milliseconds"),
     ("StripeHit", "Count"),
     ("StripeMiss", "Count"),
     ("ColumnHit", "Count"),
@@ -216,12 +231,21 @@ def _stat_exprs() -> list[F.Column]:
     acks = 2 + F.when(s_hit, 0).otherwise(n_large)
     extra = (FILE_HDR_FIXED + name_len + ACK_BYTES * acks).cast("bigint")
     gate = lambda c: F.when(s_hit, F.lit(0)).otherwise(c).cast("bigint")  # noqa: E731
+    file_bytes = (F.col("stripe_size") + F.col("footer_size")).cast("bigint")
+    transfer_time = F.floor(
+        (transfer + extra + (WIRE_BYTES_PER_MS - 1)) / WIRE_BYTES_PER_MS
+    ).cast("bigint")
+    parsing_overhead = F.floor(
+        (file_bytes + (PARSE_BYTES_PER_MS - 1)) / PARSE_BYTES_PER_MS
+    ).cast("bigint")
     return [
-        (F.col("stripe_size") + F.col("footer_size")).cast("bigint").alias("FileBytes"),
+        file_bytes.alias("FileBytes"),
         transfer.alias("TransferBytes"),
         (transfer + extra).alias("TotalBytes"),
+        transfer_time.alias("TransferTime"),
         extra.alias("ExtraTransferBytes"),
         dedup.alias("DedupBytes"),
+        parsing_overhead.alias("ParsingOverhead"),
         s_hit.cast("bigint").alias("StripeHit"),
         (~s_hit & all_failed).cast("bigint").alias("StripeMiss"),
         gate(F.col("n_large_hit")).alias("ColumnHit"),
@@ -330,9 +354,22 @@ vals AS (
 )
 """
 
+#: stats not materialized as vals columns: derived in the long-form union
+#: (TotalBytes decomposes; the time pair is the modeled bytes->ms proxy).
+_SQL_DERIVED = {
+    "TotalBytes": "TransferBytes + ExtraTransferBytes",
+    "TransferTime": (
+        f"FLOOR((TransferBytes + ExtraTransferBytes + {WIRE_BYTES_PER_MS - 1})"
+        f" / {WIRE_BYTES_PER_MS}.0)"
+    ),
+    "ParsingOverhead": (
+        f"FLOOR((FileBytes + {PARSE_BYTES_PER_MS - 1}) / {PARSE_BYTES_PER_MS}.0)"
+    ),
+}
+
 _LONG_STATS_SQL = " UNION ALL ".join(
     f"SELECT file_id, '{stat}' AS stat_type, '{unit}' AS unit, "
-    f"CAST({'TransferBytes + ExtraTransferBytes' if stat == 'TotalBytes' else stat} AS BIGINT) AS value FROM vals"
+    f"CAST({_SQL_DERIVED.get(stat, stat)} AS BIGINT) AS value FROM vals"
     for stat, unit in TAXONOMY
 )
 
@@ -350,7 +387,8 @@ ORDER BY stat_type
 
 @register("transfer_stats_taxonomy", oracle=TAXONOMY_ORACLE)
 def transfer_stats_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global totals for all 19 deterministic TransferStats types.
+    """Global totals for all 21 TransferStats types (19 exact protocol
+    quantities + the 2 modeled time stats, see module docstring).
 
     One row per stat type ``(stat_type, unit, total, n_files)`` — the engine's
     rendering of the reference's client-log line

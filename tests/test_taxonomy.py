@@ -58,6 +58,10 @@ def test_taxonomy_internal_consistency(spark, sf_dir):
         for r in taxonomy.transfer_stats_taxonomy(spark, sf_dir).collect()
     }
     n_files = _per_file_vals(spark, sf_dir).count()
+    assert len(rows) == 21  # full reference taxonomy (TransferStats.java:86-108)
+    # modeled time stats: per-file sums of ceil(bytes/rate) bound the totals.
+    assert rows["TransferTime"] >= rows["TotalBytes"] // taxonomy.WIRE_BYTES_PER_MS
+    assert rows["ParsingOverhead"] >= rows["FileBytes"] // taxonomy.PARSE_BYTES_PER_MS
     assert rows["TotalBytes"] == rows["TransferBytes"] + rows["ExtraTransferBytes"]
     assert rows["StripeHit"] + rows["StripeMiss"] <= n_files  # partial-hit files count neither
     assert rows["DoubleColumnHit"] <= rows["ColumnHit"]
