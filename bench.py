@@ -42,6 +42,10 @@ HEADLINE = [
     # bytes (binaryFile -> mapInPandas chunker -> linked s+p probe).
     "orc_file_chunks",
     "orc_hierarchical_dedup",
+    # r03 additions: the event-analytics surface (sequential-pattern scans
+    # over the events stream) gets a perf signal.
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

@@ -36,18 +36,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to read natively — legacy conf reads it as a nanosecond long) and plain
     TIMESTAMP(MICROS) depending on fixture generation. Handle both: only
     truncate long nanos to microseconds, matching what DuckDB produces when it
-    reads the same file, so oracle comparisons line up.
+    reads the same file, so oracle comparisons line up. BOTH branches emit
+    ``ts`` as TIMESTAMP (with local zone): micros fixtures are inferred as
+    TIMESTAMP_NTZ and cast (watermarks reject NTZ, and the session tz is
+    pinned UTC so the cast is wall-clock-identity) — the same normalization
+    ``streaming.ingest.events_stream`` applies, so batch/stream comparisons
+    compare one type with no implicit NTZ<->LTZ coercion. The legacy conf is
+    scoped to the nanos branch (restored otherwise), not left set
+    session-wide (ADVICE r02).
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        ts_is_long = False
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            ts_is_long = isinstance(df.schema["ts"].dataType, LongType)
+        finally:
+            if not ts_is_long:
+                # restore: only nanos execution needs the conf at runtime
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+        if ts_is_long:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -93,21 +93,47 @@ def start_ingest(
     )
 
 
-def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over events-schema parquet, ts normalized to micros.
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
-    Fixtures have shipped ``ts`` as both TIMESTAMP(NANOS) (unreadable natively
-    by Spark 4 — legacy conf surfaces it as a nanosecond long) and plain
-    TIMESTAMP(MICROS). A stream needs a declared schema, so probe the physical
-    type with a batch read of the same directory and branch.
+
+def _restore_conf(spark: SparkSession, key: str, prev: str | None) -> None:
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events-schema parquet, ``ts`` normalized to
+    the SAME type the batch reader (``io.table``) produces for the same
+    fixture: TIMESTAMP (with local zone) in both branches — watermarks
+    reject TIMESTAMP_NTZ, and the session tz is pinned UTC so the NTZ->LTZ
+    cast is wall-clock-identity. Batch/stream equality tests therefore
+    compare identical types with no implicit NTZ<->LTZ coercion (ADVICE
+    r02).
+
+    A stream needs a declared schema, so this performs a hidden *batch* read
+    of the directory to probe the physical type. The legacy ``nanosAsLong``
+    conf is scoped to that probe — restored on the micros path, left on only
+    for the nanos branch, whose stream execution itself needs it.
     """
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = isinstance(
-        spark.read.parquet(events_dir).schema["ts"].dataType, LongType
-    )
+    try:
+        prev = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        ts_is_long = isinstance(
+            spark.read.parquet(events_dir).schema["ts"].dataType, LongType
+        )
+    except Exception:
+        _restore_conf(spark, _NANOS_CONF, prev)
+        raise
     ts_decl = "ts long" if ts_is_long else "ts timestamp_ntz"
+    if not ts_is_long:
+        _restore_conf(spark, _NANOS_CONF, prev)
     stream = spark.readStream.schema(
         f"event_id long, {ts_decl}, user_id long, event_type string,"
         " value double, props string"
@@ -115,8 +141,6 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     if ts_is_long:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        # watermarks require TIMESTAMP (with zone); the session tz is pinned
-        # to UTC so the NTZ→TZ cast is wall-clock-identical to the batch read.
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

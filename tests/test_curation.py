@@ -186,9 +186,14 @@ def test_corpus_shuffle_is_permutation_without_global_window(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: (r["shuffle_key"], r["doc_id"]))
     assert [r["position"] for r in ordered] == list(range(1, n + 1))
 
-    plan = explain.plan_string(df, "formatted")
-    assert "partitionBy" not in plan  # formatted mode spells windows differently
-    assert "_b" in plan  # bucketed window + offset join present
+    # extended mode spells window specs as windowspecdefinition(partition
+    # cols..., order cols...): the corpus-sized rank window must lead with
+    # the _b bucket key; an unpartitioned global-order window would lead
+    # with shuffle_key (ADVICE r02 — the old formatted-mode assert was
+    # vacuous because 'partitionBy' never appears there).
+    plan = explain.plan_string(df, "extended")
+    assert "windowspecdefinition(shuffle_key" not in plan, plan
+    assert "windowspecdefinition(_b" in plan, plan
 
 
 def test_corpus_split_is_stable_under_corpus_growth(spark, sf_dir):

@@ -259,3 +259,13 @@ def test_streaming_hypertable_rollup_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() > 0
     assert got.exceptAll(batch).count() == 0, "streaming rows must match batch"
+    # completeness, not just soundness (ADVICE r02): every hour window the
+    # 1-hour watermark has finalized (window end + watermark <= max event ts)
+    # must have been emitted — a watermark that never closes later hours
+    # would silently drop most of the stream and still pass the subset check.
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    finalized = batch.filter(
+        F.col("bucket_start") + F.expr("INTERVAL 2 HOURS") <= F.lit(max_ts)
+    )
+    missing = finalized.exceptAll(got).count()
+    assert missing == 0, f"{missing} finalized hourly windows missing from stream"
