@@ -1,0 +1,182 @@
+"""Minimal Thrift compact-protocol walker for Parquet page headers.
+
+The reference walks row group -> column chunk -> individual page headers to
+emit page-granular chunks (``parquet/dedup/NaiveParquetChunkingAlgorithm.java:69-106``),
+but needs a *customized parquet-mr fork* to reach the raw header bytes
+(``README.md:5-23``). Pages are the right dedup unit: two files sharing most
+of a column still differ somewhere, and page granularity localizes the miss
+to the changed pages instead of re-shipping the whole column chunk.
+
+This module gets the same walk from public knowledge only: the
+parquet-format Thrift IDL (``PageHeader``: field 1 ``type`` i32 enum, field
+2 ``uncompressed_page_size``, field 3 ``compressed_page_size``, nested
+per-type header structs) and the Thrift *compact protocol* encoding (field
+header = delta<<4 | type nibble, zigzag varints, length-prefixed binaries,
+size<<4|type collection headers). A generic skip for every field type means
+unknown/extra fields (crc, bloom offsets, future additions) never break the
+walk — we only record the two integers the chunker needs.
+
+No thrift library, no parquet-mr: ~100 lines over ``bytes``.
+"""
+
+from __future__ import annotations
+
+# compact-protocol field-type nibbles (public Thrift spec)
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+#: PageType enum (parquet-format) -> reference chunk-type taxonomy
+#: (``NaiveParquetChunkingAlgorithm.java:133-145``).
+PAGE_TYPE_NAMES = {
+    0: "DataPageV1",
+    1: "IndexPage",
+    2: "DictPage",
+    3: "DataPageV2",
+}
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint overflow")
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _skip_value(buf: bytes, pos: int, ftype: int) -> int:
+    """Advance past one value of compact type ``ftype`` (collections use one
+    byte per bool element, unlike the in-field-header bool encoding)."""
+    if ftype in (_CT_TRUE, _CT_FALSE, _CT_BYTE):
+        return pos + 1
+    if ftype in (_CT_I16, _CT_I32, _CT_I64):
+        return _varint(buf, pos)[1]
+    if ftype == _CT_DOUBLE:
+        return pos + 8
+    if ftype == _CT_BINARY:
+        n, pos = _varint(buf, pos)
+        return pos + n
+    if ftype in (_CT_LIST, _CT_SET):
+        hdr = buf[pos]
+        pos += 1
+        size = hdr >> 4
+        etype = hdr & 0x0F
+        if size == 15:
+            size, pos = _varint(buf, pos)
+        for _ in range(size):
+            pos = _skip_value(buf, pos, etype)
+        return pos
+    if ftype == _CT_MAP:
+        size, pos = _varint(buf, pos)
+        if size == 0:
+            return pos
+        kv = buf[pos]
+        pos += 1
+        ktype, vtype = kv >> 4, kv & 0x0F
+        for _ in range(size):
+            pos = _skip_value(buf, pos, ktype)
+            pos = _skip_value(buf, pos, vtype)
+        return pos
+    if ftype == _CT_STRUCT:
+        return _read_struct(buf, pos)[1]
+    raise ValueError(f"unknown compact field type {ftype}")
+
+
+def _read_struct(
+    buf: bytes, pos: int, keep: frozenset[int] | None = None
+) -> tuple[dict[int, int | bool], int]:
+    """Parse one compact-protocol struct; record scalar fields whose id is in
+    ``keep`` (top level only), generically skip everything else."""
+    out: dict[int, int | bool] = {}
+    last_fid = 0
+    while True:
+        hdr = buf[pos]
+        pos += 1
+        if hdr == _CT_STOP:
+            return out, pos
+        delta = hdr >> 4
+        ftype = hdr & 0x0F
+        if delta:
+            fid = last_fid + delta
+        else:
+            raw, pos = _varint(buf, pos)
+            fid = _zigzag(raw)
+        last_fid = fid
+        if ftype in (_CT_TRUE, _CT_FALSE):
+            if keep and fid in keep:
+                out[fid] = ftype == _CT_TRUE
+            continue  # bool value lives in the type nibble; no payload
+        if ftype in (_CT_I16, _CT_I32, _CT_I64):
+            raw, pos = _varint(buf, pos)
+            if keep and fid in keep:
+                out[fid] = _zigzag(raw)
+            continue
+        pos = _skip_value(buf, pos, ftype)
+    raise AssertionError("unreachable")
+
+
+#: PageHeader field ids (parquet-format Thrift IDL).
+_F_TYPE = 1
+_F_COMPRESSED_SIZE = 3
+
+
+def parse_page_header(buf: bytes, pos: int) -> tuple[int, int, int]:
+    """Parse the PageHeader starting at ``pos``.
+
+    Returns ``(page_type, compressed_page_size, header_len)``; raises
+    ``ValueError`` on anything that is not a well-formed header.
+    """
+    fields, end = _read_struct(
+        buf, pos, keep=frozenset({_F_TYPE, _F_COMPRESSED_SIZE})
+    )
+    ptype = fields.get(_F_TYPE)
+    comp = fields.get(_F_COMPRESSED_SIZE)
+    if not isinstance(ptype, int) or not isinstance(comp, int) or comp < 0:
+        raise ValueError(f"malformed PageHeader at {pos}: {fields}")
+    return ptype, comp, end - pos
+
+
+def page_spans(
+    data: bytes, start: int, total_size: int
+) -> list[tuple[str, int, int]]:
+    """Walk every page of a column chunk: ``[(span_type, start, size), ...]``
+    alternating PageHeader / page-payload spans, covering
+    ``[start, start + total_size)`` exactly (ValueError otherwise — callers
+    fall back to whole-column-chunk granularity)."""
+    end = start + total_size
+    pos = start
+    spans: list[tuple[str, int, int]] = []
+    while pos < end:
+        ptype, comp, hdr_len = parse_page_header(data, pos)
+        if pos + hdr_len + comp > end:
+            raise ValueError(
+                f"page at {pos} overruns column chunk end {end}"
+            )
+        spans.append(("PageHeader", pos, hdr_len))
+        spans.append(
+            (PAGE_TYPE_NAMES.get(ptype, f"Page{ptype}"), pos + hdr_len, comp)
+        )
+        pos += hdr_len + comp
+    if pos != end:
+        raise ValueError(f"page walk ended at {pos}, expected {end}")
+    return spans

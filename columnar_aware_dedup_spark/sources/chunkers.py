@@ -9,12 +9,12 @@ scan — one task per file, embarrassingly parallel at 100 TB):
   postscript as Footer chunks, everything else gap-filled as Regular — so
   the chunk list always covers the file exactly (the property ``TestMain``
   checks by reassembling ``<file>.parsed``, ``main/TestMain.java:48-59``).
-- Parquet chunker: per (row-group, column) chunk from the column-chunk
-  offsets in the footer metadata, header/footer/gaps as Regular
-  (``parquet/dedup/NaiveParquetChunkingAlgorithm.java:40-129``; page-level
-  granularity there needs raw thrift offsets — we chunk at column-chunk
-  granularity, a documented deviation per SURVEY §2.1, and *do* dedup
-  dictionary pages as part of the column chunk, fixing SURVEY §8.10).
+- Parquet chunker: PAGE-level chunks — every page header and page payload a
+  separate span, typed per the reference taxonomy
+  (``parquet/dedup/NaiveParquetChunkingAlgorithm.java:40-129,133-145``).
+  The reference needs a parquet-mr fork for this; we walk the public Thrift
+  compact encoding directly (``functions.parquetmeta``), and *do* dedup
+  dictionary pages (the reference skips them — SURVEY §8.10 fix).
 
 Signatures are md5 over the chunk's raw bytes (reference uses SHA-1,
 ``dedup/ChunkingAlgorithm.java:13-18``; md5 for DuckDB parity everywhere in
@@ -38,6 +38,7 @@ from columnar_aware_dedup_spark.functions.orcmeta import (
     column_spans,
     read_orc_structure,
 )
+from columnar_aware_dedup_spark.functions.parquetmeta import page_spans
 from columnar_aware_dedup_spark.registry import register
 
 #: output schema of every chunker (content deliberately excluded — signature
@@ -159,8 +160,20 @@ def chunk_orc_columns_bytes(data: bytes) -> list[dict]:
 
 
 def chunk_parquet_bytes(data: bytes) -> list[dict]:
-    """Parquet column-chunk-level chunks + Footer; gaps (page indexes etc.)
-    become Regular."""
+    """Parquet PAGE-level chunks, matching the reference taxonomy
+    (``NaiveParquetChunkingAlgorithm.java:133-145``): ParquetHeader (magic),
+    per page a PageHeader chunk + a DictPage/DataPageV1/DataPageV2 payload
+    chunk, ParquetFooter, AfterFooter (trailing footer-len + magic); gaps
+    (column/offset indexes etc.) become Regular.
+
+    The reference needs a customized parquet-mr fork for this walk
+    (``README.md:5-23``); here the page headers are parsed directly from the
+    public Thrift compact encoding (``functions.parquetmeta``). A column
+    chunk whose page walk fails degrades to one ColumnChunk span (the r02
+    granularity), keeping the cover exact. Dict pages ARE dedup units here —
+    the reference skips them (``parquet/net/NaiveParquetStreamer.java:126-135``),
+    a defect per SURVEY §8.10.
+    """
     import pyarrow.parquet as pq
 
     if data[:4] != b"PAR1":
@@ -175,7 +188,8 @@ def chunk_parquet_bytes(data: bytes) -> list[dict]:
         )
     md = pq.ParquetFile(io.BytesIO(data)).metadata
     spans: list[dict] = [
-        {"chunk_type": "Header", "column_name": None, "start": 0, "size": 4}
+        {"chunk_type": "ParquetHeader", "column_name": None, "start": 0,
+         "size": 4}
     ]
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
@@ -184,13 +198,28 @@ def chunk_parquet_bytes(data: bytes) -> list[dict]:
             start = col.data_page_offset
             if col.dictionary_page_offset is not None:
                 start = min(start, col.dictionary_page_offset)
-            spans.append(
-                {"chunk_type": "ColumnChunk", "column_name": col.path_in_schema,
-                 "start": start, "size": col.total_compressed_size}
-            )
+            try:
+                for ptype, p_start, p_size in page_spans(
+                    data, start, col.total_compressed_size
+                ):
+                    spans.append(
+                        {"chunk_type": ptype,
+                         "column_name": col.path_in_schema,
+                         "start": p_start, "size": p_size}
+                    )
+            except (ValueError, IndexError):
+                spans.append(
+                    {"chunk_type": "ColumnChunk",
+                     "column_name": col.path_in_schema,
+                     "start": start, "size": col.total_compressed_size}
+                )
     spans.append(
-        {"chunk_type": "Footer", "column_name": None,
-         "start": len(data) - 8 - footer_len, "size": footer_len + 8}
+        {"chunk_type": "ParquetFooter", "column_name": None,
+         "start": len(data) - 8 - footer_len, "size": footer_len}
+    )
+    spans.append(
+        {"chunk_type": "AfterFooter", "column_name": None,
+         "start": len(data) - 8, "size": 8}
     )
     spans = [c for c in spans if c["size"] > 0]
     return _finish(spans, data)

@@ -56,9 +56,65 @@ def test_orc_zlib_footer(sf_dir):
 def test_parquet_roundtrip(sf_dir):
     data = open(f"{sf_dir}/lineitem.parquet", "rb").read()
     chunks = chunkers.chunk_parquet_bytes(data)
-    assert sum(1 for c in chunks if c["chunk_type"] == "ColumnChunk") >= 11
+    kinds = [c["chunk_type"] for c in chunks]
+    # page granularity (r03): every page header + payload its own chunk,
+    # no ColumnChunk fallback on a well-formed file.
+    assert kinds.count("PageHeader") >= 11
+    assert kinds.count("DataPageV1") + kinds.count("DataPageV2") >= 11
+    assert kinds.count("DictPage") >= 1  # deduped, unlike the ref (§8.10)
+    assert "ColumnChunk" not in kinds
+    assert kinds[0] == "ParquetHeader" and kinds[-1] == "AfterFooter"
     _assert_cover(chunks, len(data))
     assert chunkers.reassemble(data, chunks) == data
+
+
+def test_parquet_page_walk_stress():
+    """The Thrift compact-protocol page walker must handle v1/v2 data pages,
+    every common codec, multi-row-group layouts, and page indexes without
+    falling back to column-chunk granularity."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "a": list(range(60000)),
+            "b": [f"s{i % 997}" for i in range(60000)],
+            "c": [float(i) for i in range(60000)],
+        }
+    )
+    cases = [
+        dict(compression="snappy", data_page_size=8 * 1024, row_group_size=20000),
+        dict(
+            compression="zstd",
+            data_page_version="2.0",
+            data_page_size=4 * 1024,
+            row_group_size=15000,
+        ),
+        dict(compression="none", use_dictionary=False, data_page_size=16 * 1024),
+        dict(compression="gzip", write_page_index=True, row_group_size=10000),
+    ]
+    for kw in cases:
+        buf = _io.BytesIO()
+        pq.write_table(tbl, buf, **kw)
+        data = buf.getvalue()
+        chunks = chunkers.chunk_parquet_bytes(data)
+        kinds = {c["chunk_type"] for c in chunks}
+        assert "ColumnChunk" not in kinds, (kw, kinds)
+        assert "PageHeader" in kinds
+        _assert_cover(chunks, len(data))
+        assert chunkers.reassemble(data, chunks) == data
+
+
+def test_parquet_page_walk_falls_back_on_garbage():
+    """A column chunk whose page walk fails must degrade to one ColumnChunk
+    span (never a broken cover): simulate by walking garbage bytes."""
+    import pytest as _pytest
+
+    from columnar_aware_dedup_spark.functions import parquetmeta
+
+    with _pytest.raises((ValueError, IndexError)):
+        parquetmeta.page_spans(b"\xff" * 64, 0, 64)
 
 
 def test_orc_column_chunks_roundtrip(orc_bytes):
