@@ -2,11 +2,18 @@
 
 Design (SURVEY north-star / task brief): image/audio/video travel as
 ``binary`` columns with typed metadata; decode / feature-extract run as
-Arrow-batched pandas UDFs over ``mapInPandas``. The decode libraries are not
-in this container, so the *decode kernel* is stubbed (deterministic fake
-derived from the payload hash, or ``NotImplementedError`` for the real
-path) while everything Spark-side — schema, batching, partitioning, UDF
-signature — is real and tested.
+Arrow-batched pandas UDFs over ``mapInPandas``. Kernel resolution order,
+per payload:
+
+1. **PIL** when importable (JPEG/PNG/...: the production path);
+2. **stdlib codec** (``functions.imagecodec``): PPM (P6) and uncompressed
+   24-bit BMP decoded from the public format specs with no third-party
+   libs — so a REAL decode/resize/frame-sample path executes and is tested
+   in any environment, including this one where PIL is absent (VERDICT r02
+   finding #4); concatenated P6 images act as the multi-frame container;
+3. **deterministic fake** (md5-derived) for undecodable payloads — which
+   includes the text-payload driver fixtures, keeping their results
+   identical in every environment.
 
 The fixture corpus has no binary column, so the payload here is the
 document's UTF-8 bytes; at 100 TB the payload column stays off the shuffle
@@ -25,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from columnar_aware_dedup_spark.functions import imagecodec
 from columnar_aware_dedup_spark.io import table
 from columnar_aware_dedup_spark.registry import register
 
@@ -73,26 +81,37 @@ _DECODE_SCHEMA = T.StructType(
     ]
 )
 
-#: real kernels are used when PIL imports AND the payload actually decodes;
-#: everything else falls back to the deterministic fake. Opt out with
-#: CAWD_REAL_DECODE=0 (e.g. to pin fake-path goldens on an image-lib host).
-REAL_DECODE = _PILImage is not None and os.environ.get("CAWD_REAL_DECODE", "1") != "0"
+#: real kernels (PIL if importable, stdlib PPM/BMP always) are used when the
+#: payload actually decodes; everything else falls back to the deterministic
+#: fake. Opt out with CAWD_REAL_DECODE=0 (pins fake-path goldens anywhere).
+REAL_DECODE = os.environ.get("CAWD_REAL_DECODE", "1") != "0"
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, float] | None:
-    """PIL decode -> (width, height, n_frames, mean_luma); None if the
+    """Real decode -> (width, height, n_frames, mean_luma); None if the
     payload is not a decodable image (caller falls back to the fake)."""
     if not REAL_DECODE:
         return None
-    try:
-        img = _PILImage.open(io.BytesIO(payload))
-        n_frames = int(getattr(img, "n_frames", 1))
-        gray = img.convert("L")
-        data = list(gray.getdata())
-        luma = round(sum(data) / (255.0 * len(data)), 6) if data else 0.0
-        return img.width, img.height, n_frames, luma
-    except Exception:
-        return None
+    if _PILImage is not None:
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+            n_frames = int(getattr(img, "n_frames", 1))
+            gray = img.convert("L")
+            data = list(gray.getdata())
+            luma = round(sum(data) / (255.0 * len(data)), 6) if data else 0.0
+            return img.width, img.height, n_frames, luma
+        except Exception:
+            pass  # not PIL-decodable -> try the stdlib codec
+    frames = imagecodec.decode_frames(payload)
+    if frames:
+        w, h, _ = frames[0]
+        luma = round(
+            sum(imagecodec.mean_luma(rgb) for _, _, rgb in frames)
+            / len(frames),
+            6,
+        )
+        return w, h, len(frames), luma
+    return None
 
 
 def _decode_kernel(payload: bytes) -> tuple[int, int, int, float]:
@@ -148,14 +167,15 @@ _RESIZE_SCHEMA = T.StructType(
 
 
 def _resize_kernel(payload: bytes, target: int = 32) -> tuple[int, int, bytes]:
-    """Resize: real ``PIL.Image.resize`` (PNG thumbnail bytes) when the
-    payload decodes; deterministic fake downsample otherwise.
+    """Resize: real ``PIL.Image.resize`` (PNG thumbnail bytes) when PIL
+    decodes the payload, stdlib nearest-neighbor (PPM thumbnail bytes) for
+    PPM/BMP payloads, deterministic fake downsample otherwise.
 
     The fake emits a thumbnail payload of exactly ``target*target // 64``
     bytes derived from the source hash, so batch shapes and byte budgets are
-    testable without image libs.
+    testable even for undecodable payloads.
     """
-    if REAL_DECODE:
+    if REAL_DECODE and _PILImage is not None:
         try:
             img = _PILImage.open(io.BytesIO(payload))
             thumb_img = img.convert("RGB").resize((target, target))
@@ -163,7 +183,15 @@ def _resize_kernel(payload: bytes, target: int = 32) -> tuple[int, int, bytes]:
             thumb_img.save(buf, format="PNG")
             return target, target, buf.getvalue()
         except Exception:
-            pass  # not an image -> deterministic fake below
+            pass  # not PIL-decodable -> stdlib codec / fake below
+    if REAL_DECODE:
+        frames = imagecodec.decode_frames(payload)
+        if frames:
+            w, h, rgb = frames[0]
+            thumb_rgb = imagecodec.resize_nearest(w, h, rgb, target, target)
+            return target, target, imagecodec.encode_ppm(
+                target, target, thumb_rgb
+            )
     import hashlib
 
     h = hashlib.md5(payload).digest()
@@ -205,9 +233,11 @@ _FRAME_SCHEMA = T.StructType(
 def sample_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
     """mapInPandas frame sampler: 1 row per sampled frame (video shape).
 
-    The fake treats the payload's fake ``n_frames`` as the frame count and
-    derives each frame hash from (payload md5, frame index) — a real ``av``
-    decoder drops into the same signature (one output row per kept frame).
+    Real path: a concatenated-P6 payload decodes into its actual frames and
+    each sampled frame's hash is the md5 of that frame's pixel bytes — a
+    libav decoder drops into the same signature (one output row per kept
+    frame). Undecodable payloads use the fake frame count with hashes
+    derived from (payload md5, frame index).
     """
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,6 +247,20 @@ def sample_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
+                frames = imagecodec.decode_frames(data) if REAL_DECODE else []
+                if frames:
+                    for i in range(0, len(frames), every_n):
+                        w, h, rgb = frames[i]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "frame_idx": i,
+                                "frame_md5": hashlib.md5(
+                                    imagecodec.encode_ppm(w, h, rgb)
+                                ).hexdigest(),
+                            }
+                        )
+                    continue
                 _, _, n_frames, _ = _decode_kernel(data)
                 base = hashlib.md5(data).hexdigest()
                 for i in range(0, n_frames, every_n):
