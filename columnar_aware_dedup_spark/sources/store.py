@@ -12,9 +12,17 @@ Merge discipline (idempotent append) matches
 :mod:`columnar_aware_dedup_spark.streaming.ingest`: anti-join then append;
 duplicate signatures from at-least-once delivery are collapsed by the
 probe-side ``distinct``, which is also bucket-local (no shuffle).
+Concurrent merges serialize on an atomic lock directory (:func:`store_lock`),
+so two writers can no longer both observe a signature as missing and
+double-append it.
 """
 
 from __future__ import annotations
+
+import contextlib
+import os
+import random
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +30,54 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 64
 
 _STORE_COLS = ["signature", "chunk_type", "size"]
+
+
+class StoreLockTimeout(RuntimeError):
+    """Raised when a writer cannot acquire the store lock in time."""
+
+
+@contextlib.contextmanager
+def store_lock(
+    spark: SparkSession,
+    table_name: str,
+    timeout: float = 120.0,
+    stale_after: float = 600.0,
+):
+    """Serialize store writers with an atomic lock directory.
+
+    ``mkdir`` is atomic on local filesystems and HDFS, so concurrent merges
+    to the same table serialize instead of both observing a signature as
+    missing and double-appending it (the r02 single-writer caveat). A lock
+    older than ``stale_after`` is presumed orphaned by a dead writer and
+    stolen. On object stores without atomic mkdir, swap this for a
+    transactional table format's MERGE (Delta/Iceberg) — the calling code
+    is unchanged either way.
+    """
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    lock_dir = f"{warehouse}/{table_name.lower()}__lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.makedirs(lock_dir, exist_ok=False)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock_dir).st_mtime > stale_after:
+                    with contextlib.suppress(OSError):
+                        os.rmdir(lock_dir)  # fails if the holder is active
+                    continue
+            except FileNotFoundError:
+                continue  # released between mkdir and stat — retry now
+            if time.monotonic() > deadline:
+                raise StoreLockTimeout(
+                    f"could not lock store {table_name!r} within {timeout}s"
+                ) from None
+            time.sleep(0.02 + random.random() * 0.08)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.rmdir(lock_dir)
 
 
 def create_store(
@@ -62,25 +118,32 @@ def merge_into_store(
 
     The anti-join result is persisted so the count and the append see the
     SAME rows — re-executing the plan for each action could disagree if the
-    store changed in between or the input is nondeterministic. Single-writer
-    assumption: concurrent merges can still both observe a signature as
-    missing and double-append it (collapsed by the probe-side ``distinct``,
-    but byte-wasteful); serialize writers per store table.
+    store changed in between or the input is nondeterministic. Writers
+    serialize on :func:`store_lock`, so the observe-miss/double-append race
+    between concurrent merges is gone (r02's single-writer caveat removed;
+    proven by ``tests/test_store.py::test_concurrent_merges_never_double_append``).
+    The anti-join executes under the lock (both actions run inside it), so
+    every writer sees the store state its append is based on.
     """
-    store_sigs = spark.table(table_name).select("signature")
-    new = (
-        chunks.select(*[c for c in _STORE_COLS if c in chunks.columns])
-        .dropDuplicates(["signature"])
-        .join(store_sigs, "signature", "left_anti")
-        .persist()
-    )
-    try:
-        n = new.count()
-        if n:
-            new.write.format("parquet").mode("append").insertInto(table_name)
-    finally:
-        new.unpersist()
-    return n
+    with store_lock(spark, table_name):
+        # see files appended by writers in other sessions/processes
+        spark.catalog.refreshTable(table_name)
+        store_sigs = spark.table(table_name).select("signature")
+        new = (
+            chunks.select(*[c for c in _STORE_COLS if c in chunks.columns])
+            .dropDuplicates(["signature"])
+            .join(store_sigs, "signature", "left_anti")
+            .persist()
+        )
+        try:
+            n = new.count()
+            if n:
+                new.write.format("parquet").mode("append").insertInto(
+                    table_name
+                )
+        finally:
+            new.unpersist()
+        return n
 
 
 def linked_store_rows(linked: DataFrame) -> DataFrame:

@@ -37,6 +37,58 @@ def test_store_roundtrip_and_merge(spark, sf_dir):
     ), "store must stay signature-unique"
 
 
+def test_concurrent_merges_never_double_append(spark, sf_dir):
+    """Eight writers racing overlapping chunk sets into one store must leave
+    it signature-unique with exactly the union of signatures — the r02
+    single-writer caveat, removed by the store_lock serialization. Without
+    the lock, two writers observe the same signature missing and both
+    append it (probabilistically reproduced before the fix)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = _chunks(spark, sf_dir)
+    seed = chunks.filter(F.col("file_id") % 7 == 0)
+    store.create_store(spark, seed, TABLE, n_buckets=8)
+    n0 = spark.table(TABLE).count()
+
+    # 8 overlapping slices: slice k = files with id % 4 == k % 4 (each slice
+    # raced by two threads, plus cross-slice signature overlap).
+    slices = [chunks.filter(F.col("file_id") % 4 == k % 4) for k in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        appended = list(
+            ex.map(lambda s: store.merge_into_store(spark, s, TABLE), slices)
+        )
+
+    total = spark.table(TABLE).count()
+    distinct = spark.table(TABLE).select("signature").distinct().count()
+    assert distinct == total, "concurrent merges double-appended signatures"
+    assert total == n0 + sum(appended)
+    want = chunks.unionByName(seed).select("signature").distinct().count()
+    assert total == want
+
+
+def test_store_lock_times_out_and_steals_stale(spark, tmp_path):
+    """The lock raises after timeout while held, and a stale (dead-writer)
+    lock is stolen instead of deadlocking forever."""
+    import os
+    import time
+
+    import pytest
+
+    with store.store_lock(spark, TABLE):
+        with pytest.raises(store.StoreLockTimeout):
+            with store.store_lock(spark, TABLE, timeout=0.3):
+                pass
+    # simulate a dead writer: pre-create the lock dir with an old mtime
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    lock_dir = f"{warehouse}/{TABLE.lower()}__lock"
+    os.makedirs(lock_dir, exist_ok=False)
+    old = time.time() - 10_000
+    os.utime(lock_dir, (old, old))
+    with store.store_lock(spark, TABLE, timeout=5.0, stale_after=600.0):
+        pass  # acquired by stealing the stale lock
+    assert not os.path.exists(lock_dir)
+
+
 def test_probe_results_match_unbucketed(spark, sf_dir):
     chunks = _chunks(spark, sf_dir)
     half = chunks.filter(F.col("file_id") % 2 == 0)
