@@ -21,6 +21,7 @@ from columnar_aware_dedup_spark.operators import similarity  # noqa: F401
 from columnar_aware_dedup_spark.operators import stats  # noqa: F401
 from columnar_aware_dedup_spark.operators import taxonomy  # noqa: F401
 from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
+from columnar_aware_dedup_spark.operators import search  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
@@ -142,14 +143,16 @@ ROTATION_R3: list[str] = [
     "file_parse_overhead",
     "event_funnel",
     "cohort_retention",
+    # r03 additions (registered this round, so no prior driver row by
+    # construction — they take 5 of the 9 re-check slots)
+    "semantic_dedup",
+    "tfidf_top_terms",
+    "inverted_index_search",
+    "event_gapfill_locf",
+    "event_anomaly_zscore",
     # high-value re-checks (flagship + headline surface stays exercised)
     "dedup_hit_miss",
     "chunk_simulate",
-    "dedup_ratio",
-    "dedup_hierarchical",
-    "transfer_stats_taxonomy",
-    "minhash_near_dup",
-    "embedding_cosine_topk",
     "pipeline_curate",
     "orc_hierarchical_dedup",
 ]

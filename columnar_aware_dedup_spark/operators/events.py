@@ -378,3 +378,155 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# -- hypertable gap-fill + LOCF ---------------------------------------------
+
+GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+  FROM events GROUP BY bucket_start, event_type
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM bounds
+), grid AS (
+  SELECT s.bucket_start, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.bucket_start, g.event_type,
+       COALESCE(h.n, 0) AS n_events,
+       last_value(h.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM grid g LEFT JOIN hourly h USING (bucket_start, event_type)
+ORDER BY g.event_type, g.bucket_start
+"""
+
+
+@register("event_gapfill_locf", oracle=GAPFILL_ORACLE)
+def event_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: a dense hourly (bucket x event_type) grid with
+    zero-filled counts and last-observation-carried-forward averages — the
+    ``time_bucket_gapfill`` + ``locf`` shape time-series stores expose, which
+    plain GROUP BY can't produce (empty buckets simply don't exist in the
+    grouped output).
+
+    The dense spine is generated from the one-row (min, max) aggregate via
+    ``sequence()`` and cross-joined with the distinct type list — both
+    broadcast-sized regardless of data volume (the grid grows with the TIME
+    RANGE, not the row count). The hourly aggregation is the only data-sized
+    shuffle; the LOCF window partitions by event_type over the tiny grid.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    spine = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket_start")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.join(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(hourly), ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+        .orderBy("event_type", "bucket_start")
+    )
+
+
+# -- trailing-window anomaly detection --------------------------------------
+
+#: trailing window (hours) used as the per-type baseline distribution.
+_ANOMALY_LOOKBACK = 24
+#: |z| at or above which an hour is flagged.
+_ANOMALY_Z = 2.0
+
+ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY bucket_start, event_type
+), scored AS (
+  SELECT bucket_start, event_type, n_events,
+         avg(n_events) OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sigma,
+         count(*) OVER w AS n_obs
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN {_ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket_start, event_type, n_events,
+       round((n_events - mu) / sigma, 6) AS zscore,
+       (abs((n_events - mu) / sigma) >= {_ANOMALY_Z}) AS is_anomaly
+FROM scored
+WHERE n_obs >= {_ANOMALY_LOOKBACK} AND sigma > 0
+ORDER BY event_type, bucket_start
+"""
+
+
+@register("event_anomaly_zscore", oracle=ANOMALY_ORACLE)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores: each hour's event count z-scored
+    against the preceding {lookback}-hour distribution of its own type;
+    hours without a full baseline (or a degenerate sigma) are excluded so
+    the flag is well-defined on both engines.
+
+    This is the streaming-monitor shape (rate spike / drop detection) run
+    as a batch plan: one data-sized shuffle to hourly counts, then a
+    per-type ordered window over the bucket grid — bounded by the time
+    range, not the event volume, so the window never sees corpus-scale
+    partitions. The streaming twin would maintain the same trailing stats
+    with ``applyInPandasWithState``.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-_ANOMALY_LOOKBACK, -1)
+    )
+    scored = hourly.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_obs"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_obs") >= _ANOMALY_LOOKBACK) & (F.col("sigma") > 0)
+        )
+        .select(
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) >= F.lit(_ANOMALY_Z)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "bucket_start")
+    )

@@ -1,0 +1,151 @@
+"""Full-text relevance operators over ``documents``: corpus tf-idf and an
+inverted-index keyword search.
+
+The reference's retrieval surface is content-addressed byte lookup
+(``dedup/SpeedupDeDuplicator.java`` probes a signature store); a training-data
+pipeline also needs *term-addressed* lookup — which documents mention X, what
+characterizes document Y — so the engine exposes the two classic IR shapes as
+declarative plans:
+
+- ``tfidf_top_terms``: the per-document characteristic vocabulary (tf-idf,
+  natural log, deterministic tie-breaks) — the feature a curation pipeline
+  feeds into topic bucketing / domain tagging.
+- ``inverted_index_search``: conjunctive (AND) keyword search ranked by
+  total term frequency — the posting-list probe, expressed as a grouped
+  filter so Catalyst keeps it a scan+partial-agg, no index structure needed.
+
+Scale notes: tokenization is a narrow map; tf is one shuffle on
+(doc_id, term); df one shuffle on term with map-side partial aggregation;
+the corpus size joins in as a broadcast one-row aggregate; the per-document
+top-k window partitions by doc_id (bounded by a document's distinct terms,
+never by corpus size). Search is a filter that prunes to the query terms
+*before* any shuffle — at 100 TB the shuffled volume is only the postings of
+the searched terms. Nothing here is corpus-global except the one-row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.text import _NORM_SQL, normalized
+from columnar_aware_dedup_spark.registry import register
+
+#: per-document characteristic terms to keep.
+_TOP_TERMS = 3
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term <> '' GROUP BY term
+), tot AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN tot
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {_TOP_TERMS}
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+@register("tfidf_top_terms", oracle=TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} tf-idf terms per document (tf x ln(N/df), ties to the
+    alphabetically-first term so both engines rank identically).
+
+    Three aggregations — tf on (doc_id, term), df on term, and the one-row
+    corpus count — all with map-side partials; df and the count broadcast
+    back onto tf, so the only data-sized shuffle is the (doc_id, term)
+    grouping. The final top-k window is per-document.
+    """
+    toks = (
+        normalized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    tot = normalized(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_TERMS)
+        .drop("rn")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
+#: the conjunctive search query (every term must appear in the document).
+_SEARCH_TERMS = ("vector", "stream", "merge")
+_SEARCH_LIMIT = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+SEARCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         count(DISTINCT term) AS n_terms,
+         CAST(count(*) AS BIGINT) AS total_tf
+  FROM toks WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id
+)
+SELECT doc_id, total_tf
+FROM hits
+WHERE n_terms = {len(_SEARCH_TERMS)}
+ORDER BY total_tf DESC, doc_id
+LIMIT {_SEARCH_LIMIT}
+"""
+
+
+@register("inverted_index_search", oracle=SEARCH_ORACLE)
+def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search: documents containing EVERY query term,
+    ranked by total term frequency (ties to lowest doc_id), top {limit}.
+
+    The posting-list probe as a plan: the ``term IN (...)`` filter runs
+    *before* the shuffle, so only the searched terms' postings move; the
+    AND-semantics is ``count(DISTINCT term) == |query|`` on the grouped
+    postings; the final ranking is a global top-k (TakeOrdered — no full
+    sort). At 100 TB with a static corpus the same plan runs against a
+    pre-materialized (term -> postings) table bucketed by term.
+    """
+    toks = (
+        normalized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+    )
+    hits = toks.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("total_tf"),
+    )
+    return (
+        hits.filter(F.col("n_terms") == len(_SEARCH_TERMS))
+        .select("doc_id", "total_tf")
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(_SEARCH_LIMIT)
+    )

@@ -585,3 +585,89 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id")
     )
     return out
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+#: cosine threshold above which two same-cell embeddings are semantic dups.
+#: Production SemDeDup uses ~0.95+; the synthetic fixture embeddings are
+#: near-orthogonal (max pairwise cosine ~0.5-0.6), so the demo threshold sits
+#: where the fixture actually produces duplicate sets and the keep/drop
+#: machinery gets exercised end-to-end.
+_SEMANTIC_DUP_THRESHOLD = 0.4
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_HI}
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cid
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round({_l2sq_sql('e.embedding', 'c.ce')}, 6), c.cid) = 1
+), dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b
+    ON b.cid = a.cid AND b.vec_id < a.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {_SEMANTIC_DUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cid, (d.vec_id IS NOT NULL) AS is_dup
+FROM assign s LEFT JOIN dup d ON d.vec_id = s.vec_id
+ORDER BY s.vec_id
+"""
+
+
+@register("semantic_dedup", oracle=SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark a vector as a
+    duplicate when an earlier vector in the SAME cluster exceeds the cosine
+    threshold — pairwise comparison is confined to cells, never the corpus.
+
+    The reference dedups identical *bytes* (``dedup/ChunkingAlgorithm.java``);
+    this is the embedding-space analogue a training-data pipeline runs after
+    exact and MinHash dedup: near-identical *meanings* with different bytes.
+
+    Scale shape: cell assignment is the zero-shuffle broadcast-centroid
+    argmin (shared with IVF, plan-pinned); the within-cell self-join
+    shuffles each side once on ``cid`` and the quadratic term is bounded by
+    the largest cell (k is chosen so N/k fits an executor — SemDeDup's own
+    design). Survivor choice is deterministic: lowest vec_id in a duplicate
+    set wins, so re-runs and engine comparisons agree exactly.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    assign = ivf_assign(e, cent)
+    earlier = assign.select(
+        F.col("cid").alias("b_cid"),
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dup_ids = (
+        assign.alias("a")
+        .join(
+            earlier,
+            (F.col("b_cid") == F.col("cid"))
+            & (F.col("b_vec_id") < F.col("vec_id"))
+            & (
+                _cosine_spark("embedding", "b_emb")
+                >= F.lit(_SEMANTIC_DUP_THRESHOLD)
+            ),
+            "left_semi",
+        )
+        .select("vec_id")
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", "cid")
+        .join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("hit", F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
