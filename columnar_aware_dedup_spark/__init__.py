@@ -150,10 +150,10 @@ ROTATION_R3: list[str] = [
     "inverted_index_search",
     "event_gapfill_locf",
     "event_anomaly_zscore",
+    "multimodal_audio_features",
     # high-value re-checks (flagship + headline surface stays exercised)
     "dedup_hit_miss",
     "chunk_simulate",
-    "pipeline_curate",
     "orc_hierarchical_dedup",
 ]
 

@@ -1,0 +1,90 @@
+"""Stdlib WAV (RIFF PCM) codec: writer + chunk-walking parser.
+
+Completes the multimodal kernel set (images/frames: ``imagecodec``; audio:
+here) with zero third-party libraries — the writer/parser follow the public
+RIFF/WAVE layout (chunk = 4-byte id, little-endian u32 size, payload;
+``fmt `` holds PCM params, ``data`` the interleaved samples).
+
+The synthesized fixture waveform is an integer sawtooth whose parameters
+derive from ``doc_id`` by pure integer arithmetic::
+
+    rate = 8000 Hz, mono, 16-bit
+    P (period)    = 16 + doc_id % 32
+    A (amplitude) = 4000 + (doc_id % 50) * 100
+    n (samples)   = 640 + (doc_id % 10) * 80
+    s_i           = ((i % P) * 2 * A) // (P - 1) - A
+
+so a SQL oracle can regenerate the exact samples with ``generate_series``
+and hash-check features computed from REAL encode -> parse -> decode in
+Spark (see ``operators/multimodal.py::multimodal_audio_features``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+SAMPLE_RATE = 8000
+N_CHANNELS = 1
+BITS = 16
+
+
+def synth_params(doc_id: int) -> tuple[int, int, int]:
+    """(period, amplitude, n_samples) for the doc's fixture waveform."""
+    return 16 + doc_id % 32, 4000 + (doc_id % 50) * 100, 640 + (doc_id % 10) * 80
+
+
+def synth_samples(doc_id: int) -> list[int]:
+    period, amp, n = synth_params(doc_id)
+    return [((i % period) * 2 * amp) // (period - 1) - amp for i in range(n)]
+
+
+def write_wav(samples: list[int], rate: int = SAMPLE_RATE) -> bytes:
+    """Canonical RIFF/WAVE PCM bytes (fmt + data chunks)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        N_CHANNELS,
+        rate,
+        rate * N_CHANNELS * BITS // 8,  # byte rate
+        N_CHANNELS * BITS // 8,  # block align
+        BITS,
+    )
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """(sample_rate, n_channels, bits, samples) from RIFF/WAVE bytes.
+
+    Walks the chunk list generically (unknown chunks skipped, word-aligned)
+    rather than assuming the writer's fmt-then-data layout, so files from
+    other encoders parse too.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = channels = bits = None
+    data = None
+    pos = 12
+    end = 8 + struct.unpack("<I", payload[4:8])[0]
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            codec, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if codec != 1:
+                raise ValueError(f"unsupported WAV codec {codec}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n = len(data) // 2
+    return rate, channels, bits, list(struct.unpack(f"<{n}h", data))

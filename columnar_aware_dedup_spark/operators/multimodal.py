@@ -310,3 +310,139 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_frames")
     )
+
+
+# -- audio: real WAV encode -> parse -> feature extraction -------------------
+
+from columnar_aware_dedup_spark.functions import audiocodec  # noqa: E402
+
+AUDIO_FEATURES_ORACLE = """
+WITH par AS (
+  SELECT doc_id,
+         16 + doc_id % 32 AS p,
+         4000 + (doc_id % 50) * 100 AS a,
+         640 + (doc_id % 10) * 80 AS n
+  FROM documents
+), samp AS (
+  SELECT doc_id, p, a, n, unnest(generate_series(0, n - 1)) AS i
+  FROM par
+), v AS (
+  SELECT doc_id, n, i, ((i % p) * 2 * a) // (p - 1) - a AS s
+  FROM samp
+), flags AS (
+  SELECT doc_id, n, s,
+         CASE WHEN (s >= 0) <> lag(s >= 0) OVER (
+           PARTITION BY doc_id ORDER BY i) THEN 1 ELSE 0 END AS x
+  FROM v
+), agg AS (
+  SELECT doc_id, any_value(n) AS n_samples,
+         max(abs(s)) AS peak,
+         sum(s * s) AS sum_sq,
+         CAST(sum(x) AS BIGINT) AS crossings
+  FROM flags GROUP BY doc_id
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       round(n_samples / 8000.0, 6) AS duration_s,
+       CAST(peak AS BIGINT) AS peak,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
+       round(crossings / CAST(n_samples - 1 AS DOUBLE), 6) AS zcr
+FROM agg ORDER BY doc_id
+"""
+
+
+def audio_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, wav): deterministic RIFF/PCM payloads synthesized per doc —
+    the audio analogue of :func:`payload_table` (the fixture corpus has no
+    binary column, so the payload is generated; the ENCODE side of the codec
+    runs here, the PARSE side in the feature kernel, so the oracle checks
+    the full byte roundtrip)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        audiocodec.write_wav(audiocodec.synth_samples(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(_synth, "doc_id long, wav binary")
+
+
+@register("multimodal_audio_features", oracle=AUDIO_FEATURES_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary WAV payloads: duration, peak,
+    RMS energy, zero-crossing rate — the standard cheap audio-quality
+    screen a multimodal curation pipeline runs before expensive models.
+
+    Unlike the image path (whose real kernels are exercised R-only), this
+    is HASH-CHECKED end-to-end: the Spark side synthesizes real RIFF bytes,
+    re-parses them with the chunk-walking stdlib parser
+    (``functions/audiocodec.py``), and extracts integer sample statistics
+    in an Arrow-batched ``mapInPandas`` kernel; the DuckDB oracle
+    regenerates the same samples closed-form with ``generate_series`` — any
+    byte-level encode/parse defect breaks the hash match.
+
+    Scale shape: payloads never shuffle (synth -> parse fuse into one
+    narrow mapInPandas pass per batch); only the tiny integer feature rows
+    leave Python. Float policy stays engine-side: the kernel returns exact
+    integers (sum-of-squares, crossings, peak) and duration/RMS/ZCR are
+    derived as rounded columnar expressions.
+    """
+    wavs = audio_payload_table(spark, sf_dir)
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["wav"]):
+                rate, _ch, _bits, samples = audiocodec.parse_wav(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                nonneg = s >= 0
+                rows.append(
+                    (
+                        int(did),
+                        rate,
+                        len(s),
+                        int(np.abs(s).max()),
+                        int((s * s).sum()),
+                        int((nonneg[1:] != nonneg[:-1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "peak",
+                    "sum_sq",
+                    "crossings",
+                ],
+            )
+
+    raw = wavs.mapInPandas(
+        _features,
+        "doc_id long, sample_rate int, n_samples long, peak long,"
+        " sum_sq long, crossings long",
+    )
+    return raw.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("n_samples") / F.col("sample_rate"), 6).alias("duration_s"),
+        "peak",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+        F.round(
+            F.col("crossings") / (F.col("n_samples") - F.lit(1)).cast("double"), 6
+        ).alias("zcr"),
+    ).orderBy("doc_id")

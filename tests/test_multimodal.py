@@ -134,3 +134,45 @@ def test_frame_sample_counts(spark, sf_dir):
         by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
     for doc_id, n_frames in decoded.items():
         assert by_doc[doc_id] == (n_frames + 1) // 2
+
+
+# -- audio (WAV codec + features) -------------------------------------------
+
+def test_wav_roundtrip_golden():
+    """Encode -> chunk-walking parse returns the exact samples and params."""
+    from columnar_aware_dedup_spark.functions import audiocodec
+
+    s = audiocodec.synth_samples(7)
+    rate, ch, bits, out = audiocodec.parse_wav(audiocodec.write_wav(s))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert out == s
+    # sawtooth invariants from the closed form
+    period, amp, n = audiocodec.synth_params(7)
+    assert len(s) == n and min(s) == -amp and max(s) == amp
+
+
+def test_wav_parser_skips_unknown_chunks():
+    """A LIST chunk between fmt and data must not derail the walker."""
+    import struct
+
+    from columnar_aware_dedup_spark.functions import audiocodec
+
+    s = audiocodec.synth_samples(3)
+    canonical = audiocodec.write_wav(s)
+    # splice an unknown 5-byte chunk (odd size -> exercises word alignment)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = canonical[:fmt_end] + extra + canonical[fmt_end:]
+    patched = (
+        b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    )
+    assert audiocodec.parse_wav(patched)[3] == s
+
+
+def test_wav_parser_rejects_non_riff():
+    import pytest as _pytest
+
+    from columnar_aware_dedup_spark.functions import audiocodec
+
+    with _pytest.raises(ValueError):
+        audiocodec.parse_wav(b"not a wav at all")
