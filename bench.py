@@ -46,6 +46,11 @@ HEADLINE = [
     # over the events stream) gets a perf signal.
     "event_funnel",
     "cohort_retention",
+    # r03 additions: semantic dedup (cell-bounded pairwise cosine), the
+    # hashing-trick text->vector bridge, and corpus tf-idf.
+    "semantic_dedup",
+    "doc_hash_embedding",
+    "tfidf_top_terms",
 ]
 
 

@@ -94,8 +94,10 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 #: r03 rotation (ACTIVE): the 41 queries with no driver CORRECTNESS row from
-#: r01 or r02, plus high-value re-checks to fill the 50-slot window.  With
-#: this window checked, every registered query has at least one driver row.
+#: r01 or r02, the 8 queries registered this round (new registrations have no
+#: prior row by construction), and one flagship re-check to fill the 50-slot
+#: window.  With this window checked, every registered query has at least one
+#: driver row.
 #: ``tests/test_registry_oracles.py`` derives the never-checked set from the
 #: recorded CORRECTNESS_r0*.json files and asserts this list covers it, so a
 #: new registration fails the suite until it is rotated into a window.
@@ -151,10 +153,10 @@ ROTATION_R3: list[str] = [
     "event_gapfill_locf",
     "event_anomaly_zscore",
     "multimodal_audio_features",
-    # high-value re-checks (flagship + headline surface stays exercised)
+    "doc_hash_embedding",
+    "pipeline_dedup_all",
+    # high-value re-check (the flagship stays exercised)
     "dedup_hit_miss",
-    "chunk_simulate",
-    "orc_hierarchical_dedup",
 ]
 
 registry.reorder(ROTATION_R3)

@@ -640,11 +640,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(
         F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    assign = ivf_assign(e, cent)
+    # Per-vector norm computed ONCE (N folds) so each candidate pair costs a
+    # single dot-product fold instead of three (measured 1.8x at sf0.1;
+    # sqrt(a.a)*sqrt(b.b) is the same float op sequence the oracle runs, so
+    # the rounded cosine stays bit-identical).
+    assign = ivf_assign(e, cent).withColumn(
+        "nrm", F.expr(f"sqrt({_DOT_SPARK.format(a='embedding', b='embedding')})")
+    )
     earlier = assign.select(
         F.col("cid").alias("b_cid"),
         F.col("vec_id").alias("b_vec_id"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pair_cos = F.expr(
+        f"round(({_DOT_SPARK.format(a='embedding', b='b_emb')})"
+        " / (nrm * b_nrm), 6)"
     )
     dup_ids = (
         assign.alias("a")
@@ -652,10 +663,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             earlier,
             (F.col("b_cid") == F.col("cid"))
             & (F.col("b_vec_id") < F.col("vec_id"))
-            & (
-                _cosine_spark("embedding", "b_emb")
-                >= F.lit(_SEMANTIC_DUP_THRESHOLD)
-            ),
+            & (pair_cos >= F.lit(_SEMANTIC_DUP_THRESHOLD)),
             "left_semi",
         )
         .select("vec_id")

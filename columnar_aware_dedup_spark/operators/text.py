@@ -21,7 +21,7 @@ bounded bucket sizes (tune bands/rows for the target similarity threshold).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.functions.hashing import exact_sum_sql
@@ -684,4 +684,99 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("a.tokset", "b.tokset")).cast("double"),
             6,
         ).alias("jaccard"),
+    )
+
+
+# -- end-to-end dedup decision table ----------------------------------------
+
+PIPELINE_DEDUP_ALL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
+         md5({_NORM_SQL}) AS sig
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {_minhash_slots_sql()} FROM t
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_key, {i} AS band FROM sigs"
+      for i, b in enumerate(_band_exprs())
+  )}
+), near AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band = b.band AND b.doc_id < a.doc_id
+), exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS keeper FROM t
+)
+SELECT e.doc_id,
+       (e.doc_id <> e.keeper) AS is_exact_dup,
+       (n.doc_id IS NOT NULL) AS is_near_dup,
+       CASE WHEN e.doc_id <> e.keeper THEN 'drop_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS decision
+FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+@register("pipeline_dedup_all", oracle=PIPELINE_DEDUP_ALL_ORACLE)
+def pipeline_dedup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual product: one decision row per document —
+    exact-duplicate evidence (md5 signature, earlier keeper wins) and
+    near-duplicate evidence (any shared MinHash LSH band with an earlier
+    doc), folded into a keep / drop_exact / drop_near verdict with exact
+    taking precedence.
+
+    Composition of the engine's own stages (``text_exact_dedup`` +
+    ``minhash_near_dup``) into the downstream-facing table, computed in one
+    plan: the signature min is a keyed window (partition by sig, no order —
+    one shuffle), the band self-join is the bounded LSH bucket join, and
+    both flags come back to the corpus as id-keyed joins. Everything
+    shuffles on content keys; nothing is corpus-global.
+    """
+    t = normalized(spark, sf_dir).withColumn("sig", F.md5("norm"))
+    keeper_w = Window.partitionBy("sig")
+    exact = t.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(keeper_w)).alias(
+            "is_exact_dup"
+        ),
+    )
+    sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.expr(b).alias("band_key"), F.lit(i).cast("int").alias("band")
+            )
+            for i, b in enumerate(_band_exprs())
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_rows).alias("b")).select(
+        "doc_id", "b.band_key", "b.band"
+    )
+    near = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("b.band_key") == F.col("a.band_key"))
+            & (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce("hit", F.lit(False)).alias("is_near_dup"),
+            F.when(F.col("is_exact_dup"), F.lit("drop_exact"))
+            .when(F.coalesce("hit", F.lit(False)), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
     )

@@ -252,3 +252,58 @@ def test_ann_recall_report_joins_stay_topk_sized(spark, sf_dir):
     df = similarity.ann_recall_report(spark, sf_dir)
     plan = explain.plan_string(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_search_prunes_terms_before_shuffle(spark, sf_dir):
+    """inverted_index_search: the query-term filter must run map-side (before
+    the aggregation exchange) so only searched postings shuffle, and the
+    final ranking must be a heap top-k, not a full sort."""
+    from columnar_aware_dedup_spark.operators import search
+
+    df = search.inverted_index_search(spark, sf_dir)
+    assert explain.has_take_ordered(df), explain.plan_string(df)
+    # simple mode inlines conditions: the IN-list filter must sit BELOW the
+    # first exchange (closer to the scan = later in the printed tree)
+    plan = explain.plan_string(df, mode="simple")
+    post_exchange = plan.split("Exchange", 1)[1]
+    assert "vector" in post_exchange and "stream" in post_exchange, plan
+
+
+def test_tfidf_df_and_count_broadcast(spark, sf_dir):
+    """tfidf_top_terms: the document-frequency table and the one-row corpus
+    count join back onto tf as broadcasts — the (doc_id, term) grouping is
+    the only data-sized shuffle."""
+    from columnar_aware_dedup_spark.operators import search
+
+    assert explain.has_broadcast_join(search.tfidf_top_terms(spark, sf_dir))
+
+
+def test_hash_embedding_is_pure_builtin(spark, sf_dir):
+    """doc_hash_embedding: no Python evaluation anywhere in the plan — the
+    text->vector bridge must stay JVM-side (hashing, map fold, normalize)."""
+    from columnar_aware_dedup_spark.operators import search
+
+    plan = explain.plan_string(search.doc_hash_embedding(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+
+
+def test_semantic_dedup_shuffle_budget(spark, sf_dir):
+    """semantic_dedup: cell assignment is the zero-shuffle broadcast argmin
+    (shared with IVF), so the only data-sized exchanges are the within-cell
+    self-join sides and the final flag join."""
+    from columnar_aware_dedup_spark.operators import similarity
+
+    df = similarity.semantic_dedup(spark, sf_dir)
+    n = explain.n_exchanges(df)
+    assert n <= 6, f"semantic_dedup grew to {n} shuffles:\n{explain.plan_string(df)}"
+
+
+def test_gapfill_windows_are_keyed(spark, sf_dir):
+    """event_gapfill_locf: every window spec must carry a partition key —
+    the LOCF pass may never become a single-reducer global window."""
+    from columnar_aware_dedup_spark.operators import events
+
+    df = events.event_gapfill_locf(spark, sf_dir)
+    plan = explain.plan_string(df, mode="extended")
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].strip().startswith("event_type"), frag[:120]

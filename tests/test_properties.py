@@ -184,3 +184,20 @@ def test_repetition_score_planted_docs(spark):
     }
     con.close()
     assert duck == got
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1),
+        min_size=1,
+        max_size=512,
+    )
+)
+def test_wav_codec_roundtrips_any_pcm(samples):
+    """write_wav -> parse_wav is the identity on arbitrary 16-bit PCM."""
+    from columnar_aware_dedup_spark.functions import audiocodec
+
+    rate, ch, bits, out = audiocodec.parse_wav(audiocodec.write_wav(samples))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert out == samples
