@@ -269,3 +269,123 @@ def test_streaming_hypertable_rollup_matches_batch(spark, sf_dir, tmp_path):
     )
     missing = finalized.exceptAll(got).count()
     assert missing == 0, f"{missing} finalized hourly windows missing from stream"
+
+
+def test_streaming_anomaly_matches_batch(spark, sf_dir, tmp_path):
+    """Single-batch parity: the stateful trailing-window scorer emits
+    EXACTLY the batch twin's rows for every finalized hour (all but each
+    type's newest hour), z-scores included — integer sums + one shared
+    scoring expression make the equality exact, no float tolerance."""
+    from columnar_aware_dedup_spark.streaming import anomaly
+
+    events_dir = tmp_path / "events_anomaly"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "events.parquet")
+
+    stream = anomaly.anomaly_sums_stream(
+        ingest.events_stream(spark, str(events_dir))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("anomaly_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_anomaly"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("anomaly_smoke")
+    assert got.count() > 0
+
+    from columnar_aware_dedup_spark.io import table as load
+
+    e = load(spark, sf_dir, "events")
+    batch = anomaly.anomaly_sums_batch(e)
+    # finalized = all hours strictly before each type's newest hour
+    last = batch.groupBy("event_type").agg(
+        F.max("bucket_start").alias("last_bucket")
+    )
+    finalized = (
+        batch.join(last, "event_type")
+        .filter(F.col("bucket_start") < F.col("last_bucket"))
+        .select(
+            "bucket_start", "event_type", "n_events",
+            "win_sum", "win_sumsq", "n_obs",
+        )
+    )
+    assert got.exceptAll(finalized).count() == 0, "stream ⊆ batch finalized"
+    assert finalized.exceptAll(got).count() == 0, "batch finalized ⊆ stream"
+    # the shared scoring projection yields identical flagged rows too
+    sb = anomaly.with_zscore(finalized)
+    ss = anomaly.with_zscore(got)
+    assert ss.exceptAll(sb).count() == 0 and sb.exceptAll(ss).count() == 0
+
+
+def test_streaming_anomaly_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """Two time-ordered micro-batches: pending hours carry across the batch
+    boundary (a split mid-hour must not double-count or emit early) and the
+    final output still equals the batch twin on finalized hours."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from columnar_aware_dedup_spark.streaming import anomaly
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_sorted = sorted(t["ts"].to_pylist())
+    cutoff = ts_sorted[len(ts_sorted) // 2]
+    events_dir = tmp_path / "events_anomaly2"
+    events_dir.mkdir()
+    ck = str(tmp_path / "ck_anomaly2")
+
+    collected = []
+
+    def run():
+        # foreachBatch sink: the memory sink can't resume from a checkpoint,
+        # and resuming is exactly what this test exercises.
+        def _collect(batch_df, _bid):
+            collected.extend(batch_df.collect())
+
+        stream = anomaly.anomaly_sums_stream(
+            ingest.events_stream(spark, str(events_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pq.write_table(
+        t.filter(pc.less_equal(t["ts"], cutoff)), events_dir / "part1.parquet"
+    )
+    run()
+    n1 = len(collected)
+    pq.write_table(
+        t.filter(pc.greater(t["ts"], cutoff)), events_dir / "part2.parquet"
+    )
+    run()
+    assert len(collected) > n1 > 0
+    got = spark.createDataFrame(
+        collected,
+        "bucket_start timestamp, event_type string, n_events long,"
+        " win_sum long, win_sumsq long, n_obs int",
+    )
+
+    from columnar_aware_dedup_spark.io import table as load
+
+    batch = anomaly.anomaly_sums_batch(load(spark, sf_dir, "events"))
+    last = batch.groupBy("event_type").agg(
+        F.max("bucket_start").alias("last_bucket")
+    )
+    finalized = (
+        batch.join(last, "event_type")
+        .filter(F.col("bucket_start") < F.col("last_bucket"))
+        .select(
+            "bucket_start", "event_type", "n_events",
+            "win_sum", "win_sumsq", "n_obs",
+        )
+    )
+    assert got.exceptAll(finalized).count() == 0
+    assert finalized.exceptAll(got).count() == 0
