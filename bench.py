@@ -51,6 +51,8 @@ HEADLINE = [
     "semantic_dedup",
     "doc_hash_embedding",
     "tfidf_top_terms",
+    # real WAV encode -> parse -> features (the mapInPandas audio path).
+    "multimodal_audio_features",
 ]
 
 

@@ -159,6 +159,29 @@ ROTATION_R3: list[str] = [
     "dedup_hit_miss",
 ]
 
+#: r04 rotation (PREPARED, not active): once CORRECTNESS_r03 lands, every
+#: registered query has a driver row and the window's job flips to
+#: re-verification — the flagship dedup core, the LLM-pipeline surface, the
+#: ORC family, the macro core, and the r03 additions. The r04 session
+#: activates it by switching ``registry.reorder`` below; the window test
+#: asserts (conditionally, once CORRECTNESS_r03.json exists) that any query
+#: STILL lacking a driver row is in this list, so the list cannot go stale
+#: the way the r02-prepared r03 window briefly did.
+ROTATION_R4: list[str] = DRIVER_PRIORITY[:40] + [
+    # r03 additions join the re-check core (displacing 10 scalar/macro
+    # re-checks that keep their r01/r02 rows and the local oracle gate)
+    "semantic_dedup",
+    "tfidf_top_terms",
+    "inverted_index_search",
+    "event_gapfill_locf",
+    "event_anomaly_zscore",
+    "multimodal_audio_features",
+    "doc_hash_embedding",
+    "pipeline_dedup_all",
+    "event_funnel",
+    "cohort_retention",
+]
+
 registry.reorder(ROTATION_R3)
 
 __all__ = ["registry"]

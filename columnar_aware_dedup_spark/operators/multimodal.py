@@ -357,8 +357,20 @@ def audio_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audio analogue of :func:`payload_table` (the fixture corpus has no
     binary column, so the payload is generated; the ENCODE side of the codec
     runs here, the PARSE side in the feature kernel, so the oracle checks
-    the full byte roundtrip)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    the full byte roundtrip).
+
+    The id column is repartitioned across all cores first: the documents
+    fixture is one parquet file -> one scan task, and the synth+parse
+    kernels are CPU-bound Python, so without the spread the whole audio
+    path would run single-threaded (same lesson as ``text._fanned``;
+    measured 1.9x at sf0.1).
+    Only doc_ids shuffle — payloads are generated after the exchange and
+    never move."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -94,3 +94,31 @@ def test_rotation_r3_is_a_valid_window():
         "queries with no driver CORRECTNESS row must be in the active "
         f"rotation window: {sorted(missing)}"
     )
+
+
+def test_rotation_r4_is_prepared_and_fresh():
+    """ROTATION_R4 (prepared for next round) must be 50 unique registered
+    names; once this round's CORRECTNESS_r03.json exists, it must also cover
+    every query still lacking a driver row — the conditional keeps the
+    prepared list from rotting between rounds (the r02->r03 staleness)."""
+    import json
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R4) == 50
+    assert len(set(pkg.ROTATION_R4)) == 50
+    assert set(pkg.ROTATION_R4) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    r03 = root / "CORRECTNESS_r03.json"
+    if r03.exists():
+        checked: set[str] = set()
+        for path in sorted(root.glob("CORRECTNESS_r*.json")):
+            checked |= set(json.loads(path.read_text()))
+        never_checked = set(_QUERIES) - checked
+        missing = never_checked - set(pkg.ROTATION_R4)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r04 "
+            f"window: {sorted(missing)}"
+        )
