@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from columnar_aware_dedup_spark.operators.text import _NORM_SQL, normalized
+from columnar_aware_dedup_spark.operators.text import _NORM_SQL, _fanned, normalized
 from columnar_aware_dedup_spark.registry import register
 
 #: per-document characteristic terms to keep.
@@ -66,8 +66,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto tf, so the only data-sized shuffle is the (doc_id, term)
     grouping. The final top-k window is per-document.
     """
+    # _fanned: the single-file documents scan otherwise runs the explode +
+    # partial aggregation single-threaded (measured 1.3x at sf0.1).
     toks = (
-        normalized(spark, sf_dir)
+        _fanned(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("term"))
         .filter(F.col("term") != "")
     )
@@ -222,8 +224,10 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result independent of aggregation order (integer adds), so the
     hash check is exact. Docs with no tokens keep a zero vector.
     """
+    # _fanned: the single-file documents scan otherwise runs the explode +
+    # partial aggregation single-threaded (measured 1.3x at sf0.1).
     toks = (
-        normalized(spark, sf_dir)
+        _fanned(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("term"))
         .filter(F.col("term") != "")
     )
