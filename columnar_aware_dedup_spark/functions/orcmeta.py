@@ -112,9 +112,28 @@ def _decompress_orc_stream(buf: bytes, kind: int) -> bytes:
             out += block
         elif kind == 1:  # ZLIB = raw deflate
             out += zlib.decompress(block, -15)
-        else:  # pragma: no cover - fixtures use NONE/ZLIB only
+        elif kind == 2:  # SNAPPY (Spark's Java writer default)
+            out += _snappy_decompress(block)
+        else:  # pragma: no cover - LZO/LZ4/ZSTD not emitted by our writers
             raise ValueError(f"unsupported ORC compression kind {kind}")
     return bytes(out)
+
+
+def _snappy_decompress(block: bytes) -> bytes:
+    """Raw-snappy block: a varint uncompressed-length preamble, then the
+    compressed stream. pyarrow's codec needs the length passed explicitly,
+    so read the preamble ourselves (public snappy format description)."""
+    import pyarrow as pa
+
+    n, shift, pos = 0, 0, 0
+    while True:
+        b = block[pos]
+        n |= (b & 0x7F) << shift
+        pos += 1
+        shift += 7
+        if not (b & 0x80):
+            break
+    return pa.Codec("snappy").decompress(block, decompressed_size=n).to_pybytes()
 
 
 @dataclass(frozen=True)

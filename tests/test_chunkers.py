@@ -294,3 +294,31 @@ def test_spark_chunk_files(spark, sf_dir):
         assert total == os.path.getsize(f"{sf_dir}/{name}")
     assert len(per_file) == 10
     chunks.unpersist()
+
+
+def test_orc_walker_handles_spark_written_files(spark, sf_dir, tmp_path):
+    """The from-scratch ORC walker must parse files from the JAVA ORC writer
+    (Spark's), not just pyarrow's C++ writer — different postscript layout,
+    stripe planning, and codec defaults. Structural chunking, column-stream
+    spans, and byte-identical reassembly all have to hold per codec."""
+    import glob as _glob
+
+    from columnar_aware_dedup_spark.functions import orcmeta
+    from columnar_aware_dedup_spark.io import table
+
+    df = table(spark, sf_dir, "supplier")
+    for codec in ("snappy", "zlib", "none"):
+        out = tmp_path / f"orc_{codec}"
+        df.coalesce(1).write.option("compression", codec).orc(str(out))
+        (path,) = _glob.glob(str(out / "*.orc"))
+        data = open(path, "rb").read()
+        chunks = chunkers.chunk_orc_bytes(data)
+        assert any(c["chunk_type"] == "Data" for c in chunks), codec
+        _assert_cover(chunks, len(data))
+        assert chunkers.reassemble(data, chunks) == data, codec
+        # column-stream walk: spans must be in-bounds and non-overlapping
+        structure = orcmeta.read_orc_structure(data)
+        assert structure.stripes, codec
+        col_chunks = chunkers.chunk_orc_columns_bytes(data)
+        _assert_cover(col_chunks, len(data))
+        assert chunkers.reassemble(data, col_chunks) == data, codec
