@@ -322,3 +322,27 @@ def test_orc_walker_handles_spark_written_files(spark, sf_dir, tmp_path):
         col_chunks = chunkers.chunk_orc_columns_bytes(data)
         _assert_cover(col_chunks, len(data))
         assert chunkers.reassemble(data, col_chunks) == data, codec
+
+
+def test_parquet_walker_handles_spark_written_files(spark, sf_dir, tmp_path):
+    """The Thrift compact-protocol page walker must handle parquet-mr output
+    (Spark's Java writer) — different header layout/encodings than the
+    pyarrow-written fixtures — at page granularity, per codec."""
+    import glob as _glob
+
+    from columnar_aware_dedup_spark.io import table
+
+    df = table(spark, sf_dir, "supplier")
+    for codec in ("snappy", "gzip", "zstd", "none"):
+        out = tmp_path / f"pq_{codec}"
+        df.coalesce(1).write.option("compression", codec).parquet(str(out))
+        (path,) = _glob.glob(str(out / "*.parquet"))
+        data = open(path, "rb").read()
+        chunks = chunkers.chunk_parquet_bytes(data)
+        kinds = {c["chunk_type"] for c in chunks}
+        assert "ColumnChunk" not in kinds, (
+            f"{codec}: page walk fell back to column-chunk spans"
+        )
+        assert any(k.startswith("DataPage") for k in kinds), (codec, kinds)
+        _assert_cover(chunks, len(data))
+        assert chunkers.reassemble(data, chunks) == data, codec
