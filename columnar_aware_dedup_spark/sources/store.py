@@ -202,3 +202,67 @@ def probe_store(
         .withColumn("hit", F.col("_hit").isNotNull())
         .drop("_hit")
     )
+
+
+def _store_location(spark: SparkSession, table_name: str) -> str:
+    rows = spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+    for r in rows:
+        if r["col_name"].strip() == "Location":
+            return r["data_type"].removeprefix("file:")
+    raise ValueError(f"no location for table {table_name!r}")
+
+
+def _n_data_files(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(1 for f in files if f.endswith(".parquet"))
+    return total
+
+
+def compact_store(
+    spark: SparkSession, table_name: str, n_buckets: int = DEFAULT_BUCKETS
+) -> tuple[int, int]:
+    """Rewrite the store as one sorted file per bucket; returns
+    (files_before, files_after).
+
+    Every streaming micro-batch and every :func:`merge_into_store` call
+    appends its own parquet files, so a long-lived store accretes thousands
+    of small files per bucket — the classic object-store death-by-listing.
+    Compaction rewrites under the same writer lock: duplicates collapse to
+    the signature key, ``repartition(n_buckets, signature)`` aligns tasks
+    with the bucket hash (both sides use Murmur3 ``pmod``), so each task
+    emits exactly one sorted file, and the bucketed layout — the property
+    that keeps probes shuffle-free on the store side — survives the rewrite
+    (asserted by ``tests/test_store.py``). The swap is
+    drop-and-rename within the lock; readers in other sessions re-resolve
+    on their next ``refreshTable``.
+    """
+    import shutil
+
+    tmp = f"{table_name}__compacting"
+    with store_lock(spark, table_name):
+        spark.catalog.refreshTable(table_name)
+        before = _n_data_files(_store_location(spark, table_name))
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        shutil.rmtree(f"{warehouse}/{tmp.lower()}", ignore_errors=True)
+        (
+            spark.table(table_name)
+            .dropDuplicates(["signature"])
+            .repartition(n_buckets, "signature")
+            .write.bucketBy(n_buckets, "signature")
+            .sortBy("signature")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE {table_name}")
+        shutil.rmtree(
+            f"{warehouse}/{table_name.lower()}", ignore_errors=True
+        )
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+        spark.catalog.refreshTable(table_name)
+        after = _n_data_files(_store_location(spark, table_name))
+    return before, after

@@ -165,3 +165,32 @@ def test_probe_shuffles_only_incoming(spark, sf_dir):
     # the store side must contribute ZERO exchanges (bucket-aligned distinct
     # + join). More than 2 total means the bucket layout stopped being used.
     assert n <= 2, f"store side re-shuffled ({n} exchanges):\n{plan}"
+
+
+def test_compact_store_collapses_files_and_keeps_buckets(spark, sf_dir):
+    """After repeated merges the store accretes a file per merge per bucket;
+    compaction must collapse to one file per bucket, preserve the exact
+    signature set, and keep the layout that lets probes skip the store-side
+    shuffle."""
+    tbl = "test_compact_store"
+    chunks = _chunks(spark, sf_dir)
+    sigs = chunks.select("signature").distinct()
+    parts = [
+        chunks.filter(F.crc32(F.col("signature")) % 4 == i) for i in range(4)
+    ]
+    store.create_store(spark, parts[0], tbl, n_buckets=8)
+    for p in parts[1:]:
+        assert store.merge_into_store(spark, p, tbl) > 0
+
+    want = {r["signature"] for r in sigs.collect()}
+    before, after = store.compact_store(spark, tbl, n_buckets=8)
+    assert before > 8, f"merges should leave >1 file per bucket ({before})"
+    assert after == 8, f"one file per bucket expected, got {after}"
+    got = {r["signature"] for r in spark.table(tbl).collect()}
+    assert got == want, "compaction must not change the signature set"
+
+    # the rewritten table still probes without a store-side exchange
+    classified = store.probe_store(spark, chunks, tbl)
+    assert explain.n_exchanges(classified) <= 2, explain.plan_string(
+        classified, "formatted"
+    )
