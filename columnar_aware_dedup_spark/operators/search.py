@@ -261,3 +261,68 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- materialized inverted index --------------------------------------------
+
+def write_postings_index(
+    spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
+) -> None:
+    """Materialize the (term, doc_id, tf) postings as a parquet table
+    bucketed AND sorted by term — the real inverted index behind the
+    docstring claim in :func:`inverted_index_search`.
+
+    The write pays the (doc_id, term) aggregation and one term shuffle
+    ONCE; afterwards every term-keyed probe reads only matching buckets
+    with no exchange on the index side
+    (``tests/test_plans.py::test_postings_index_probe_is_exchange_free``).
+    At 100 TB, term buckets also make the index maintainable: re-indexing a
+    corpus delta appends to the same layout.
+    """
+    # ephemeral-metastore hygiene (same as sources.store.create_store): a
+    # fresh Derby can orphan the physical location from an earlier process
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    toks = (
+        _fanned(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    (
+        postings.repartition(n_buckets, "term")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def search_with_index(
+    spark: SparkSession, table_name: str, terms: tuple[str, ...] = _SEARCH_TERMS,
+    limit: int = _SEARCH_LIMIT,
+) -> DataFrame:
+    """Conjunctive search served from the materialized postings table: the
+    term filter prunes to the searched buckets' rows, the per-doc AND/rank
+    aggregation shuffles only those postings, and the index side contributes
+    zero exchanges. Result-identical to :func:`inverted_index_search` over
+    the same corpus (asserted in tests)."""
+    hits = (
+        spark.table(table_name)
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "total_tf")
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(limit)
+    )

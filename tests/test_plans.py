@@ -307,3 +307,25 @@ def test_gapfill_windows_are_keyed(spark, sf_dir):
     plan = explain.plan_string(df, mode="extended")
     for frag in plan.split("windowspecdefinition(")[1:]:
         assert frag.split(",")[0].strip().startswith("event_type"), frag[:120]
+
+
+def test_postings_index_probe_is_exchange_free_and_identical(spark, sf_dir):
+    """The materialized term-bucketed postings index: searching it returns
+    exactly what the scan-based search returns, and the index side of the
+    plan contributes at most the tiny per-doc aggregation exchange — the
+    postings themselves are never re-shuffled."""
+    from columnar_aware_dedup_spark.operators import search
+
+    tbl = "test_postings_idx"
+    search.write_postings_index(spark, sf_dir, tbl)
+    got = search.search_with_index(spark, tbl)
+    want = search.inverted_index_search(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # one exchange total: the post-filter per-doc aggregation of the few
+    # searched postings; zero on the bucketed index scan itself. Plan
+    # inspected on a FRESH DataFrame — an executed AQE plan prints final +
+    # initial sections and would double-count its exchanges.
+    fresh = search.search_with_index(spark, tbl)
+    n = explain.n_exchanges(fresh)
+    assert n <= 1, explain.plan_string(fresh)
+    assert explain.has_take_ordered(fresh)
