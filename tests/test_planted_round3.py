@@ -184,3 +184,36 @@ def test_pipeline_dedup_all_decisions(spark, tmp_path):
     assert got[0] == "keep"
     assert got[1] == "drop_exact", "identical text drops as exact, not near"
     assert got[2] == "keep"
+
+
+def test_hash_embeddings_feed_the_ann_stack(spark, tmp_path):
+    """The text->vector bridge composes with the existing vector machinery:
+    byte-identical documents get identical hash embeddings, land in the same
+    LSH bucket in EVERY band, and surface as near-dup candidates."""
+    from columnar_aware_dedup_spark.operators.search import doc_hash_embedding
+    from columnar_aware_dedup_spark.operators.similarity import lsh_buckets
+
+    dup = "spark shuffles columns into buckets for the join"
+    sf_dir = _write_documents(
+        tmp_path,
+        [dup, "totally unrelated words about storage formats", dup],
+    )
+    emb = doc_hash_embedding(spark, sf_dir).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    b = lsh_buckets(emb).select("vec_id", "bucket")
+    a, c = b.alias("a"), b.alias("c")
+    from pyspark.sql import functions as F
+
+    cand = (
+        a.join(
+            c,
+            (F.col("c.bucket") == F.col("a.bucket"))
+            & (F.col("c.vec_id") > F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("x"), F.col("c.vec_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    pairs = {(r["x"], r["y"]) for r in cand}
+    assert (0, 2) in pairs, pairs
