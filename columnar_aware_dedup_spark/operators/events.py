@@ -385,7 +385,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-         CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
   FROM events GROUP BY bucket_start, event_type
 ), bounds AS (
   SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -422,11 +423,14 @@ def event_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the LOCF window partitions by event_type over the tiny grid.
     """
     e = table(spark, sf_dir, "events")
+    # avg via the decimal-exact sum (functions.hashing discipline): plain
+    # AVG(double) differs from DuckDB in the last ulp under Spark's partial
+    # aggregation, which flipped one round-to-6 row at sf0.1.
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(exact_sum("value") / F.count("*"), 6).alias("avg_value"),
     )
     spine = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
