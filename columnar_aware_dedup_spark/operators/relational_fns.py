@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from columnar_aware_dedup_spark.functions.hashing import exact_sum
 from columnar_aware_dedup_spark.io import table
 from columnar_aware_dedup_spark.registry import register
 
@@ -128,7 +129,7 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 2) AS price_stddev,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       round(avg(l_discount), 6) AS avg_discount
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_discount
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -142,7 +143,12 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
                 "qty_price_corr"
             ),
-            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            # decimal-exact mean: plain AVG(double) can flip a round-to-6
+            # boundary between engines (same class of bug the sf0.1 sweep
+            # caught in event_gapfill_locf)
+            F.round(exact_sum("l_discount") / F.count("*"), 6).alias(
+                "avg_discount"
+            ),
         )
         .orderBy("l_returnflag")
     )
