@@ -389,3 +389,63 @@ def test_streaming_anomaly_accumulates_across_batches(spark, sf_dir, tmp_path):
     )
     assert got.exceptAll(finalized).count() == 0
     assert finalized.exceptAll(got).count() == 0
+
+
+def test_streaming_indexer_matches_batch_index(spark, sf_dir, tmp_path):
+    """Incremental postings maintenance: stream the corpus in two waves
+    (with the first file REPLAYED in wave two), and the final index must
+    equal the batch-built index over the whole corpus — the anti-join on
+    indexed doc_ids makes replays no-ops, so tf never double-counts."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators import search
+    from columnar_aware_dedup_spark.streaming import indexer
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_indexer")
+    tbl = "test_streaming_postings"
+
+    # seed an EMPTY bucketed index with the production layout
+    empty = spark.createDataFrame([], "term string, doc_id long, tf long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "term")
+        .sortBy("term")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+    q = indexer.start_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+    n1 = spark.table(tbl).count()
+    assert n1 > 0
+
+    # wave 2: the rest of the corpus + a byte-identical REPLAY of wave 1
+    pq_.write_table(t.slice(half), docs_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1_replay.parquet")
+    q = indexer.start_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+
+    got = spark.table(tbl)
+    want = indexer.batch_postings(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    assert got.count() == want.count(), "replay must not duplicate postings"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # and the maintained index serves searches identically to a fresh scan
+    via_index = search.search_with_index(spark, tbl)
+    via_scan = search.inverted_index_search(spark, sf_dir)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in via_scan.collect()
+    ]
