@@ -220,10 +220,19 @@ def _n_data_files(path: str) -> int:
 
 
 def compact_store(
-    spark: SparkSession, table_name: str, n_buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession,
+    table_name: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    key: str = "signature",
+    dedupe: bool = True,
 ) -> tuple[int, int]:
-    """Rewrite the store as one sorted file per bucket; returns
+    """Rewrite a key-bucketed table as one sorted file per bucket; returns
     (files_before, files_after).
+
+    Generic over the bucket key: the chunk store compacts on ``signature``
+    (rows deduped — the store is signature-keyed), the streaming postings
+    index on ``term`` with ``dedupe=False`` (its (term, doc_id) rows are
+    already unique and must all survive).
 
     Every streaming micro-batch and every :func:`merge_into_store` call
     appends its own parquet files, so a long-lived store accretes thousands
@@ -242,18 +251,27 @@ def compact_store(
     tmp = f"{table_name}__compacting"
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
-        before = _n_data_files(_store_location(spark, table_name))
+        location = _store_location(spark, table_name)
+        before = _n_data_files(location)
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
             "file:"
         )
         shutil.rmtree(f"{warehouse}/{tmp.lower()}", ignore_errors=True)
+        # read the FILES, not the catalog table: a bucketed-table scan
+        # reports HashPartitioning(key, n), so Catalyst elides the
+        # repartition below as redundant — and the auto-bucketed-scan
+        # conversion then runs the write with unaligned task partitions,
+        # scattering each bucket across many files (observed: 256 -> 96
+        # instead of 256 -> 8). A plain parquet read has no partitioning
+        # metadata, so the bucket-aligned repartition survives.
+        df = spark.read.parquet(location)
+        if dedupe:
+            df = df.dropDuplicates([key])
         (
-            spark.table(table_name)
-            .dropDuplicates(["signature"])
-            .repartition(n_buckets, "signature")
-            .write.bucketBy(n_buckets, "signature")
-            .sortBy("signature")
+            df.repartition(n_buckets, key)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
             .format("parquet")
             .mode("overwrite")
             .saveAsTable(tmp)

@@ -194,3 +194,48 @@ def test_compact_store_collapses_files_and_keeps_buckets(spark, sf_dir):
     assert explain.n_exchanges(classified) <= 2, explain.plan_string(
         classified, "formatted"
     )
+
+
+def test_compact_generalizes_to_postings_index(spark, sf_dir, tmp_path):
+    """The same compaction maintains the streaming postings index: after
+    incremental merges leave multiple files, compacting on term (no dedupe —
+    (term, doc_id) rows are unique and must survive) collapses files,
+    preserves every posting, and keeps index-served search identical."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators import search
+    from columnar_aware_dedup_spark.streaming import indexer
+
+    tbl = "test_compact_postings"
+    import shutil as _sh
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        spark.createDataFrame([], "term string, doc_id long, tf long")
+        .write.format("parquet")
+        .bucketBy(8, "term")
+        .sortBy("term")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i in range(3):
+        lo, hi = i * third, (i + 1) * third if i < 2 else t.num_rows
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        assert indexer.merge_postings(spark, batch, tbl) > 0
+
+    want = spark.table(tbl).count()
+    before, after = store.compact_store(spark, tbl, n_buckets=8, key="term", dedupe=False)
+    assert before > 8 and after == 8, (before, after)
+    assert spark.table(tbl).count() == want, "every posting must survive"
+    via_index = search.search_with_index(spark, tbl)
+    via_scan = search.inverted_index_search(spark, sf_dir)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in via_scan.collect()
+    ]
