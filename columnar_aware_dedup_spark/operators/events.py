@@ -492,7 +492,7 @@ ORDER BY event_type, bucket_start
 @register("event_anomaly_zscore", oracle=ANOMALY_ORACLE)
 def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly scores: each hour's event count z-scored
-    against the preceding {lookback}-hour distribution of its own type;
+    against the preceding 24-hour distribution of its own type;
     hours without a full baseline (or a degenerate sigma) are excluded so
     the flag is well-defined on both engines.
 

@@ -58,7 +58,7 @@ ORDER BY doc_id, tfidf DESC, term
 
 @register("tfidf_top_terms", oracle=TFIDF_ORACLE)
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} tf-idf terms per document (tf x ln(N/df), ties to the
+    """Top-3 tf-idf terms per document (tf x ln(N/df), ties to the
     alphabetically-first term so both engines rank identically).
 
     Three aggregations — tf on (doc_id, term), df on term, and the one-row
@@ -137,7 +137,7 @@ LIMIT {_SEARCH_LIMIT}
 @register("inverted_index_search", oracle=SEARCH_ORACLE)
 def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive keyword search: documents containing EVERY query term,
-    ranked by total term frequency (ties to lowest doc_id), top {limit}.
+    ranked by total term frequency (ties to lowest doc_id), top 20.
 
     The posting-list probe as a plan: the ``term IN (...)`` filter runs
     *before* the shuffle, so only the searched terms' postings move; the
@@ -213,7 +213,7 @@ FROM vecs ORDER BY doc_id
 @register("doc_hash_embedding", oracle=HASH_EMBEDDING_ORACLE)
 def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document embeddings (the hashing trick): each term's
-    tf lands in md5-nibble bucket 0..{dim-1} with a +/-1 sign bit, summed and
+    tf lands in md5-nibble bucket 0..15 with a +/-1 sign bit, summed and
     L2-normalized — a deterministic, vocabulary-free text->vector bridge, so
     every embedding operator (cosine top-k, LSH/IVF ANN, SemDeDup) runs on
     raw documents with no model in the loop.
