@@ -346,3 +346,21 @@ def test_parquet_walker_handles_spark_written_files(spark, sf_dir, tmp_path):
         assert any(k.startswith("DataPage") for k in kinds), (codec, kinds)
         _assert_cover(chunks, len(data))
         assert chunkers.reassemble(data, chunks) == data, codec
+
+
+def test_parquet_walker_handles_duckdb_written_files(sf_dir, tmp_path):
+    """Third writer family: DuckDB's own parquet writer (independent of
+    pyarrow and parquet-mr). Page-granularity walk + byte-identical
+    reassembly per codec."""
+    for codec in ("snappy", "zstd", "gzip", "uncompressed"):
+        out = tmp_path / f"duck_{codec}.parquet"
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/supplier.parquet')) "
+            f"TO '{out}' (FORMAT parquet, COMPRESSION {codec})"
+        )
+        data = out.read_bytes()
+        chunks = chunkers.chunk_parquet_bytes(data)
+        kinds = {c["chunk_type"] for c in chunks}
+        assert "ColumnChunk" not in kinds, (codec, kinds)
+        _assert_cover(chunks, len(data))
+        assert chunkers.reassemble(data, chunks) == data, codec
