@@ -286,7 +286,7 @@ SELECT c_custkey,
        CAST(c_custkey AS VARCHAR) AS key_str,
        CAST(floor(c_acctbal) AS BIGINT) AS bal_floor_int,
        CAST(trunc(c_acctbal) AS BIGINT) AS bal_trunc_int,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS bal_decimal,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_decimal,
        (c_acctbal > 0) AS is_positive
 FROM customer ORDER BY c_custkey
 """,
@@ -294,7 +294,14 @@ FROM customer ORDER BY c_custkey
 def cast_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-cast matrix. Raw double->int casts are deliberately absent: Spark
     truncates where DuckDB rounds, so the engine's contract requires explicit
-    floor/trunc."""
+    floor/trunc.
+
+    ``bal_decimal`` exercises the DECIMAL(18,2) cast but ships the result as
+    DOUBLE: the driver canonicalizer stringifies ``Decimal('123.40')`` with
+    its trailing zero while DuckDB's decimal reaches pandas as float
+    ``123.4`` — identical values, different representation, broken hash
+    (CORRECTNESS_r03). H-query outputs must be representation-stable scalar
+    types; ``tests/test_registry_oracles.py`` lints this."""
     c = table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -307,7 +314,7 @@ def cast_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN c_acctbal >= 0 THEN floor(c_acctbal)"
             " ELSE ceil(c_acctbal) END AS BIGINT)"
         ).alias("bal_trunc_int"),
-        F.col("c_acctbal").cast("decimal(18,2)").alias("bal_decimal"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("bal_decimal"),
         (F.col("c_acctbal") > 0).alias("is_positive"),
     ).orderBy("c_custkey")
 

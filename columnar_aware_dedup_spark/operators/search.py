@@ -86,8 +86,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     tot = normalized(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    # No broadcast hint on df: at web-corpus vocabulary (1e8+ distinct
+    # tokens) the term->df table does NOT fit the driver, and tf is already
+    # term-partitionable so the shuffle join is cheap. AQE still broadcasts
+    # when df measures small at runtime. The one-row corpus count stays an
+    # explicit broadcast.
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(tot))
         .select(
             "doc_id",
@@ -203,9 +208,13 @@ WITH toks AS (
   FROM dense GROUP BY doc_id
 )
 SELECT doc_id,
-       CASE WHEN nrm > 0
-            THEN list_transform(vec, x -> round(x / nrm, 6))
-            ELSE list_transform(vec, x -> round(x, 6)) END AS embedding
+       array_to_string(
+         CASE WHEN nrm > 0
+              THEN list_transform(
+                     vec, x -> CAST(CAST(round(x / nrm, 6) AS DECIMAL(9,6)) AS VARCHAR))
+              ELSE list_transform(
+                     vec, x -> CAST(CAST(round(x, 6) AS DECIMAL(9,6)) AS VARCHAR)) END,
+         ',') AS embedding
 FROM vecs ORDER BY doc_id
 """
 
@@ -254,9 +263,18 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            # The normalized components are joined into ONE string column:
+            # the driver canonicalizer sorts output frames in pandas and an
+            # array<double> cell is unhashable there (CORRECTNESS_r03 crash);
+            # the DECIMAL(9,6) hop pins a fixed-point text form both engines
+            # render identically (double->string diverges on sci-notation).
+            # Same house pattern as array_fns (operators/relational.py).
             F.expr(
-                "CASE WHEN nrm > 0 THEN transform(vec, x -> round(x / nrm, 6))"
-                " ELSE transform(vec, x -> round(x, 6)) END"
+                "array_join(CASE WHEN nrm > 0"
+                " THEN transform(vec, x -> CAST(CAST(round(x / nrm, 6)"
+                " AS DECIMAL(9,6)) AS STRING))"
+                " ELSE transform(vec, x -> CAST(CAST(round(x, 6)"
+                " AS DECIMAL(9,6)) AS STRING)) END, ',')"
             ).alias("embedding"),
         )
         .orderBy("doc_id")

@@ -269,13 +269,18 @@ def test_search_prunes_terms_before_shuffle(spark, sf_dir):
     assert "vector" in post_exchange and "stream" in post_exchange, plan
 
 
-def test_tfidf_df_and_count_broadcast(spark, sf_dir):
-    """tfidf_top_terms: the document-frequency table and the one-row corpus
-    count join back onto tf as broadcasts — the (doc_id, term) grouping is
-    the only data-sized shuffle."""
+def test_tfidf_count_broadcast_df_unhinted(spark, sf_dir):
+    """tfidf_top_terms: the one-row corpus count joins as a broadcast, but
+    the term->df join carries NO explicit broadcast hint — at web-corpus
+    vocabulary the df table does not fit the driver, so strategy choice is
+    left to AQE (broadcast when small, term-keyed shuffle join when not)."""
+    import inspect
+
     from columnar_aware_dedup_spark.operators import search
 
     assert explain.has_broadcast_join(search.tfidf_top_terms(spark, sf_dir))
+    src = inspect.getsource(search.tfidf_top_terms)
+    assert "broadcast(df" not in src, "df broadcast hint is vocabulary-unsafe"
 
 
 def test_hash_embedding_is_pure_builtin(spark, sf_dir):

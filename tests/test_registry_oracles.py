@@ -30,6 +30,31 @@ def test_every_oracle_has_a_query():
     assert set(_ORACLES) <= set(_QUERIES)
 
 
+def test_h_query_outputs_are_canon_safe(spark, sf_dir):
+    """No H query may emit a top-level DECIMAL, ARRAY, or MAP column.
+
+    The driver's canonicalizer is pandas-based and representation-sensitive:
+    Decimal cells stringify with their scale ('123.40' vs DuckDB's float
+    123.4 — cast_fns, FAIL r03) and list cells are unhashable under
+    ``sort_values`` (doc_hash_embedding, crash r03). The local harness in
+    ``tests/oracle.py`` canonicalizes both away, so only this lint — not the
+    oracle compare — catches the class. Ship arrays as ``array_join`` strings
+    (via a DECIMAL hop for doubles) and decimals as DOUBLE."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    offenders = {}
+    for name in sorted(_ORACLES):
+        schema = _QUERIES[name](spark, sf_dir).schema
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, DecimalType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-canon-unsafe H output columns: {offenders}"
+
+
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
     active r03 rotation (never-driver-checked queries + flagship re-checks)
