@@ -53,6 +53,13 @@ HEADLINE = [
     "tfidf_top_terms",
     # real WAV encode -> parse -> features (the mapInPandas audio path).
     "multimodal_audio_features",
+    # r04 additions: the iterative label-propagation clustering and the ANN
+    # recall gate were the last major families with no perf signal, plus the
+    # end-to-end curation pipeline and the now-hash-checked image decode.
+    "near_dup_clusters",
+    "ann_recall_report",
+    "pipeline_curate",
+    "multimodal_decode",
 ]
 
 

@@ -159,29 +159,132 @@ ROTATION_R3: list[str] = [
     "dedup_hit_miss",
 ]
 
-#: r04 rotation (PREPARED, not active): once CORRECTNESS_r03 lands, every
-#: registered query has a driver row and the window's job flips to
-#: re-verification — the flagship dedup core, the LLM-pipeline surface, the
-#: ORC family, the macro core, and the r03 additions. The r04 session
-#: activates it by switching ``registry.reorder`` below; the window test
-#: asserts (conditionally, once CORRECTNESS_r03.json exists) that any query
-#: STILL lacking a driver row is in this list, so the list cannot go stale
-#: the way the r02-prepared r03 window briefly did.
-ROTATION_R4: list[str] = DRIVER_PRIORITY[:40] + [
-    # r03 additions join the re-check core (displacing 10 scalar/macro
-    # re-checks that keep their r01/r02 rows and the local oracle gate)
-    "semantic_dedup",
-    "tfidf_top_terms",
-    "inverted_index_search",
-    "event_gapfill_locf",
-    "event_anomaly_zscore",
-    "multimodal_audio_features",
+#: r04 rotation (ACTIVE): leads with the two r03 FAIL rows (driver-canon
+#: fixes — cast_fns ships its decimal as DOUBLE, doc_hash_embedding joins
+#: its vector to a string) and the two R->H promotions (the image pipeline
+#: now hash-checks against a closed-form pixel oracle); then the 42 queries
+#: whose only driver row is from r01 — three rounds stale, the relational /
+#: events / set-op surface — for drift re-verification; then this round's
+#: changed-plan re-checks (event_anomaly_zscore rewired through the
+#: streaming integer-sum scorer, tfidf_top_terms without the vocabulary
+#: broadcast hint) and the flagship.
+ROTATION_R4: list[str] = [
+    # r03 reds, fixed this round — flip first
+    "cast_fns",
     "doc_hash_embedding",
-    "pipeline_dedup_all",
-    "event_funnel",
-    "cohort_retention",
+    # R -> H promotions (driver row type changes from rows-only to hash)
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    # r01-only rows, three rounds stale (derived from CORRECTNESS_r0*.json)
+    "scan_project",
+    "filter_pred",
+    "groupby_sum_count",
+    "stats_agg",
+    "distinct_count",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "asof_join",
+    "range_join_bands",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "pivot_agg",
+    "argminmax_agg",
+    "having_filter",
+    "percentile_disc_median",
+    "window_rank",
+    "window_lag_frame",
+    "window_first_last",
+    "window_ntile_dist",
+    "orderby_limit_topk",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "string_fns",
+    "date_fns",
+    "math_fns",
+    "array_fns",
+    "json_extract",
+    "row_signature",
+    "dedup_exact_rows",
+    "event_tumbling_window",
+    "event_sliding_window",
+    "event_session_window",
+    "event_dedup_first",
+    "event_watermark_filter",
+    "event_hypertable_rollup",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    # changed-plan re-checks (this round) + the flagship
+    "event_anomaly_zscore",
+    "tfidf_top_terms",
+    "dedup_hit_miss",
+    "dedup_hierarchical",
 ]
 
-registry.reorder(ROTATION_R3)
+#: r05 rotation (PREPARED, not active): with r04 re-verifying the r01-stale
+#: surface, the next window's job is the queries whose newest driver row is
+#: from r02 — the dedup core, ORC family, text/embedding suites, and macro
+#: batch 1 — plus the flagship and two r03-flagship re-checks as fill. The
+#: freshness test arms itself once CORRECTNESS_r04.json lands, so any query
+#: still missing a driver row then must appear here.
+ROTATION_R5: list[str] = [
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "apply_in_pandas_group",
+    "approx_distinct",
+    "chunk_simulate",
+    "col_type_stats",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "grouped_percentile",
+    "grouped_percentile_approx",
+    "lang_id_heuristic",
+    "line_dedup_corpus",
+    "minhash_near_dup",
+    "minhash_signature",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "orc_file_chunks",
+    "orc_hierarchical_dedup",
+    "orc_linked_reconstruction",
+    "orc_reconstruction",
+    "pandas_udf_scalar",
+    "parquet_file_chunks",
+    "pipeline_curate",
+    "q10_returned_item",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_bracketed_or",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "salted_groupby",
+    "simhash_hamming_pairs",
+    "simhash_signature",
+    "small_chunk_policy",
+    "text_exact_dedup",
+    "text_normalize",
+    "token_count_bpe",
+    "token_topk",
+    "transfer_stats_rollup",
+    "transfer_stats_rollup_approx",
+    "transfer_stats_taxonomy",
+    # fill: the flagship + r03-flagship re-checks
+    "dedup_hit_miss",
+    "semantic_dedup",
+    "pipeline_dedup_all",
+]
+
+registry.reorder(ROTATION_R4)
 
 __all__ = ["registry"]

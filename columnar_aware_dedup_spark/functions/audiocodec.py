@@ -76,6 +76,8 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # the size field can lie on truncated input
+                raise ValueError("truncated fmt chunk")
             codec, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if codec != 1:
                 raise ValueError(f"unsupported WAV codec {codec}")

@@ -121,6 +121,28 @@ def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb
 
 
+def synth_frames(doc_id: int) -> bytes:
+    """Deterministic multi-frame P6 container whose every pixel byte is
+    closed-form in ``doc_id`` — the image analogue of
+    ``audiocodec.synth_samples`` (same oracle trick: a SQL
+    ``generate_series`` can regenerate byte ``i`` of frame ``f`` as
+    ``(doc_id*7 + f*13 + i) % 256``, so the decode path is hash-checkable
+    end to end with no image library on either side).
+
+    Geometry also derives from ``doc_id`` so the corpus exercises varied
+    shapes: width ``4 + d%5``, height ``3 + d%4``, frames ``1 + d%4``.
+    """
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    n_frames = 1 + doc_id % 4
+    out = bytearray()
+    for f in range(n_frames):
+        base = doc_id * 7 + f * 13
+        rgb = bytes((base + i) % 256 for i in range(w * h * 3))
+        out += encode_ppm(w, h, rgb)
+    return bytes(out)
+
+
 def mean_luma(rgb: bytes) -> float:
     """Rec.601 luma over RGB bytes, normalized to [0, 1], 6 decimals."""
     n = len(rgb) // 3

@@ -471,14 +471,25 @@ WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_start, event_type,
          CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY bucket_start, event_type
-), scored AS (
+), sums AS (
   SELECT bucket_start, event_type, n_events,
-         avg(n_events) OVER w AS mu,
-         stddev_samp(n_events) OVER w AS sigma,
+         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS win_sum,
+         CAST(coalesce(sum(n_events * n_events) OVER w, 0) AS BIGINT)
+           AS win_sumsq,
          count(*) OVER w AS n_obs
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
                ROWS BETWEEN {_ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  -- mu/sigma derived from EXACT integer window sums with the same
+  -- operation order as streaming/anomaly.with_zscore — stddev_samp's
+  -- engine-internal accumulation order is not portable at round(.,6)
+  SELECT bucket_start, event_type, n_events, n_obs,
+         CAST(win_sum AS DOUBLE) / n_obs AS mu,
+         sqrt((CAST(win_sumsq AS DOUBLE)
+               - CAST(win_sum AS DOUBLE) * win_sum / n_obs)
+              / (n_obs - 1)) AS sigma
+  FROM sums
 )
 SELECT bucket_start, event_type, n_events,
        round((n_events - mu) / sigma, 6) AS zscore,
@@ -500,37 +511,17 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a batch plan: one data-sized shuffle to hourly counts, then a
     per-type ordered window over the bucket grid — bounded by the time
     range, not the event volume, so the window never sees corpus-scale
-    partitions. The streaming twin would maintain the same trailing stats
-    with ``applyInPandasWithState``.
+    partitions. It IS the streaming twin's code path: the trailing window
+    produces exact integer sums (``streaming.anomaly.anomaly_sums_batch``)
+    and the z-score derives from them in the shared ``with_zscore``
+    projection — ``stddev_samp`` is deliberately absent, since its
+    engine-internal accumulation order is not portable at ``round(., 6)``
+    (the same floating-aggregate class as the r03 ``event_gapfill_locf``
+    AVG fix).
     """
+    from columnar_aware_dedup_spark.streaming import anomaly
+
     e = table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
-    ).agg(F.count("*").alias("n_events"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket_start")
-        .rowsBetween(-_ANOMALY_LOOKBACK, -1)
-    )
-    scored = hourly.select(
-        "bucket_start",
-        "event_type",
-        "n_events",
-        F.avg("n_events").over(w).alias("mu"),
-        F.stddev_samp("n_events").over(w).alias("sigma"),
-        F.count("*").over(w).alias("n_obs"),
-    )
-    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
-    return (
-        scored.filter(
-            (F.col("n_obs") >= _ANOMALY_LOOKBACK) & (F.col("sigma") > 0)
-        )
-        .select(
-            "bucket_start",
-            "event_type",
-            "n_events",
-            F.round(z, 6).alias("zscore"),
-            (F.abs(z) >= F.lit(_ANOMALY_Z)).alias("is_anomaly"),
-        )
-        .orderBy("event_type", "bucket_start")
+    return anomaly.with_zscore(anomaly.anomaly_sums_batch(e)).orderBy(
+        "event_type", "bucket_start"
     )

@@ -36,48 +36,114 @@ class StoreLockTimeout(RuntimeError):
     """Raised when a writer cannot acquire the store lock in time."""
 
 
+class MkdirLockBackend:
+    """Atomic-mkdir mutex: correct on local filesystems and HDFS, where
+    ``mkdir`` is an atomic namespace operation. The default backend."""
+
+    def try_acquire(self, lock_path: str) -> bool:
+        try:
+            os.makedirs(lock_path, exist_ok=False)
+            return True
+        except FileExistsError:
+            return False
+
+    def age(self, lock_path: str) -> float | None:
+        """Seconds since the lock was taken; None if it vanished."""
+        try:
+            return time.time() - os.stat(lock_path).st_mtime
+        except FileNotFoundError:
+            return None
+
+    def steal(self, lock_path: str) -> None:
+        with contextlib.suppress(OSError):
+            os.rmdir(lock_path)  # fails if the holder re-appeared
+
+    def release(self, lock_path: str) -> None:
+        with contextlib.suppress(OSError):
+            os.rmdir(lock_path)
+
+
+class ConditionalPutLockBackend:
+    """Conditional-put mutex: acquire = create-exclusive (the filesystem
+    analogue of an If-None-Match PUT, which S3/GCS/ABFS all support
+    natively), release = delete. The lock object records owner pid and
+    acquisition time, so operators can inspect a wedged lock. On a real
+    object store the two calls become ``PUT If-None-Match: *`` and
+    ``DELETE``; everything else — retry loop, stale-steal policy, the
+    merge/compact call sites — is unchanged (the r03 documented boundary
+    turned into a code path)."""
+
+    def try_acquire(self, lock_path: str) -> bool:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(f'{{"pid": {os.getpid()}, "acquired": {time.time()}}}\n')
+        return True
+
+    def age(self, lock_path: str) -> float | None:
+        try:
+            return time.time() - os.stat(lock_path).st_mtime
+        except FileNotFoundError:
+            return None
+
+    def steal(self, lock_path: str) -> None:
+        with contextlib.suppress(OSError):
+            os.unlink(lock_path)
+
+    def release(self, lock_path: str) -> None:
+        with contextlib.suppress(OSError):
+            os.unlink(lock_path)
+
+
+#: process-wide default; swap for ConditionalPutLockBackend on object stores
+#: (or replace the whole locking layer with Delta/Iceberg MERGE).
+DEFAULT_LOCK_BACKEND = MkdirLockBackend()
+
+
 @contextlib.contextmanager
 def store_lock(
     spark: SparkSession,
     table_name: str,
     timeout: float = 120.0,
     stale_after: float = 600.0,
+    backend=None,
 ):
-    """Serialize store writers with an atomic lock directory.
+    """Serialize store writers on a named mutex.
 
-    ``mkdir`` is atomic on local filesystems and HDFS, so concurrent merges
-    to the same table serialize instead of both observing a signature as
-    missing and double-appending it (the r02 single-writer caveat). A lock
-    older than ``stale_after`` is presumed orphaned by a dead writer and
-    stolen. On object stores without atomic mkdir, swap this for a
-    transactional table format's MERGE (Delta/Iceberg) — the calling code
-    is unchanged either way.
+    The acquire/steal/release primitive is pluggable (``backend``): the
+    default :class:`MkdirLockBackend` is correct on local/HDFS semantics;
+    :class:`ConditionalPutLockBackend` maps onto object-store conditional
+    writes. Either way, concurrent merges to the same table serialize
+    instead of both observing a signature as missing and double-appending
+    it (the r02 single-writer caveat). A lock older than ``stale_after``
+    is presumed orphaned by a dead writer and stolen; after a steal the
+    stealer still races through ``try_acquire``, so exactly one of several
+    stealers wins.
     """
+    backend = backend or DEFAULT_LOCK_BACKEND
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    lock_dir = f"{warehouse}/{table_name.lower()}__lock"
+    lock_path = f"{warehouse}/{table_name.lower()}__lock"
     deadline = time.monotonic() + timeout
     while True:
-        try:
-            os.makedirs(lock_dir, exist_ok=False)
+        if backend.try_acquire(lock_path):
             break
-        except FileExistsError:
-            try:
-                if time.time() - os.stat(lock_dir).st_mtime > stale_after:
-                    with contextlib.suppress(OSError):
-                        os.rmdir(lock_dir)  # fails if the holder is active
-                    continue
-            except FileNotFoundError:
-                continue  # released between mkdir and stat — retry now
-            if time.monotonic() > deadline:
-                raise StoreLockTimeout(
-                    f"could not lock store {table_name!r} within {timeout}s"
-                ) from None
-            time.sleep(0.02 + random.random() * 0.08)
+        age = backend.age(lock_path)
+        if age is None:
+            continue  # released between acquire and stat — retry now
+        if age > stale_after:
+            backend.steal(lock_path)
+            continue
+        if time.monotonic() > deadline:
+            raise StoreLockTimeout(
+                f"could not lock store {table_name!r} within {timeout}s"
+            )
+        time.sleep(0.02 + random.random() * 0.08)
     try:
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.rmdir(lock_dir)
+        backend.release(lock_path)
 
 
 def create_store(
@@ -242,9 +308,14 @@ def compact_store(
     with the bucket hash (both sides use Murmur3 ``pmod``), so each task
     emits exactly one sorted file, and the bucketed layout — the property
     that keeps probes shuffle-free on the store side — survives the rewrite
-    (asserted by ``tests/test_store.py``). The swap is
-    drop-and-rename within the lock; readers in other sessions re-resolve
-    on their next ``refreshTable``.
+    (asserted by ``tests/test_store.py``). The swap runs within the lock
+    as rename-aside / rename-in / drop-aside, so the pre-compaction data
+    is never deleted before the compacted table is bound: a crash between
+    the two renames leaves the canonical name briefly unbound but BOTH
+    versions intact — recovery is ``ALTER TABLE {table}__precompact RENAME
+    TO {table}`` (old data) or the same for ``{table}__compacting`` (new
+    data), whichever the operator prefers. Readers in other sessions
+    re-resolve on their next ``refreshTable``.
     """
     import shutil
 
@@ -276,11 +347,13 @@ def compact_store(
             .mode("overwrite")
             .saveAsTable(tmp)
         )
-        spark.sql(f"DROP TABLE {table_name}")
-        shutil.rmtree(
-            f"{warehouse}/{table_name.lower()}", ignore_errors=True
-        )
+        aside = f"{table_name}__precompact"
+        spark.sql(f"DROP TABLE IF EXISTS {aside}")
+        shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
+        spark.sql(f"ALTER TABLE {table_name} RENAME TO {aside}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+        spark.sql(f"DROP TABLE {aside}")
+        shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
         spark.catalog.refreshTable(table_name)
         after = _n_data_files(_store_location(spark, table_name))
     return before, after

@@ -98,7 +98,22 @@ def _score_fn(
 
 
 def anomaly_sums_stream(events: DataFrame) -> DataFrame:
-    """events stream -> finalized hourly counts + trailing integer sums."""
+    """events stream -> finalized hourly counts + trailing integer sums.
+
+    Requires a UTC session: ``_score_fn`` floors naive pandas timestamps to
+    epoch hours assuming UTC and emits tz-aware UTC bucket starts, which
+    matches the batch twin's ``date_trunc('hour')`` only because
+    ``session.py`` pins ``spark.sql.session.timeZone=UTC`` — under any other
+    session zone the stream's bucket_start silently shifts by the offset,
+    so the requirement is asserted here rather than documented away."""
+    session = events.sparkSession
+    tz = session.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"anomaly_sums_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the stateful kernel buckets naive timestamps as "
+            "UTC epoch hours"
+        )
     return events.groupBy("event_type").applyInPandasWithState(
         _score_fn,
         outputStructType=_OUT_SCHEMA,

@@ -176,3 +176,20 @@ def test_wav_parser_rejects_non_riff():
 
     with _pytest.raises(ValueError):
         audiocodec.parse_wav(b"not a wav at all")
+
+
+def test_wav_parser_rejects_truncated_fmt():
+    """A fmt size field that lies about a truncated body must raise the
+    module's documented ValueError, not struct.error (ADVICE r03)."""
+    import struct
+
+    import pytest as _pytest
+
+    from columnar_aware_dedup_spark.functions import audiocodec
+
+    canonical = audiocodec.write_wav(audiocodec.synth_samples(3))
+    # keep the declared fmt size (16) but cut the payload short
+    truncated = canonical[: 12 + 8 + 10]
+    truncated = b"RIFF" + struct.pack("<I", len(truncated) - 8) + truncated[8:]
+    with _pytest.raises(ValueError, match="truncated fmt chunk"):
+        audiocodec.parse_wav(truncated)

@@ -57,13 +57,13 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r03 rotation (never-driver-checked queries + flagship re-checks)
+    active r04 rotation (fixed reds + R->H promotions + r01-stale re-checks)
     must be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R3)] == pkg.ROTATION_R3
+    assert names[: len(pkg.ROTATION_R4)] == pkg.ROTATION_R4
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -77,8 +77,6 @@ R_ALLOWLIST = {
     "orc_linked_reconstruction": "binary reassembly golden, pytest-verified",
     "parquet_file_chunks": "binary parquet bytes; DuckDB cannot chunk files",
     "parquet_reconstruction": "binary reassembly golden, pytest-verified",
-    "multimodal_decode": "kernel output engine-specific (PIL/fake gated)",
-    "multimodal_frame_sample": "kernel output engine-specific",
     "ivf_train_kmeans": "iterative float averages; recovery pytest-verified",
     "file_inventory": "no DuckDB directory scan",
     "file_parse_overhead": "wall-clock measurement",
@@ -94,56 +92,55 @@ def test_rows_only_queries_are_allowlisted():
     )
 
 
-def test_rotation_r3_is_a_valid_window():
-    """The active r03 rotation must be 50 unique registered names covering
-    EVERY query that lacks a driver CORRECTNESS row from r01/r02.  The
-    never-checked set is derived from the recorded CORRECTNESS_r0*.json files
-    rather than a hand-maintained list, so registering a new query fails this
-    test until it is rotated into the driver window."""
+def _driver_checked_queries() -> set[str]:
     import json
     from pathlib import Path
-
-    import columnar_aware_dedup_spark as pkg
-
-    assert len(pkg.ROTATION_R3) == 50
-    assert len(set(pkg.ROTATION_R3)) == 50
-    assert set(pkg.ROTATION_R3) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
     checked: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         checked |= set(json.loads(path.read_text()))
-    never_checked = set(_QUERIES) - checked
-    missing = never_checked - set(pkg.ROTATION_R3)
-    assert not missing, (
-        "queries with no driver CORRECTNESS row must be in the active "
-        f"rotation window: {sorted(missing)}"
-    )
+    return checked
 
 
-def test_rotation_r4_is_prepared_and_fresh():
-    """ROTATION_R4 (prepared for next round) must be 50 unique registered
-    names; once this round's CORRECTNESS_r03.json exists, it must also cover
-    every query still lacking a driver row — the conditional keeps the
-    prepared list from rotting between rounds (the r02->r03 staleness)."""
-    import json
-    from pathlib import Path
-
+def test_rotation_r4_is_a_valid_window():
+    """The active r04 rotation must be 50 unique registered names covering
+    EVERY query that lacks a driver CORRECTNESS row. The never-checked set
+    is derived from the recorded CORRECTNESS_r0*.json files rather than a
+    hand-maintained list, so registering a new query fails this test until
+    it is rotated into the driver window."""
     import columnar_aware_dedup_spark as pkg
 
     assert len(pkg.ROTATION_R4) == 50
     assert len(set(pkg.ROTATION_R4)) == 50
     assert set(pkg.ROTATION_R4) <= set(_QUERIES)
 
+    never_checked = set(_QUERIES) - _driver_checked_queries()
+    missing = never_checked - set(pkg.ROTATION_R4)
+    assert not missing, (
+        "queries with no driver CORRECTNESS row must be in the active "
+        f"rotation window: {sorted(missing)}"
+    )
+
+
+def test_rotation_r5_is_prepared_and_fresh():
+    """ROTATION_R5 (prepared for next round) must be 50 unique registered
+    names; once this round's CORRECTNESS_r04.json exists, it must also cover
+    every query still lacking a driver row — the conditional keeps the
+    prepared list from rotting between rounds (the r02->r03 staleness)."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R5) == 50
+    assert len(set(pkg.ROTATION_R5)) == 50
+    assert set(pkg.ROTATION_R5) <= set(_QUERIES)
+
     root = Path(__file__).resolve().parent.parent
-    r03 = root / "CORRECTNESS_r03.json"
-    if r03.exists():
-        checked: set[str] = set()
-        for path in sorted(root.glob("CORRECTNESS_r*.json")):
-            checked |= set(json.loads(path.read_text()))
-        never_checked = set(_QUERIES) - checked
-        missing = never_checked - set(pkg.ROTATION_R4)
+    if (root / "CORRECTNESS_r04.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R5)
         assert not missing, (
-            "queries with no driver row must be in the prepared r04 "
+            "queries with no driver row must be in the prepared r05 "
             f"window: {sorted(missing)}"
         )

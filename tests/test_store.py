@@ -37,13 +37,27 @@ def test_store_roundtrip_and_merge(spark, sf_dir):
     ), "store must stay signature-unique"
 
 
-def test_concurrent_merges_never_double_append(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "backend",
+    [store.MkdirLockBackend(), store.ConditionalPutLockBackend()],
+    ids=["mkdir", "conditional-put"],
+)
+def test_concurrent_merges_never_double_append(
+    spark, sf_dir, backend, monkeypatch
+):
     """Eight writers racing overlapping chunk sets into one store must leave
     it signature-unique with exactly the union of signatures — the r02
     single-writer caveat, removed by the store_lock serialization. Without
     the lock, two writers observe the same signature missing and both
-    append it (probabilistically reproduced before the fix)."""
+    append it (probabilistically reproduced before the fix). Parameterized
+    over both lock backends: the default mkdir mutex and the
+    object-store-shaped conditional-put mutex."""
     from concurrent.futures import ThreadPoolExecutor
+
+    monkeypatch.setattr(store, "DEFAULT_LOCK_BACKEND", backend)
 
     chunks = _chunks(spark, sf_dir)
     seed = chunks.filter(F.col("file_id") % 7 == 0)
@@ -66,27 +80,31 @@ def test_concurrent_merges_never_double_append(spark, sf_dir):
     assert total == want
 
 
-def test_store_lock_times_out_and_steals_stale(spark, tmp_path):
+@pytest.mark.parametrize(
+    "backend",
+    [store.MkdirLockBackend(), store.ConditionalPutLockBackend()],
+    ids=["mkdir", "conditional-put"],
+)
+def test_store_lock_times_out_and_steals_stale(spark, tmp_path, backend):
     """The lock raises after timeout while held, and a stale (dead-writer)
-    lock is stolen instead of deadlocking forever."""
+    lock is stolen instead of deadlocking forever — under both backends."""
     import os
     import time
 
-    import pytest
-
-    with store.store_lock(spark, TABLE):
+    with store.store_lock(spark, TABLE, backend=backend):
         with pytest.raises(store.StoreLockTimeout):
-            with store.store_lock(spark, TABLE, timeout=0.3):
+            with store.store_lock(spark, TABLE, timeout=0.3, backend=backend):
                 pass
-    # simulate a dead writer: pre-create the lock dir with an old mtime
+    # simulate a dead writer: pre-create the lock object with an old mtime
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    lock_dir = f"{warehouse}/{TABLE.lower()}__lock"
-    os.makedirs(lock_dir, exist_ok=False)
+    lock_path = f"{warehouse}/{TABLE.lower()}__lock"
+    assert backend.try_acquire(lock_path)
     old = time.time() - 10_000
-    os.utime(lock_dir, (old, old))
-    with store.store_lock(spark, TABLE, timeout=5.0, stale_after=600.0):
+    os.utime(lock_path, (old, old))
+    with store.store_lock(spark, TABLE, timeout=5.0, stale_after=600.0,
+                          backend=backend):
         pass  # acquired by stealing the stale lock
-    assert not os.path.exists(lock_dir)
+    assert not os.path.exists(lock_path)
 
 
 def test_probe_results_match_unbucketed(spark, sf_dir):
