@@ -60,6 +60,9 @@ HEADLINE = [
     "ann_recall_report",
     "pipeline_curate",
     "multimodal_decode",
+    # r04 new operators: substring-span dedup + bigram-LM quality score.
+    "dup_span_fraction",
+    "bigram_logprob_score",
 ]
 
 

@@ -218,11 +218,12 @@ ROTATION_R4: list[str] = [
     "event_hypertable_rollup",
     "q3_shipping_priority",
     "q5_local_supplier",
-    # changed-plan re-checks (this round) + the flagship
+    # new r04 registrations (never driver-checked, so mandatory here)
+    "dup_span_fraction",
+    "bigram_logprob_score",
+    # changed-plan re-check (rewired through the streaming scorer) + flagship
     "event_anomaly_zscore",
-    "tfidf_top_terms",
     "dedup_hit_miss",
-    "dedup_hierarchical",
 ]
 
 #: r05 rotation (PREPARED, not active): with r04 re-verifying the r01-stale
@@ -279,10 +280,10 @@ ROTATION_R5: list[str] = [
     "transfer_stats_rollup",
     "transfer_stats_rollup_approx",
     "transfer_stats_taxonomy",
-    # fill: the flagship + r03-flagship re-checks
+    # fill: the flagship + re-checks displaced from the r04 window
     "dedup_hit_miss",
-    "semantic_dedup",
-    "pipeline_dedup_all",
+    "dedup_hierarchical",
+    "tfidf_top_terms",
 ]
 
 registry.reorder(ROTATION_R4)

@@ -780,3 +780,186 @@ def pipeline_dedup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- exact substring-span dedup signal ---------------------------------------
+
+#: span width for the substring-dedup signal. Lee et al. 2022 ("Deduplicating
+#: Training Data Makes Language Models Better") use 50-token suffix-array
+#: matches; the fixtures' documents are short, so the span is 5 tokens — the
+#: knob, not the shape, changes at scale.
+_SPAN_N = 5
+
+#: distinct md5-hashed 5-token spans per document. Hashing the span BEFORE
+#: the shuffle is load-bearing at 100 TB: the span key that crosses the wire
+#: is a fixed 32-char digest, not 5 tokens of raw text. Short-doc guard as
+#: in ``_SHINGLES_SPARK``: a doc with fewer than 5 tokens contributes its
+#: whole text as its single span.
+_SPANS_SPARK = (
+    "CASE WHEN size(toks) >= 5 THEN"
+    " array_distinct(transform(sequence(1, size(toks) - 4),"
+    " i -> md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+    " element_at(toks, i + 2), element_at(toks, i + 3),"
+    " element_at(toks, i + 4)))))"
+    " ELSE array(md5(array_join(toks, ' '))) END"
+)
+_SPANS_SQL = (
+    "CASE WHEN len(toks) >= 5 THEN"
+    " list_distinct(list_transform(generate_series(1, len(toks) - 4),"
+    " i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||"
+    " toks[i+3] || ' ' || toks[i+4])))"
+    " ELSE [md5(array_to_string(toks, ' '))] END"
+)
+
+DUP_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, unnest({_SPANS_SQL}) AS span FROM t),
+c AS (SELECT span, count(*) AS n_docs FROM s GROUP BY span)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac,
+       (CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) < 0.5) AS keep
+FROM s JOIN c USING (span)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+@register("dup_span_fraction", oracle=DUP_SPAN_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup signal: the fraction of a document's
+    5-token spans that also occur verbatim in at least one OTHER document
+    (or twice here — any span shared across the corpus counts), with a
+    keep/drop verdict at 50 % — the distributed approximation of
+    suffix-array substring dedup (Lee et al. 2022): at 100 TB nobody builds
+    a corpus-wide suffix array, but span-hash counting gives the same
+    per-document duplication signal in two aggregations.
+
+    Plan shape: spans explode to (doc_id, span_hash) rows; one span-keyed
+    shuffle counts corpus occurrences with map-side partials; the count
+    joins back span-keyed (AQE broadcasts it when small; at web scale both
+    sides shuffle on the 16-byte hash) and one doc-keyed aggregation folds
+    the verdict. The explode is recomputed for the probe side rather than
+    checkpointed — it is data-sized, and the narrow md5 map is cheaper than
+    materializing it (the opposite trade from tfidf's aggregated tf). The
+    reference
+    computes the byte-level analogue of this signal per chunk
+    (``dedup/SpeedupDeDuplicator.java`` hit accounting); this is the
+    token-level twin the LLM-curation pipeline needs.
+    """
+    spans = (
+        _fanned(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("span"))
+    )
+    counts = spans.groupBy("span").agg(F.count("*").alias("n_docs"))
+    dup = (F.col("n_docs") >= 2).cast("int")
+    frac = F.sum(dup).cast("double") / F.count("*")
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac < 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- bigram language-model quality score -------------------------------------
+
+BIGRAM_LM_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+  FROM t WHERE len(toks) >= 2
+), bi AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+cb AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+lp AS (
+  SELECT bi.doc_id,
+         CAST(round(ln(CAST(cb.c2 AS DOUBLE) / cu.c1), 6) AS DECIMAL(18,6))
+           AS lp
+  FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob,
+       (CAST(sum(lp) AS DOUBLE) / count(*) >= -6.5) AS keep
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("bigram_logprob_score", oracle=BIGRAM_LM_ORACLE)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: the average
+    ln P(w2|w1) of the doc's bigrams under corpus MLE counts — the
+    perplexity-proxy quality filter (fluent/common text scores high,
+    garbled or out-of-domain text low), self-trained so no model rides
+    along. Docs with fewer than 2 tokens have no bigram and are excluded on
+    both engines.
+
+    Float discipline: each bigram's log-prob is rounded to 6 dp and cast to
+    DECIMAL(18,6), so the per-document summation is EXACT and
+    order-independent (the ``event_gapfill_locf`` decimal-sum pattern —
+    a float sum's accumulation order is not portable across engines).
+
+    Plan shape: one (w1, w2) shuffle builds the bigram counts; the context
+    counts re-aggregate those partials (w1-keyed, ~vocabulary-sized); both
+    join back onto the bigram stream by content keys; one doc-keyed
+    aggregation folds the average. No broadcast hints: at web-corpus
+    vocabulary the count tables outgrow the driver (the tfidf lesson), and
+    AQE still broadcasts them when they measure small.
+    """
+    bi = (
+        _fanned(spark, sf_dir)
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    # cb feeds both the probe join and (re-aggregated on w1) the context
+    # counts; a lazy localCheckpoint materializes the (w1, w2) shuffle once
+    # instead of once per consumer — the tfidf tf-sharing pattern, and like
+    # there the checkpointed table is aggregation-sized, not data-sized.
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    cu = cb.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    lp = (
+        bi.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    avg = F.sum("lp").cast("double") / F.count("*")
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(avg, 6).alias("avg_logprob"),
+            (avg >= -6.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -164,7 +164,13 @@ def test_hash_embedding_unit_norm_and_empty_doc(spark, tmp_path):
     from columnar_aware_dedup_spark.operators.search import doc_hash_embedding
 
     sf_dir = _write_documents(tmp_path, ["alpha beta gamma", "?!...", "alpha"])
-    got = {r["doc_id"]: r["embedding"] for r in doc_hash_embedding(spark, sf_dir).collect()}
+    # the embedding ships as a comma-joined fixed-point string (the driver
+    # canon cannot sort array cells — see search.doc_hash_embedding)
+    got = {
+        r["doc_id"]: [float(v) for v in r["embedding"].split(",")]
+        for r in doc_hash_embedding(spark, sf_dir).collect()
+    }
+    assert all(len(v) == 16 for v in got.values())
     assert all(v == 0.0 for v in got[1]), "token-free doc keeps zero vector"
     for d in (0, 2):
         nrm = math.sqrt(sum(v * v for v in got[d]))
