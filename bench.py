@@ -60,9 +60,11 @@ HEADLINE = [
     "ann_recall_report",
     "pipeline_curate",
     "multimodal_decode",
-    # r04 new operators: substring-span dedup + bigram-LM quality score.
+    # r04 new operators: substring-span dedup, bigram-LM quality score, and
+    # the PQ/ADC compressed-vector ANN path.
     "dup_span_fraction",
     "bigram_logprob_score",
+    "ann_pq_topk",
 ]
 
 

@@ -25,6 +25,7 @@ from columnar_aware_dedup_spark.operators import search  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
+from columnar_aware_dedup_spark.operators import pq  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
@@ -200,9 +201,6 @@ ROTATION_R4: list[str] = [
     "window_first_last",
     "window_ntile_dist",
     "orderby_limit_topk",
-    "set_union",
-    "set_intersect",
-    "set_except",
     "string_fns",
     "date_fns",
     "math_fns",
@@ -218,9 +216,14 @@ ROTATION_R4: list[str] = [
     "event_hypertable_rollup",
     "q3_shipping_priority",
     "q5_local_supplier",
-    # new r04 registrations (never driver-checked, so mandatory here)
+    # new r04 registrations (never driver-checked, so mandatory here;
+    # set_union/intersect/except wait for r05-06 — their *_all twins hold
+    # r03 rows and the local oracle harness still gates them every session)
     "dup_span_fraction",
     "bigram_logprob_score",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "pq_train_codebooks",
     # changed-plan re-check (rewired through the streaming scorer) + flagship
     "event_anomaly_zscore",
     "dedup_hit_miss",
@@ -280,10 +283,10 @@ ROTATION_R5: list[str] = [
     "transfer_stats_rollup",
     "transfer_stats_rollup_approx",
     "transfer_stats_taxonomy",
-    # fill: the flagship + re-checks displaced from the r04 window
+    # fill: the flagship family + the set-ops displaced from the r04 window
     "dedup_hit_miss",
     "dedup_hierarchical",
-    "tfidf_top_terms",
+    "set_union",
 ]
 
 registry.reorder(ROTATION_R4)

@@ -204,12 +204,18 @@ def test_hash_embeddings_feed_the_ann_stack(spark, tmp_path):
         tmp_path,
         [dup, "totally unrelated words about storage formats", dup],
     )
-    emb = doc_hash_embedding(spark, sf_dir).withColumnRenamed(
-        "doc_id", "vec_id"
+    from pyspark.sql import functions as F
+
+    # the query ships the vector as a comma-joined string (driver-canon
+    # contract); the ANN stack consumes the parsed array form
+    emb = doc_hash_embedding(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            "transform(split(embedding, ','), x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
     )
     b = lsh_buckets(emb).select("vec_id", "bucket")
     a, c = b.alias("a"), b.alias("c")
-    from pyspark.sql import functions as F
 
     cand = (
         a.join(

@@ -78,6 +78,7 @@ R_ALLOWLIST = {
     "parquet_file_chunks": "binary parquet bytes; DuckDB cannot chunk files",
     "parquet_reconstruction": "binary reassembly golden, pytest-verified",
     "ivf_train_kmeans": "iterative float averages; recovery pytest-verified",
+    "pq_train_codebooks": "iterative float averages; structure pytest-verified",
     "file_inventory": "no DuckDB directory scan",
     "file_parse_overhead": "wall-clock measurement",
 }
