@@ -449,3 +449,60 @@ def test_streaming_indexer_matches_batch_index(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in via_index.collect()] == [
         tuple(r) for r in via_scan.collect()
     ]
+
+
+def test_streaming_span_index_matches_batch_dedup(spark, sf_dir, tmp_path):
+    """Incremental span-index maintenance: stream the corpus in two waves
+    (with the first file REPLAYED in wave two); the maintained index must
+    hold exactly the batch-derived span set, and the duplicated-span
+    verdict table served FROM the index must equal the batch
+    ``dup_span_fraction`` corpus scan row-for-row."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.text import dup_span_fraction
+    from columnar_aware_dedup_spark.streaming import spans as span_idx
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_stream_spans"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_spans")
+    tbl = "test_streaming_spans"
+
+    empty = spark.createDataFrame([], "span string, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "span")
+        .sortBy("span")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+    q = span_idx.start_span_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+    assert spark.table(tbl).count() > 0
+
+    pq_.write_table(t.slice(half), docs_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1_replay.parquet")
+    q = span_idx.start_span_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+
+    got = spark.table(tbl)
+    want = span_idx.batch_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("span", "doc_id")  # table column order; exceptAll is positional
+    assert got.count() == want.count(), "replay must not duplicate spans"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    via_index = span_idx.dup_fraction_from_index(spark, tbl)
+    via_scan = dup_span_fraction(spark, sf_dir)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in via_scan.collect()
+    ]
