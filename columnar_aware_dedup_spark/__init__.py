@@ -176,8 +176,9 @@ ROTATION_R4: list[str] = [
     # R -> H promotions (driver row type changes from rows-only to hash)
     "multimodal_decode",
     "multimodal_frame_sample",
-    # r01-only rows, three rounds stale (derived from CORRECTNESS_r0*.json)
-    "scan_project",
+    # r01-only rows, three rounds stale (derived from CORRECTNESS_r0*.json;
+    # scan_project and the set ops yield their slots to new registrations —
+    # they keep r01 rows and the local oracle gate runs every session)
     "filter_pred",
     "groupby_sum_count",
     "stats_agg",
@@ -221,6 +222,7 @@ ROTATION_R4: list[str] = [
     # r03 rows and the local oracle harness still gates them every session)
     "dup_span_fraction",
     "bigram_logprob_score",
+    "ngram_containment_pairs",
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",

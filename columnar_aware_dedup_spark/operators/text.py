@@ -687,6 +687,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS tokset
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             / CAST(len(a.tokset) AS DOUBLE), 6) AS contain_a_in_b,
+       round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             / CAST(len(b.tokset) AS DOUBLE), 6) AS contain_b_in_a
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+""",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment for adjacent doc pairs: |A∩B|/|A| and
+    |A∩B|/|B| — the quote/subset detector Jaccard misses (a short doc fully
+    embedded in a long one has low Jaccard but containment 1.0; Broder's
+    resemblance-vs-containment distinction). Same linear pair generation as
+    ``ngram_jaccard_pairs``; in production it runs on LSH candidate
+    pairs."""
+    t = normalized(spark, sf_dir).select(
+        "doc_id", F.array_distinct("toks").alias("tokset")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect("a.tokset", "b.tokset")).cast("double")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / F.size("a.tokset").cast("double"), 6).alias(
+            "contain_a_in_b"
+        ),
+        F.round(inter / F.size("b.tokset").cast("double"), 6).alias(
+            "contain_b_in_a"
+        ),
+    )
+
+
 # -- end-to-end dedup decision table ----------------------------------------
 
 PIPELINE_DEDUP_ALL_ORACLE = f"""

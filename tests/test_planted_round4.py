@@ -89,3 +89,21 @@ def test_bigram_logprob_excludes_tokenless_docs(spark, tmp_path):
     sf_dir = _write_documents(tmp_path, ["hello world", "solo", "?!.."])
     got = {r["doc_id"] for r in bigram_logprob_score(spark, sf_dir).collect()}
     assert got == {0}
+
+
+def test_containment_catches_embedded_quote(spark, tmp_path):
+    """A short doc fully embedded in a long neighbor has containment 1.0 in
+    one direction while Jaccard stays low — the asymmetric-dup case."""
+    from columnar_aware_dedup_spark.operators.text import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(17))
+    sf_dir = _write_documents(tmp_path, [short, long_])
+    c = ngram_containment_pairs(spark, sf_dir).collect()[0]
+    assert c["contain_a_in_b"] == 1.0, "short doc fully contained"
+    assert c["contain_b_in_a"] == round(3 / 20, 6)
+    j = ngram_jaccard_pairs(spark, sf_dir).collect()[0]
+    assert j["jaccard"] == round(3 / 20, 6), "Jaccard misses the subset dup"
