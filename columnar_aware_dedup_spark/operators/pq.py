@@ -250,6 +250,8 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_cosine_topk,
     )
 
+    # no checkpoint on exact: the same sharing idea measured neutral-to-
+    # slower on ann_recall_report (see the negative-result note there).
     exact = embedding_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )

@@ -560,6 +560,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     #queries x k (tiny regardless of collection size — the expensive scans
     are inside the underlying queries, each already scale-shaped).
     """
+    # NEGATIVE RESULT (r04, A/B at sf0.1, interleaved min-of-3 x2): a lazy
+    # localCheckpoint on `exact` — the tfidf tf-sharing pattern, since the
+    # exact top-k feeds both hit counts and the query-id base — measured
+    # NEUTRAL-to-slower (3.8-4.1s -> 4.3-4.6s): the brute-force recompute is
+    # cheap next to the materialization barrier, unlike tfidf's explode.
     exact = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = ann_ivf_nprobe_topk(spark, sf_dir).select("query_id", "neighbor_id")
