@@ -177,9 +177,9 @@ ROTATION_R4: list[str] = [
     "multimodal_decode",
     "multimodal_frame_sample",
     # r01-only rows, three rounds stale (derived from CORRECTNESS_r0*.json;
-    # scan_project and the set ops yield their slots to new registrations —
-    # they keep r01 rows and the local oracle gate runs every session)
-    "filter_pred",
+    # scan_project, filter_pred, and the set ops yield their slots to new
+    # registrations — they keep r01 rows and the local oracle gate runs
+    # every session)
     "groupby_sum_count",
     "stats_agg",
     "distinct_count",
@@ -223,6 +223,7 @@ ROTATION_R4: list[str] = [
     "dup_span_fraction",
     "bigram_logprob_score",
     "ngram_containment_pairs",
+    "near_dup_clusters_star",
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",

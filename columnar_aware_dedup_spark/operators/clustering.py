@@ -85,6 +85,95 @@ def connected_components(edges: DataFrame) -> DataFrame:
     raise RuntimeError(f"connected_components did not converge in {_MAX_ROUNDS} rounds")
 
 
+def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """(doc_a, doc_b) edges -> (doc_id, cluster_id) via alternating
+    large-star / small-star contractions (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — the 100 TB variant promised in
+    the module docstring.
+
+    Why it exists: min-label propagation converges in O(component diameter)
+    rounds — fine for shallow near-dup clusters, fatal for long chains
+    (``tests/test_clustering.py`` plants a 120-node path that the fixpoint
+    version cannot finish within its round budget; this one labels it in
+    ~7). Each round is the same dataflow cost class (one groupBy-min + one
+    join + one distinct), but the star contractions halve long chains, so
+    rounds grow with log(n), not diameter.
+
+    Per round over the symmetric adjacency: ``m(u) = min(N(u) ∪ {u})``;
+    large-star connects every neighbor ``v > u`` to ``m(u)``; small-star
+    connects every neighbor ``v < u`` (and ``u`` itself) to ``m(u)``.
+    Edges stay canonical (a < b, distinct) and the fixpoint is set
+    equality. At convergence every component is a star centered at its
+    minimum, so the final labels are one groupBy-min away.
+    """
+    e = (
+        edges.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    prev_unchanged = False
+    for rnd in range(max_rounds):
+        sym = _sym(e)
+        m = _mins(sym)
+        if rnd % 2 == 0:  # large-star: (v, m(u)) for v > u
+            emitted = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            )
+        else:  # small-star: (v, m(u)) for v < u, plus (u, m(u))
+            emitted = (
+                sym.filter(F.col("v") < F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("x"), F.col("m").alias("y"))
+                .unionByName(
+                    m.select(F.col("u").alias("x"), F.col("m").alias("y"))
+                )
+            )
+        new = (
+            emitted.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            new.count() == e.count()
+            and new.exceptAll(e).limit(1).count() == 0
+        )
+        e = new
+        # fixpoint = a FULL large+small cycle with no change: a state can be
+        # stable under one star operation alone without being a star forest
+        # (observed: declaring convergence on a lone stable small-star round
+        # mislabels long chains)
+        if unchanged and prev_unchanged:
+            break
+        prev_unchanged = unchanged
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    return _mins(_sym(e)).select(
+        F.col("u").alias("doc_id"), F.col("m").alias("cluster_id")
+    )
+
+
 def _pairs_sql() -> str:
     """The minhash_near_dup pair derivation as a CTE body (oracle side)."""
     from columnar_aware_dedup_spark.operators.text import (
@@ -143,6 +232,24 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(edges)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+@register("near_dup_clusters_star", oracle=NEAR_DUP_CLUSTERS_ORACLE)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cluster/keeper table computed by the O(log n)-round
+    large-star/small-star contraction instead of diameter-bound label
+    propagation — the variant that holds at 100 TB chain-shaped components.
+    Same oracle as ``near_dup_clusters``: two different algorithms (and a
+    third, DuckDB's recursive closure) must agree on every label."""
+    from columnar_aware_dedup_spark.operators.text import minhash_near_dup
+
+    edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_star(edges)
     return cc.select(
         "doc_id",
         "cluster_id",

@@ -32,3 +32,55 @@ def test_long_chain_converges(spark):
 def test_min_id_direction_irrelevant(spark):
     """Edge orientation must not matter (symmetrized internally)."""
     assert _cc(spark, [(5, 2), (2, 9)]) == {2: 2, 5: 2, 9: 2}
+
+
+def test_star_contraction_matches_fixpoint_on_fixture(spark, sf_dir):
+    """Both CC algorithms must produce identical labels on the real
+    MinHash candidate pairs."""
+    from columnar_aware_dedup_spark.operators.clustering import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+    )
+
+    a = [tuple(r) for r in near_dup_clusters(spark, sf_dir).collect()]
+    b = [tuple(r) for r in near_dup_clusters_star(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_star_contraction_conquers_long_chain(spark):
+    """A 120-node path has diameter 119: min-label propagation cannot
+    finish within its 50-round budget, while the star contraction labels
+    the whole chain as one component in O(log n) rounds — the property
+    that makes it the 100 TB variant."""
+    import pytest
+
+    from columnar_aware_dedup_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain)
+    labels = connected_components_star(chain).collect()
+    assert len(labels) == 121
+    assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_star_contraction_multiple_components_and_pairs(spark):
+    """Two disjoint components (a triangle + a pair) label to their own
+    minima; no cross-contamination."""
+    from columnar_aware_dedup_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 7), (7, 5), (20, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {5: 5, 7: 5, 9: 5, 11: 11, 20: 11}
