@@ -204,7 +204,6 @@ ROTATION_R4: list[str] = [
     "orderby_limit_topk",
     "string_fns",
     "date_fns",
-    "math_fns",
     "array_fns",
     "json_extract",
     "row_signature",
@@ -224,6 +223,7 @@ ROTATION_R4: list[str] = [
     "bigram_logprob_score",
     "ngram_containment_pairs",
     "near_dup_clusters_star",
+    "cluster_quality_keeper",
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",

@@ -239,6 +239,59 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CLUSTER_QUALITY_KEEPER_ORACLE = f"""
+WITH RECURSIVE {_pairs_sql()},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT l.doc_id, l.cluster_id, d.n_chars,
+       (row_number() OVER (PARTITION BY l.cluster_id
+                           ORDER BY d.n_chars DESC, l.doc_id) = 1) AS is_keeper
+FROM labels l JOIN documents d USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
+@register("cluster_quality_keeper", oracle=CLUSTER_QUALITY_KEEPER_ORACLE)
+def cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor choice: within each cluster keep the
+    LONGEST document (ties to lowest id) instead of the lowest id — the
+    policy real curation pipelines use, since the first-crawled copy of a
+    page is often the truncated one. Composes the components with a
+    per-cluster window (bounded by cluster size, never corpus size)."""
+    from pyspark.sql import Window
+
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators.text import minhash_near_dup
+
+    edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.row_number().over(w) == 1).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("near_dup_clusters_star", oracle=NEAR_DUP_CLUSTERS_ORACLE)
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same cluster/keeper table computed by the O(log n)-round

@@ -403,3 +403,57 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j", "code")
     )
+
+
+# -- persisted code table (the deployment artifact) --------------------------
+
+
+def write_pq_index(
+    spark: SparkSession, sf_dir: str, table_name: str
+) -> None:
+    """Materialize the PQ code table — the artifact a deployment persists:
+    ``(vec_id, codes array<int>)``, ~``_M`` bytes of payload per vector
+    instead of the full embedding. Encoding pays the zero-shuffle argmin
+    once; afterwards every ADC query scans codes, never raw vectors."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    e = table(spark, sf_dir, "embeddings")
+    encoded = e.join(F.broadcast(fixed_codebooks(e))).select(
+        "vec_id", encode_expr().alias("codes")
+    )
+    encoded.write.format("parquet").mode("overwrite").saveAsTable(table_name)
+
+
+def ann_pq_topk_from_index(
+    spark: SparkSession, sf_dir: str, table_name: str
+) -> DataFrame:
+    """The ``ann_pq_topk`` ranking served from the persisted code table:
+    queries still read their own full-precision vectors (ADC is
+    asymmetric), but the collection side reads ONLY the codes — at 100 TB
+    that is the difference between scanning 4 bytes and 256 bytes per
+    vector. Result-identical to the scan form (asserted in tests)."""
+    e = table(spark, sf_dir, "embeddings")
+    cbs = fixed_codebooks(e)
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        spark.table(table_name)
+        .join(F.broadcast(cbs))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc_dist_expr(), 6).alias("adc_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+        .orderBy("query_id", "adc_d", "neighbor_id")
+    )

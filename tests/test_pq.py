@@ -106,3 +106,22 @@ def test_pq_codes_are_m_small_ints(spark, sf_dir):
         | F.exists("codes", lambda c: (c < 0) | (c >= pq._KSUB))
     )
     assert bad.count() == 0
+
+
+def test_pq_index_serves_identical_results(spark, sf_dir):
+    """Encode-once/query-many: the persisted code table serves exactly the
+    ranking the scan form computes, and the code table's read schema is
+    codes-only (never the raw vectors)."""
+    tbl = "test_pq_codes"
+    pq.write_pq_index(spark, sf_dir, tbl)
+    via_index = pq.ann_pq_topk_from_index(spark, sf_dir, tbl)
+    via_scan = pq.ann_pq_topk(spark, sf_dir)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in via_scan.collect()
+    ]
+    # the collection side of the index plan must not read embeddings
+    plan = explain.plan_string(via_index, "formatted")
+    scans = [
+        frag for frag in plan.split("Scan parquet")[1:]
+    ]
+    assert any("codes" in s.split("ReadSchema")[1][:200] for s in scans if "ReadSchema" in s), plan
