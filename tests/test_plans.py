@@ -334,3 +334,21 @@ def test_postings_index_probe_is_exchange_free_and_identical(spark, sf_dir):
     n = explain.n_exchanges(fresh)
     assert n <= 1, explain.plan_string(fresh)
     assert explain.has_take_ordered(fresh)
+
+
+def test_span_and_bigram_tables_unhinted(spark, sf_dir):
+    """dup_span_fraction's span-count table and bigram_logprob_score's
+    count tables are corpus/vocabulary-sized at web scale — neither may
+    carry an explicit broadcast hint (the tfidf df lesson); AQE decides at
+    runtime. Both plans must also stay EvalPython-free (pure built-ins)."""
+    import inspect
+
+    from columnar_aware_dedup_spark.operators import text
+
+    for fn in (text.dup_span_fraction, text.bigram_logprob_score):
+        src = inspect.getsource(fn)
+        assert "F.broadcast(" not in src, (
+            f"{fn.__name__}: vocabulary-unsafe broadcast hint"
+        )
+        plan = explain.plan_string(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, fn.__name__
