@@ -203,7 +203,6 @@ ROTATION_R4: list[str] = [
     "window_ntile_dist",
     "orderby_limit_topk",
     "string_fns",
-    "date_fns",
     "array_fns",
     "json_extract",
     "row_signature",
@@ -224,6 +223,7 @@ ROTATION_R4: list[str] = [
     "ngram_containment_pairs",
     "near_dup_clusters_star",
     "cluster_quality_keeper",
+    "source_overlap_matrix",
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",

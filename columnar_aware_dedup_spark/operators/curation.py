@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.operators.text import (
     _NORM_SQL,
+    _SPANS_SPARK,
+    _SPANS_SQL,
     _grams_spark,
     _grams_sql,
     normalized,
@@ -758,4 +760,86 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept",
         )
         .orderBy("source")
+    )
+
+
+# -- cross-source overlap matrix ---------------------------------------------
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT source, unnest({_SPANS_SQL}) AS sig FROM t
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sigs FROM s GROUP BY source
+), pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_sigs
+  FROM s a JOIN s b ON a.sig = b.sig AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.shared_sigs,
+       ta.n_sigs AS sigs_a, tb.n_sigs AS sigs_b,
+       round(CAST(p.shared_sigs AS DOUBLE) / ta.n_sigs, 6) AS frac_of_a,
+       round(CAST(p.shared_sigs AS DOUBLE) / tb.n_sigs, 6) AS frac_of_b
+FROM pair p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+ORDER BY p.source_a, p.source_b
+"""
+
+
+@register("source_overlap_matrix", oracle=SOURCE_OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination report: for every source pair, how many
+    distinct hashed 5-token SPANS they share, and what fraction of each
+    source's span vocabulary that overlap is — the report a pipeline runs
+    before mixing corpora (how much of the crawl duplicates the curated
+    set decides the dedup order and the mixing weights). Span-level, not
+    whole-doc: partial contamination — the common case — is invisible to
+    document signatures.
+
+    Plan shape: one distinct on (source, span_hash), a hash-keyed
+    self-join (only spans present in 2+ sources survive — never all-pairs
+    of documents), and a #sources²-bounded result joined with the tiny
+    per-source totals. Everything shuffles on the 32-char content key.
+    """
+    s = (
+        normalized(spark, sf_dir)
+        .select("source", F.explode(F.expr(_SPANS_SPARK)).alias("sig"))
+        .distinct()
+    )
+    tot = s.groupBy("source").agg(F.count("*").alias("n_sigs"))
+    a, b = s.alias("a"), s.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_sigs"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_sigs").alias("sigs_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_sigs").alias("sigs_b")
+    )
+    return (
+        pair.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_sigs",
+            "sigs_a",
+            "sigs_b",
+            F.round(F.col("shared_sigs") / F.col("sigs_a"), 6).alias("frac_of_a"),
+            F.round(F.col("shared_sigs") / F.col("sigs_b"), 6).alias("frac_of_b"),
+        )
+        .orderBy("source_a", "source_b")
     )
