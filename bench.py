@@ -65,6 +65,13 @@ HEADLINE = [
     "dup_span_fraction",
     "bigram_logprob_score",
     "ann_pq_topk",
+    # late-r04 data-selection surface: DSIR importance weights (zero-shuffle
+    # broadcast-lambda fold over the corpus), the Zipf-fit diagnostic, and
+    # the in-plan Naive Bayes domain classifier (20-class fold, zero-shuffle
+    # apply).
+    "dsir_importance_weights",
+    "token_zipf_slope",
+    "naive_bayes_source_classify",
 ]
 
 

@@ -22,6 +22,8 @@ from columnar_aware_dedup_spark.operators import stats  # noqa: F401
 from columnar_aware_dedup_spark.operators import taxonomy  # noqa: F401
 from columnar_aware_dedup_spark.operators import multimodal  # noqa: F401
 from columnar_aware_dedup_spark.operators import search  # noqa: F401
+from columnar_aware_dedup_spark.operators import selection  # noqa: F401
+from columnar_aware_dedup_spark.operators import bpe  # noqa: F401
 from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
@@ -163,7 +165,7 @@ ROTATION_R3: list[str] = [
 #: r04 rotation (ACTIVE): leads with the two r03 FAIL rows (driver-canon
 #: fixes — cast_fns ships its decimal as DOUBLE, doc_hash_embedding joins
 #: its vector to a string) and the two R->H promotions (the image pipeline
-#: now hash-checks against a closed-form pixel oracle); then the 42 queries
+#: now hash-checks against a closed-form pixel oracle); then the 39 queries
 #: whose only driver row is from r01 — three rounds stale, the relational /
 #: events / set-op surface — for drift re-verification; then this round's
 #: changed-plan re-checks (event_anomaly_zscore rewired through the
@@ -177,7 +179,8 @@ ROTATION_R4: list[str] = [
     "multimodal_decode",
     "multimodal_frame_sample",
     # r01-only rows, three rounds stale (derived from CORRECTNESS_r0*.json;
-    # scan_project, filter_pred, and the set ops yield their slots to new
+    # scan_project, filter_pred, the set ops, and the scalar-fn trio
+    # (string_fns/array_fns/json_extract) yield their slots to new
     # registrations — they keep r01 rows and the local oracle gate runs
     # every session)
     "groupby_sum_count",
@@ -201,13 +204,8 @@ ROTATION_R4: list[str] = [
     "window_lag_frame",
     "window_first_last",
     "window_ntile_dist",
-    "orderby_limit_topk",
-    "string_fns",
-    "array_fns",
-    "json_extract",
     "row_signature",
     "dedup_exact_rows",
-    "event_tumbling_window",
     "event_sliding_window",
     "event_session_window",
     "event_dedup_first",
@@ -227,6 +225,15 @@ ROTATION_R4: list[str] = [
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",
+    # late-r04 data-selection surface (never driver-checked, mandatory here;
+    # string_fns/array_fns/json_extract/orderby_limit_topk/
+    # event_tumbling_window yield their re-check slots — they keep r01 rows
+    # and the local oracle gate runs every session)
+    "dsir_importance_weights",
+    "dsir_gumbel_resample",
+    "token_zipf_slope",
+    "naive_bayes_source_classify",
+    "bpe_train_merges",
     # changed-plan re-check (rewired through the streaming scorer) + flagship
     "event_anomaly_zscore",
     "dedup_hit_miss",

@@ -1,0 +1,442 @@
+"""Data-selection operators: DSIR importance weighting and Zipf diagnostics.
+
+The reference decides what to KEEP by byte-identity (its dedup store answers
+"have I seen this chunk?" — ``dedup/DedupStore.java``); a training-data
+pipeline additionally decides what to keep by *distribution*: score every raw
+document by how target-like it is, then resample. This module adds the two
+published, fully-columnar members of that family:
+
+- :func:`dsir_importance_weights` — hashed-n-gram importance resampling
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): fit unigram bucket distributions for a target domain and the
+  raw corpus, score each document with its summed per-token log-likelihood
+  ratio. Everything is seeded string hashing + exact decimal sums, so the
+  query is DuckDB-hash-checkable like the rest of the text suite.
+- :func:`token_zipf_slope` — the corpus-health diagnostic: weighted
+  least-squares slope of ln(freq) against ln(rank) per source. Natural text
+  sits near -1; templated/spam sources drift off. Rank is derived from a
+  *frequency histogram* suffix-sum, never a vocabulary-sized sort.
+
+Scale notes (100 TB):
+- DSIR shuffles once to build the 256-row bucket-count table (map-side
+  partial aggregation collapses each task to <=256 rows first); scoring is a
+  zero-shuffle narrow map — the one-row smoothed log-ratio array is
+  broadcast-nested-loop-joined onto the documents scan and folded per row,
+  the same shape as the IVF centroid assignment
+  (``similarity.centroid_array``). No vocabulary-sized state anywhere: the
+  bucket table is B=256 rows by construction, independent of corpus size.
+- Zipf shuffles once for (source, token) counts (again partial-agg first);
+  the histogram is |distinct frequencies| rows — thousands at web scale, not
+  vocabulary-sized — so its per-source window sort is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.text import _NORM_SQL, _fanned
+from columnar_aware_dedup_spark.registry import register
+
+#: number of hash buckets for the DSIR feature space: two md5 hex nibbles =
+#: 256. The construction is B-independent (the paper uses 10k — still
+#: driver-trivial, still one broadcast row).
+_B = 256
+
+#: the "target domain" whose distribution we upweight: fixture source src0
+#: stands in for the curated/high-quality corpus of the DSIR paper.
+_TARGET = "src0"
+
+#: md5-derived bucket in [0, 256): two hex nibbles, engine-shared (the
+#: ``search.py`` feature-hash pattern widened to two nibbles).
+_BUCKET_SPARK = (
+    "(instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1"
+)
+_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1"
+)
+
+#: smoothed per-bucket log-likelihood ratio, rounded to 6 dp and carried as
+#: DECIMAL(18,6) so per-document summation is EXACT and order-independent
+#: (the ``bigram_logprob_score`` float discipline). Laplace add-one over the
+#: B buckets on both numerators, so empty buckets are defined (they can only
+#: matter for out-of-corpus scoring; every in-corpus token has a count).
+_LAM_ARRAY_SPARK = f"""
+transform(sequence(0, {_B - 1}), b -> cast(round(
+    ln(cast(coalesce(element_at(m, b).t, 0L) + 1 as double)
+       / cast(tt + {_B} as double))
+  - ln(cast(coalesce(element_at(m, b).r, 0L) + 1 as double)
+       / cast(tr + {_B} as double)), 6) as decimal(18,6)))
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+), bt AS (
+  SELECT doc_id, {_BUCKET_SQL} AS b,
+         source = '{_TARGET}' AS is_target
+  FROM toks
+), bc AS (
+  SELECT b,
+         CAST(COUNT(*) AS BIGINT) AS r_n,
+         CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS t_n
+  FROM bt GROUP BY b
+), tot AS (
+  SELECT SUM(t_n) AS tt, SUM(r_n) AS tr FROM bc
+), lam AS (
+  SELECT b, CAST(round(
+      ln(CAST(t_n + 1 AS DOUBLE) / CAST(tt + {_B} AS DOUBLE))
+    - ln(CAST(r_n + 1 AS DOUBLE) / CAST(tr + {_B} AS DOUBLE)), 6)
+    AS DECIMAL(18,6)) AS lam
+  FROM bc, tot
+)
+SELECT bt.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(l.lam) AS DOUBLE), 6) AS logw,
+       SUM(l.lam) >= 0 AS keep
+FROM bt JOIN lam l USING (b)
+GROUP BY bt.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: per-document importance log-weight, target vs raw distribution.
+
+    Two stages. (1) *Fit*: explode tokens, hash each into one of 256 md5
+    buckets, count occurrences per bucket twice — within the target source
+    and corpus-wide — then collapse the 256-row table into ONE row holding
+    the smoothed log-ratio array ``lam`` (add-one smoothing over buckets).
+    (2) *Score*: broadcast that single row onto the documents scan and fold
+    each document's token array through ``lam`` with an exact decimal
+    accumulator — zero shuffle of the corpus, the IVF-assignment shape.
+
+    ``keep`` is the deterministic resampling stand-in: a document whose
+    tokens look more target-like than raw-like (logw >= 0) survives. The
+    paper adds Gumbel noise for sampled selection; seeded noise would keep
+    this hash-checkable but obscure the semantics under test.
+    """
+    fanned = _fanned(spark, sf_dir)
+    bc = (
+        fanned.select("source", F.explode("toks").alias("tok"))
+        .select(
+            F.expr(_BUCKET_SPARK).cast("int").alias("b"),
+            (F.col("source") == _TARGET).alias("is_target"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("r_n"),
+            F.count(F.when(F.col("is_target"), 1)).alias("t_n"),
+        )
+    )
+    lam = bc.agg(
+        F.expr(
+            "map_from_entries(collect_list(struct(b, struct(t_n AS t, r_n AS r))))"
+        ).alias("m"),
+        F.sum("t_n").alias("tt"),
+        F.sum("r_n").alias("tr"),
+    ).select(F.expr(_LAM_ARRAY_SPARK).alias("lam"))
+    fold = F.expr(
+        f"""aggregate(toks, cast(0 as decimal(18,6)),
+            (acc, tok) -> cast(acc + element_at(lam, ({_BUCKET_SPARK}) + 1)
+                           as decimal(18,6)))"""
+    )
+    return (
+        fanned.select("doc_id", "toks")
+        .join(F.broadcast(lam))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.round(fold.cast("double"), 6).alias("logw"),
+            (fold >= F.lit(0).cast("decimal(18,6)")).alias("keep"),
+        )
+    )
+
+
+#: seeded uniform in (0, 1) from the doc id — six md5 hex digits via the
+#: house conv/0x-cast pair (``curation.domain_mix_sample``), offset by 0.5
+#: so ln(u) and ln(-ln(u)) are always defined.
+_U_SPARK = (
+    "(conv(substring(md5(concat('gum:', cast(doc_id as string))), 1, 6),"
+    " 16, 10) + 0.5) / 16777216.0"
+)
+_U_SQL = (
+    "(CAST(('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 6))"
+    " AS BIGINT) + 0.5) / 16777216.0"
+)
+
+#: resample size: the Gumbel-top-k cut. Fixture-scale constant; at corpus
+#: scale k is the token-budget-derived sample size.
+_RESAMPLE_K = 100
+
+
+@register(
+    "dsir_gumbel_resample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+), bt AS (
+  SELECT doc_id, {_BUCKET_SQL} AS b,
+         source = '{_TARGET}' AS is_target
+  FROM toks
+), bc AS (
+  SELECT b,
+         CAST(COUNT(*) AS BIGINT) AS r_n,
+         CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS t_n
+  FROM bt GROUP BY b
+), tot AS (
+  SELECT SUM(t_n) AS tt, SUM(r_n) AS tr FROM bc
+), lam AS (
+  SELECT b, CAST(round(
+      ln(CAST(t_n + 1 AS DOUBLE) / CAST(tt + {_B} AS DOUBLE))
+    - ln(CAST(r_n + 1 AS DOUBLE) / CAST(tr + {_B} AS DOUBLE)), 6)
+    AS DECIMAL(18,6)) AS lam
+  FROM bc, tot
+), scored AS (
+  SELECT bt.doc_id, round(CAST(SUM(l.lam) AS DOUBLE), 6) AS logw
+  FROM bt JOIN lam l USING (b)
+  GROUP BY bt.doc_id
+)
+SELECT doc_id, logw,
+       round(logw - ln(-ln({_U_SQL})), 6) AS gumbel_key
+FROM scored
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {_RESAMPLE_K}
+""",
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step: Gumbel-top-k sampling without
+    replacement under the importance weights.
+
+    Adding independent Gumbel noise ``-ln(-ln(u))`` to each log-weight and
+    keeping the top k draws a weighted sample without replacement (the
+    Gumbel-max trick); u comes from a seeded md5 of the doc id, so the
+    "noise" — and therefore the sample — is a pure function of the corpus
+    and stays hash-checkable. The cut ranks the ROUNDED key with doc_id as
+    the tiebreak, so the boundary is engine-exact; the top-k itself plans
+    as TakeOrdered, never a global sort.
+    """
+    scored = dsir_importance_weights(spark, sf_dir)
+    key = F.round(F.col("logw") - F.log(-F.log(F.expr(_U_SPARK))), 6)
+    return (
+        scored.select("doc_id", "logw", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(_RESAMPLE_K)
+    )
+
+
+#: per-class smoothed token log-likelihood array + log-prior, built from the
+#: per-(source, bucket) count map exactly like the DSIR lambda array.
+_NB_CLASS_ARRAY_SPARK = f"""
+array_sort(collect_list(struct(
+    source,
+    prior,
+    transform(sequence(0, {_B - 1}), b -> cast(round(
+        ln(cast(coalesce(element_at(m, b), 0L) + 1 as double)
+           / cast(tt + {_B} as double)), 6) as decimal(18,6))) AS lam)))
+"""
+
+#: per-document class scores: log-prior + summed per-token log-likelihood,
+#: folded with an exact decimal accumulator; negated so ``array_sort``'s
+#: ascending lexicographic order yields (best score, lexicographically
+#: smallest source) first — the IVF argmin idiom.
+_NB_SCORES_SPARK = f"""
+array_sort(transform(classes, cl -> struct(
+    cast(-(cl.prior + aggregate(toks, cast(0 as decimal(18,6)),
+        (acc, tok) -> cast(acc + element_at(cl.lam, ({_BUCKET_SPARK}) + 1)
+                       as decimal(18,6)))) as decimal(28,6)) AS negs,
+    cl.source AS s)))
+"""
+
+
+@register(
+    "naive_bayes_source_classify",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+), bt AS (
+  SELECT doc_id, source, {_BUCKET_SQL} AS b FROM toks
+), cnt AS (
+  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bt GROUP BY source, b
+), stot AS (
+  SELECT source, SUM(c) AS tt FROM cnt GROUP BY source
+), prior AS (
+  SELECT source,
+         CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)),
+                    6) AS DECIMAL(18,6)) AS prior
+  FROM documents GROUP BY source
+), lam AS (
+  SELECT s.source, b.b, CAST(round(
+      ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+         / CAST(s.tt + {_B} AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam
+  FROM stot s
+  CROSS JOIN (SELECT unnest(generate_series(0, {_B - 1})) AS b) b
+  LEFT JOIN cnt c ON c.source = s.source AND c.b = b.b
+), score AS (
+  SELECT bt.doc_id, l.source AS cls,
+         ANY_VALUE(p.prior) + SUM(l.lam) AS s
+  FROM bt
+  JOIN lam l ON l.b = bt.b
+  JOIN prior p ON p.source = l.source
+  GROUP BY bt.doc_id, l.source
+), pred AS (
+  SELECT doc_id, cls AS pred_source
+  FROM score
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY s DESC, cls) = 1
+)
+SELECT d.source AS true_source, p.pred_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.source, p.pred_source
+""",
+)
+def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes domain classifier, trained and applied
+    in one plan — the closed-form stand-in for the fastText/CCNet-style
+    domain tagger of production curation stacks. Output is the
+    source-confusion matrix (true x predicted doc counts).
+
+    Fit: one (source, bucket) partial-agg shuffle (<= #sources x 256 rows by
+    construction) plus per-source token totals and doc-count priors, all
+    collapsed into ONE row of per-class (prior, lambda-array) structs.
+    Apply: broadcast that row and argmax a per-class decimal fold per
+    document — zero shuffle of the corpus; only the #sources^2-bounded
+    confusion matrix aggregates at the end. Ties break to the
+    lexicographically smallest source on both engines.
+    """
+    fanned = _fanned(spark, sf_dir)
+    bt = fanned.select(
+        "source", F.explode("toks").alias("tok")
+    ).select("source", F.expr(_BUCKET_SPARK).cast("int").alias("b"))
+    cnt = bt.groupBy("source", "b").agg(F.count("*").alias("c"))
+    stot = cnt.groupBy("source").agg(
+        F.sum("c").alias("tt"),
+        F.expr("map_from_entries(collect_list(struct(b, c)))").alias("m"),
+    )
+    n_docs = fanned.groupBy("source").agg(F.count("*").alias("nd"))
+    total = fanned.agg(F.count("*").alias("ntot"))
+    prior = (
+        n_docs.join(F.broadcast(total))
+        .select(
+            "source",
+            F.round(F.log(F.col("nd").cast("double") / F.col("ntot").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("prior"),
+        )
+    )
+    one = (
+        stot.join(prior, "source")
+        .agg(F.expr(_NB_CLASS_ARRAY_SPARK).alias("classes"))
+    )
+    pred = (
+        fanned.select("doc_id", F.col("source").alias("true_source"), "toks")
+        .join(F.broadcast(one))
+        .select(
+            "true_source",
+            F.expr(f"element_at({_NB_SCORES_SPARK}, 1).s").alias("pred_source"),
+        )
+    )
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+@register(
+    "token_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), hist AS (
+  SELECT source, c, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM vocab GROUP BY source, c
+), ranked AS (
+  SELECT source, c, n_terms,
+         COALESCE(SUM(n_terms) OVER (
+           PARTITION BY source ORDER BY c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS r
+  FROM hist
+), pts AS (
+  SELECT source, n_terms,
+         CAST(round(n_terms * ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(28,8)) AS sx,
+         CAST(round(n_terms * ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(28,8)) AS sy,
+         CAST(round(n_terms * ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 8)
+              AS DECIMAL(28,8)) AS sxy,
+         CAST(round(n_terms * ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 8)
+              AS DECIMAL(28,8)) AS sxx
+  FROM ranked
+)
+SELECT source,
+       CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS n_levels,
+       round((CAST(SUM(n_terms) AS DOUBLE) * CAST(SUM(sxy) AS DOUBLE)
+              - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sy) AS DOUBLE))
+             / (CAST(SUM(n_terms) AS DOUBLE) * CAST(SUM(sxx) AS DOUBLE)
+                - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sx) AS DOUBLE)),
+             6) AS zipf_slope
+FROM pts
+GROUP BY source
+""",
+)
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: weighted least-squares slope of ln(freq) on
+    ln(rank) over the token frequency distribution.
+
+    Rank comes from the frequency HISTOGRAM, not a vocabulary sort: terms
+    sharing a frequency share the min-rank (``rank()`` tie semantics), which
+    is ``1 + suffix-sum(n_terms over strictly higher frequencies)`` — a
+    window over |distinct frequencies| rows per source (bounded and tiny
+    under any Zipfian distribution), never over the vocabulary.
+
+    Float discipline: ln() of exact integers is engine-identical; every
+    weighted product is rounded to 8 dp and summed as DECIMAL(28,8) (exact,
+    order-independent); the final slope combines those exact sums in double
+    on both engines.
+    """
+    ex = _fanned(spark, sf_dir).select("source", F.explode("toks").alias("tok"))
+    vocab = ex.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    hist = vocab.groupBy("source", "c").agg(F.count("*").alias("n_terms"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "r", F.coalesce(F.sum("n_terms").over(w), F.lit(0)) + F.lit(1)
+    )
+    lnr = F.log(F.col("r").cast("double"))
+    lnc = F.log(F.col("c").cast("double"))
+    n = F.col("n_terms")
+    dec = lambda col: F.round(col, 8).cast("decimal(28,8)")  # noqa: E731
+    pts = ranked.select(
+        "source",
+        "n_terms",
+        dec(n * lnr).alias("sx"),
+        dec(n * lnc).alias("sy"),
+        dec(n * lnr * lnc).alias("sxy"),
+        dec(n * lnr * lnr).alias("sxx"),
+    )
+    W = F.sum("n_terms").cast("double")
+    Sx = F.sum("sx").cast("double")
+    Sy = F.sum("sy").cast("double")
+    Sxy = F.sum("sxy").cast("double")
+    Sxx = F.sum("sxx").cast("double")
+    return pts.groupBy("source").agg(
+        F.sum("n_terms").cast("bigint").alias("n_terms"),
+        F.count("*").alias("n_levels"),
+        F.round((W * Sxy - Sx * Sy) / (W * Sxx - Sx * Sx), 6).alias("zipf_slope"),
+    )

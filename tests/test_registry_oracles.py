@@ -81,6 +81,10 @@ R_ALLOWLIST = {
     "pq_train_codebooks": "iterative float averages; structure pytest-verified",
     "file_inventory": "no DuckDB directory scan",
     "file_parse_overhead": "wall-clock measurement",
+    "bpe_train_merges": (
+        "iterative greedy argmax; merge sequence pytest-verified against an"
+        " independent pure-Python BPE on a planted corpus"
+    ),
 }
 
 

@@ -1,0 +1,171 @@
+"""Planted-signal tests for the data-selection surface (DSIR, Zipf, BPE).
+
+The oracle sweep in ``test_registry_oracles.py`` already hash-checks
+``dsir_importance_weights`` and ``token_zipf_slope`` against DuckDB on the
+shared fixtures; these tests instead verify the SEMANTICS on corpora
+constructed so the right answer is known independently:
+
+- DSIR must separate a target domain with a disjoint vocabulary (positive
+  log-weights) from the background (negative);
+- the Zipf slope must match a NumPy-free closed-form recomputation with the
+  same min-rank tie convention on a geometric frequency ladder;
+- the BPE trainer must reproduce, merge for merge, an independent
+  pure-Python greedy BPE on the classic Sennrich-style toy corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from columnar_aware_dedup_spark.operators.bpe import train_merges_from
+from columnar_aware_dedup_spark.registry import QUERIES
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Write a planted documents.parquet shaped like the shared fixtures."""
+    df = spark.createDataFrame(
+        [(i, text, "en", source, len(text)) for i, (text, source) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dsir_separates_disjoint_vocabularies(spark, tmp_path):
+    """Target docs (src0, vocab A) must score positive; background docs
+    (vocab B) negative — with disjoint vocabularies the per-token log-ratio
+    is positive exactly on target tokens."""
+    rows = [("alpha beta gamma delta", "src0") for _ in range(6)] + [
+        ("omega sigma tau kappa", "srcX") for _ in range(6)
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dsir_importance_weights"](spark, sf).collect()
+    }
+    assert len(out) == 12
+    for i in range(6):
+        assert out[i]["logw"] > 0 and out[i]["keep"] is True
+    for i in range(6, 12):
+        assert out[i]["logw"] < 0 and out[i]["keep"] is False
+        assert out[i]["n_tokens"] == 4
+
+
+def test_zipf_slope_matches_closed_form(spark, tmp_path):
+    """Geometric frequency ladder: 1 word x8, 2 words x4, 4 words x2,
+    8 words x1 — slope recomputed in pure Python with min-rank ties."""
+    words = []
+    vocab = 0
+    ladder = [(8, 1), (4, 2), (2, 4), (1, 8)]  # (freq, n_terms)
+    for freq, n_terms in ladder:
+        for _ in range(n_terms):
+            words.extend([f"w{vocab}"] * freq)
+            vocab += 1
+    rows = [(" ".join(words), "zipf")]
+    sf = _write_documents(spark, tmp_path, rows)
+    row = QUERIES["token_zipf_slope"](spark, sf).collect()
+    assert len(row) == 1 and row[0]["source"] == "zipf"
+    assert row[0]["n_terms"] == 15 and row[0]["n_levels"] == 4
+
+    # min-rank per level: 1, 2, 4, 8 (suffix-sum of higher-freq term counts +1)
+    pts, rank = [], 1
+    for freq, n_terms in ladder:
+        x8 = lambda v: round(v, 8)
+        x, y = math.log(rank), math.log(freq)
+        pts.append((n_terms, x8(n_terms * x), x8(n_terms * y),
+                    x8(n_terms * x * y), x8(n_terms * x * x)))
+        rank += n_terms
+    W = sum(p[0] for p in pts)
+    Sx, Sy, Sxy, Sxx = (sum(p[k] for p in pts) for k in (1, 2, 3, 4))
+    expect = round((W * Sxy - Sx * Sy) / (W * Sxx - Sx * Sx), 6)
+    assert row[0]["zipf_slope"] == pytest.approx(expect, abs=1e-6)
+    assert row[0]["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_gumbel_resample_key_matches_recomputation(spark, tmp_path):
+    """Gumbel keys recomputed independently (hashlib md5 -> uniform ->
+    -ln(-ln u)) must match the engine's, and the ordering with them."""
+    import hashlib
+
+    rows = [("alpha beta gamma delta", "src0") for _ in range(4)] + [
+        ("omega sigma tau kappa", "srcX") for _ in range(4)
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    logw = {
+        r["doc_id"]: r["logw"]
+        for r in QUERIES["dsir_importance_weights"](spark, sf).collect()
+    }
+    got = QUERIES["dsir_gumbel_resample"](spark, sf).collect()
+    assert len(got) == 8  # k=100 > corpus, so everything is returned
+    expect = []
+    for i, lw in logw.items():
+        v = int(hashlib.md5(f"gum:{i}".encode()).hexdigest()[:6], 16)
+        u = (v + 0.5) / 16777216.0
+        expect.append((i, round(lw - math.log(-math.log(u)), 6)))
+    expect.sort(key=lambda t: (-t[1], t[0]))
+    assert [(r["doc_id"], r["gumbel_key"]) for r in got] == pytest.approx(expect)
+
+
+def test_naive_bayes_diagonal_on_disjoint_vocab(spark, tmp_path):
+    """Disjoint per-source vocabularies must classify perfectly: the
+    confusion matrix is exactly diagonal."""
+    rows = (
+        [("apple banana cherry", "srcA") for _ in range(5)]
+        + [("dog elephant fox", "srcB") for _ in range(4)]
+        + [("gold silver copper", "srcC") for _ in range(3)]
+    )
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {
+        (r["true_source"], r["pred_source"]): r["n_docs"]
+        for r in QUERIES["naive_bayes_source_classify"](spark, sf).collect()
+    }
+    assert got == {("srcA", "srcA"): 5, ("srcB", "srcB"): 4, ("srcC", "srcC"): 3}
+
+
+def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
+    """Independent greedy BPE: argmax pair by (freq, lexicographic), merged
+    leftmost-non-overlapping — the semantics the Spark fold must match."""
+    syms = [(list(w) + ["</w>"], n) for w, n in words]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, n in syms:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        freq = max(counts.values())
+        left, right = min(p for p, c in counts.items() if c == freq)
+        merges.append((rank, left, right, left + right, freq))
+        nxt = []
+        for s, n in syms:
+            acc: list[str] = []
+            for x in s:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(x)
+            if len(acc) >= 2:
+                nxt.append((acc, n))
+        syms = nxt
+    return merges
+
+
+def test_bpe_trainer_matches_reference(spark):
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    wdf = spark.createDataFrame(words, "word string, n long")
+    got = [tuple(r) for r in train_merges_from(wdf, 10).collect()]
+    assert got == _ref_bpe(words, 10)
+    # sanity on the classic corpus: 'es' then 'est' merge early
+    assert got[0][3] == "es" and got[1][3] == "est"
+
+
+def test_bpe_trainer_survives_pair_exhaustion(spark):
+    """A corpus whose pairs run out before n_merges must yield a short
+    table, not a crash (the empty-argmax join empties the working set)."""
+    wdf = spark.createDataFrame([("ab", 3)], "word string, n long")
+    got = [tuple(r) for r in train_merges_from(wdf, 6).collect()]
+    assert got == _ref_bpe([("ab", 3)], 6)
+    assert 0 < len(got) < 6
