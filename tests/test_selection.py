@@ -124,6 +124,67 @@ def test_naive_bayes_diagonal_on_disjoint_vocab(spark, tmp_path):
     assert got == {("srcA", "srcA"): 5, ("srcB", "srcB"): 4, ("srcC", "srcC"): 3}
 
 
+def test_dsir_scoring_is_zero_shuffle(spark, sf_dir):
+    """The DSIR plan contract: the corpus is scored by a broadcast
+    nested-loop join of the ONE-row lambda array plus a per-row fold —
+    never a window, and the only exchanges are the B-bounded bucket
+    aggregation (hash + single-partition collapse). A hashpartitioning on
+    doc_id or a Window would mean the corpus itself shuffles."""
+    from columnar_aware_dedup_spark.plans import explain
+
+    df = QUERIES["dsir_importance_weights"](spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    _assert_doc_exchanges_are_explicit_fanouts(plan)
+    assert explain.n_exchanges(df) <= 4, plan
+
+
+def _assert_doc_exchanges_are_explicit_fanouts(plan: str) -> None:
+    """Any doc_id-keyed exchange must be ``_fanned``'s REPARTITION_BY_NUM
+    (the fixture-scale CPU fan-out of a single-file scan — at 100 TB the
+    scan's own splits provide the parallelism and the repartition is
+    dropped); an ENSURE_REQUIREMENTS doc-keyed exchange would mean the
+    PLAN demands a corpus shuffle, which is the bug being pinned."""
+    for line in plan.splitlines():
+        if "hashpartitioning(doc_id" in line:
+            assert "REPARTITION_BY_NUM" in line, plan
+
+
+def test_gumbel_resample_plans_take_ordered(spark, sf_dir):
+    """The k-cut must plan as TakeOrdered (per-partition heap, k rows to
+    the driver), never a global Sort."""
+    from columnar_aware_dedup_spark.plans import explain
+
+    df = QUERIES["dsir_gumbel_resample"](spark, sf_dir)
+    assert explain.has_take_ordered(df), explain.plan_string(df)
+
+
+def test_naive_bayes_apply_is_zero_shuffle(spark, sf_dir):
+    """NB scoring is the same broadcast-fold shape: no Window anywhere, and
+    the documents scan reaches the per-class argmax through a broadcast
+    nested-loop join, not a doc-keyed exchange."""
+    from columnar_aware_dedup_spark.plans import explain
+
+    df = QUERIES["naive_bayes_source_classify"](spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    _assert_doc_exchanges_are_explicit_fanouts(plan)
+
+
+def test_zipf_windows_are_histogram_partitioned(spark, sf_dir):
+    """The only window in the Zipf plan runs over the per-source frequency
+    histogram: every windowspecdefinition must lead with the source
+    partition key (an order key first would be a global sort)."""
+    from columnar_aware_dedup_spark.plans import explain
+
+    df = QUERIES["token_zipf_slope"](spark, sf_dir)
+    plan = explain.plan_string(df, "extended")
+    assert "windowspecdefinition(source" in plan, plan
+    assert "windowspecdefinition(c" not in plan, plan
+
+
 def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
     """Independent greedy BPE: argmax pair by (freq, lexicographic), merged
     leftmost-non-overlapping — the semantics the Spark fold must match."""
