@@ -28,6 +28,7 @@ from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
 from columnar_aware_dedup_spark.operators import pq  # noqa: F401
+from columnar_aware_dedup_spark.operators import pca  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
@@ -204,7 +205,6 @@ ROTATION_R4: list[str] = [
     "window_lag_frame",
     "window_first_last",
     "window_ntile_dist",
-    "row_signature",
     "dedup_exact_rows",
     "event_sliding_window",
     "event_session_window",
@@ -225,15 +225,16 @@ ROTATION_R4: list[str] = [
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",
-    # late-r04 data-selection surface (never driver-checked, mandatory here;
-    # string_fns/array_fns/json_extract/orderby_limit_topk/
-    # event_tumbling_window yield their re-check slots — they keep r01 rows
-    # and the local oracle gate runs every session)
+    # late-r04 data-selection + PCA surface (never driver-checked, mandatory
+    # here; string_fns/array_fns/json_extract/orderby_limit_topk/
+    # event_tumbling_window/row_signature yield their re-check slots — they
+    # keep r01 rows and the local oracle gate runs every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
     "naive_bayes_source_classify",
     "bpe_train_merges",
+    "embedding_pca_project",
     # changed-plan re-check (rewired through the streaming scorer) + flagship
     "event_anomaly_zscore",
     "dedup_hit_miss",

@@ -85,6 +85,10 @@ R_ALLOWLIST = {
         "iterative greedy argmax; merge sequence pytest-verified against an"
         " independent pure-Python BPE on a planted corpus"
     ),
+    "embedding_pca_project": (
+        "iterative float power method; planted-axis recovery and deflation"
+        " orthogonality pytest-verified"
+    ),
 }
 
 
