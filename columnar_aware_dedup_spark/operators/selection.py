@@ -108,22 +108,28 @@ GROUP BY bt.doc_id
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR: per-document importance log-weight, target vs raw distribution.
 
-    Two stages. (1) *Fit*: explode tokens, hash each into one of 256 md5
-    buckets, count occurrences per bucket twice — within the target source
-    and corpus-wide — then collapse the 256-row table into ONE row holding
-    the smoothed log-ratio array ``lam`` (add-one smoothing over buckets).
-    (2) *Score*: broadcast that single row onto the documents scan and fold
-    each document's token array through ``lam`` with an exact decimal
-    accumulator — zero shuffle of the corpus, the IVF-assignment shape.
+    Two stages: *fit* (:func:`fit_dsir_lambda` — one 256-row-bounded
+    shuffle) and *score* (:func:`score_documents` — zero-shuffle broadcast
+    fold, the IVF-assignment shape).
 
     ``keep`` is the deterministic resampling stand-in: a document whose
-    tokens look more target-like than raw-like (logw >= 0) survives. The
-    paper adds Gumbel noise for sampled selection; seeded noise would keep
-    this hash-checkable but obscure the semantics under test.
+    tokens look more target-like than raw-like (logw >= 0) survives; the
+    paper's sampled selection is :func:`dsir_gumbel_resample`.
     """
-    fanned = _fanned(spark, sf_dir)
+    return score_documents(
+        _fanned(spark, sf_dir), fit_dsir_lambda(spark, sf_dir)
+    )
+
+
+def fit_dsir_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row holding the smoothed per-bucket log-ratio array ``lam``:
+    explode tokens, hash each into one of 256 md5 buckets, count per bucket
+    twice — within the target source and corpus-wide — then collapse with
+    add-one smoothing. The frozen selection model (also consumed by the
+    streaming scorer, ``streaming/selection.py``)."""
     bc = (
-        fanned.select("source", F.explode("toks").alias("tok"))
+        _fanned(spark, sf_dir)
+        .select("source", F.explode("toks").alias("tok"))
         .select(
             F.expr(_BUCKET_SPARK).cast("int").alias("b"),
             (F.col("source") == _TARGET).alias("is_target"),
@@ -134,27 +140,31 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("is_target"), 1)).alias("t_n"),
         )
     )
-    lam = bc.agg(
+    return bc.agg(
         F.expr(
             "map_from_entries(collect_list(struct(b, struct(t_n AS t, r_n AS r))))"
         ).alias("m"),
         F.sum("t_n").alias("tt"),
         F.sum("r_n").alias("tr"),
     ).select(F.expr(_LAM_ARRAY_SPARK).alias("lam"))
+
+
+def score_documents(docs: DataFrame, lam: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, logw, keep) for any frame carrying ``doc_id`` +
+    ``toks``, against a fitted one-row ``lam``. Broadcast nested-loop join
+    of the single model row plus a per-row exact-decimal fold — zero
+    shuffle of the corpus, and the SAME expression in batch and streaming
+    (parity by construction, the shared-formula discipline)."""
     fold = F.expr(
         f"""aggregate(toks, cast(0 as decimal(18,6)),
             (acc, tok) -> cast(acc + element_at(lam, ({_BUCKET_SPARK}) + 1)
                            as decimal(18,6)))"""
     )
-    return (
-        fanned.select("doc_id", "toks")
-        .join(F.broadcast(lam))
-        .select(
-            "doc_id",
-            F.size("toks").cast("bigint").alias("n_tokens"),
-            F.round(fold.cast("double"), 6).alias("logw"),
-            (fold >= F.lit(0).cast("decimal(18,6)")).alias("keep"),
-        )
+    return docs.select("doc_id", "toks").join(F.broadcast(lam)).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(fold.cast("double"), 6).alias("logw"),
+        (fold >= F.lit(0).cast("decimal(18,6)")).alias("keep"),
     )
 
 

@@ -506,3 +506,46 @@ def test_streaming_span_index_matches_batch_dedup(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in via_index.collect()] == [
         tuple(r) for r in via_scan.collect()
     ]
+
+
+def test_streaming_dsir_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming DSIR gate must score a two-wave document stream
+    EXACTLY like the batch query scoring the same corpus against the same
+    frozen model — shared-formula parity, no float tolerance. Stateless
+    operator, so waves simply append."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators import selection as sel
+    from columnar_aware_dedup_spark.operators.text import _fanned
+    from columnar_aware_dedup_spark.streaming import selection as ssel
+
+    lam = sel.fit_dsir_lambda(spark, sf_dir).localCheckpoint(eager=True)
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_dsir")
+    out = str(tmp_path / "dsir_out")
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+
+    q = ssel.start_scoring(spark, str(docs_dir), lam, out, ck)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half
+
+    pq_.write_table(t.slice(half), docs_dir / "wave2.parquet")
+    q = ssel.start_scoring(spark, str(docs_dir), lam, out, ck)
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in sel.score_documents(_fanned(spark, sf_dir), lam).collect()
+    }
+    assert got == want
+    # the frozen-model scores also equal the batch query's own self-fit run
+    self_fit = {
+        tuple(r) for r in sel.dsir_importance_weights(spark, sf_dir).collect()
+    }
+    assert got == self_fit
