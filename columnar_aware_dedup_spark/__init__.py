@@ -200,7 +200,6 @@ ROTATION_R4: list[str] = [
     "pivot_agg",
     "argminmax_agg",
     "having_filter",
-    "percentile_disc_median",
     "window_rank",
     "window_lag_frame",
     "window_first_last",
@@ -225,15 +224,17 @@ ROTATION_R4: list[str] = [
     "ann_pq_topk",
     "ann_pq_recall",
     "pq_train_codebooks",
-    # late-r04 data-selection + PCA surface (never driver-checked, mandatory
-    # here; string_fns/array_fns/json_extract/orderby_limit_topk/
-    # event_tumbling_window/row_signature yield their re-check slots — they
-    # keep r01 rows and the local oracle gate runs every session)
+    # late-r04 data-selection + tokenizer + PCA surface (never
+    # driver-checked, mandatory here; string_fns/array_fns/json_extract/
+    # orderby_limit_topk/event_tumbling_window/row_signature/
+    # percentile_disc_median yield their re-check slots — they keep r01
+    # rows and the local oracle gate runs every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
     "naive_bayes_source_classify",
     "bpe_train_merges",
+    "bpe_segment_corpus",
     "embedding_pca_project",
     # changed-plan re-check (rewired through the streaming scorer) + flagship
     "event_anomaly_zscore",

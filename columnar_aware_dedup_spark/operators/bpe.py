@@ -42,17 +42,33 @@ _PAIRS_EXPR = (
     " i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"
 )
 
-#: leftmost-non-overlapping merge of the broadcast (l, r) pair into one
-#: symbol, as a linear array fold: append each symbol unless it completes
-#: the pair with the accumulator's tail, in which case replace the tail with
-#: the merged symbol. ``try_element_at`` keeps the empty-accumulator probe
-#: NULL-safe under ANSI mode (AND is not guaranteed to short-circuit).
-_MERGE_FOLD = """
-aggregate(sym, cast(array() as array<string>),
-  (acc, s) -> CASE WHEN try_element_at(acc, -1) = l AND s = r
-              THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+#: leftmost-non-overlapping merge of the (l, r) pair into one symbol, as a
+#: linear array fold: append each symbol unless it completes the pair with
+#: the accumulator's tail, in which case replace the tail with the merged
+#: symbol. ``try_element_at`` keeps the empty-accumulator probe NULL-safe
+#: under ANSI mode (AND is not guaranteed to short-circuit). Parameterized
+#: over the symbol array and the pair expressions so the same fold serves
+#: the trainer (broadcast-join columns) and the segmenter (nested-lambda
+#: struct fields).
+_MERGE_FOLD_T = """
+aggregate({sym}, cast(array() as array<string>),
+  (acc, s) -> CASE WHEN try_element_at(acc, -1) = {l} AND s = {r}
+              THEN concat(slice(acc, 1, size(acc) - 1),
+                          array(concat({l}, {r})))
               ELSE concat(acc, array(s)) END)
 """
+
+_MERGE_FOLD = _MERGE_FOLD_T.format(sym="sym", l="l", r="r")
+
+#: apply an ORDERED merge table to a word's raw symbol array: the outer
+#: fold walks the merges in rank order, the inner fold is the same
+#: leftmost-non-overlapping merge — exactly how a trained BPE tokenizer
+#: segments at inference time.
+_APPLY_MERGES = (
+    "aggregate(merges, {sym0}, (sym, m) -> "
+    + _MERGE_FOLD_T.format(sym="sym", l="m.l", r="m.r")
+    + ")"
+)
 
 
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,3 +130,48 @@ def train_merges_from(words: DataFrame, n_merges: int = 8) -> DataFrame:
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 8 BPE merges over the normalized ``documents`` vocabulary."""
     return train_merges_from(word_counts(spark, sf_dir), n_merges=8)
+
+
+_RAW_SYM = (
+    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    " || array('</w>')"
+)
+
+
+def segment_words(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """Segment a (word, n) table with a trained (merge_rank, left, right)
+    table: the merges collapse into ONE ordered broadcast row and each word
+    applies them as a nested array fold — inference is a zero-shuffle
+    narrow map, the trained-model twin of the DSIR/NB broadcast scorers."""
+    mrow = merges.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct("
+            "merge_rank, `left` AS l, `right` AS r))), t -> struct(t.l, t.r))"
+        ).alias("merges")
+    )
+    seg = _APPLY_MERGES.format(sym0=_RAW_SYM)
+    return (
+        words.join(F.broadcast(mrow))
+        .select(
+            "word",
+            "n",
+            F.expr(seg).alias("sym"),
+        )
+        .select(
+            "word",
+            "n",
+            F.array_join("sym", " ").alias("segmentation"),
+            F.size("sym").cast("bigint").alias("n_subwords"),
+        )
+    )
+
+
+@register("bpe_segment_corpus")
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: segment the corpus vocabulary with its own trained
+    merge table. One row per distinct word — the tokenizer's view of the
+    corpus (segmentation, subword count, occurrence weight)."""
+    words = word_counts(spark, sf_dir)
+    return segment_words(words, train_merges_from(words, n_merges=8)).orderBy(
+        "word"
+    )

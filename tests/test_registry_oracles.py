@@ -89,6 +89,10 @@ R_ALLOWLIST = {
         "iterative float power method; planted-axis recovery and deflation"
         " orthogonality pytest-verified"
     ),
+    "bpe_segment_corpus": (
+        "applies the iteratively-trained merge table; segmentation equality"
+        " with the pure-Python tokenizer pytest-verified"
+    ),
 }
 
 

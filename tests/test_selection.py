@@ -223,6 +223,36 @@ def test_bpe_trainer_matches_reference(spark):
     assert got[0][3] == "es" and got[1][3] == "est"
 
 
+def test_bpe_segmentation_matches_reference(spark):
+    """Applying the trained merge table in-plan must segment every word the
+    way the pure-Python tokenizer does (fold the ordered merges over the
+    raw character sequence, leftmost-non-overlapping)."""
+    from columnar_aware_dedup_spark.operators.bpe import segment_words
+
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+             ("lowest", 1)]
+    wdf = spark.createDataFrame(words, "word string, n long")
+    merges = _ref_bpe(words, 6)
+
+    def seg(w):
+        sym = list(w) + ["</w>"]
+        for _, left, right, _, _ in merges:
+            acc = []
+            for x in sym:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(x)
+            sym = acc
+        return sym
+
+    got = {
+        r["word"]: (r["segmentation"], r["n_subwords"])
+        for r in segment_words(wdf, train_merges_from(wdf, 6)).collect()
+    }
+    assert got == {w: (" ".join(seg(w)), len(seg(w))) for w, _ in words}
+
+
 def test_bpe_trainer_survives_pair_exhaustion(spark):
     """A corpus whose pairs run out before n_merges must yield a short
     table, not a crash (the empty-argmax join empties the working set)."""
