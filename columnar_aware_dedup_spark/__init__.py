@@ -188,7 +188,6 @@ ROTATION_R4: list[str] = [
     "stats_agg",
     "distinct_count",
     "join_inner",
-    "join_left",
     "join_semi",
     "join_anti",
     "join_full_outer",
@@ -227,12 +226,13 @@ ROTATION_R4: list[str] = [
     # late-r04 data-selection + tokenizer + PCA surface (never
     # driver-checked, mandatory here; string_fns/array_fns/json_extract/
     # orderby_limit_topk/event_tumbling_window/row_signature/
-    # percentile_disc_median yield their re-check slots — they keep r01
-    # rows and the local oracle gate runs every session)
+    # percentile_disc_median/join_left yield their re-check slots — they
+    # keep r01 rows and the local oracle gate runs every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
     "naive_bayes_source_classify",
+    "token_heavy_hitters_cms",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "embedding_pca_project",

@@ -363,6 +363,112 @@ def naive_bayes_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: count-min sketch geometry: D=4 independent rows x W=256 columns. The
+#: per-row hash reads two md5 nibbles of a row-seeded digest — independent
+#: across rows, engine-shared, and W-bounded by construction.
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_bucket_spark(d: int, tok: str = "tok") -> str:
+    return (
+        f"(instr('0123456789abcdef', substring(md5(concat('cms{d}:', {tok})), 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substring(md5(concat('cms{d}:', {tok})), 2, 1)) - 1"
+    )
+
+
+def _cms_bucket_sql(d: int, tok: str = "tok") -> str:
+    return (
+        f"(strpos('0123456789abcdef', substr(md5('cms{d}:' || {tok}), 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(md5('cms{d}:' || {tok}), 2, 1)) - 1"
+    )
+
+
+_TOPK_HH = 20
+
+
+@register(
+    "token_heavy_hitters_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), cells AS (
+  {" UNION ALL ".join(f"SELECT {d} AS d, {_cms_bucket_sql(d)} AS b, tok FROM toks" for d in range(_CMS_D))}
+), sk AS (
+  SELECT d, b, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY d, b
+), exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {_TOPK_HH}
+)
+SELECT e.tok, e.exact_n,
+       least({", ".join(
+           f"(SELECT n FROM sk WHERE d = {d} AND b = {_cms_bucket_sql(d, 'e.tok')})"
+           for d in range(_CMS_D))}) AS est_n,
+       least({", ".join(
+           f"(SELECT n FROM sk WHERE d = {d} AND b = {_cms_bucket_sql(d, 'e.tok')})"
+           for d in range(_CMS_D))}) - e.exact_n AS overestimate
+FROM exact e
+""",
+)
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, audited against exact counts.
+
+    The sketch is the bounded-memory answer to "how often does this token
+    occur" at 100 TB: D x W = 1024 cells total, REGARDLESS of vocabulary.
+    Each task partial-aggregates its tokens into <=1024 (row, bucket) cells
+    before the shuffle, the folded sketch collapses into ONE broadcast row,
+    and any candidate's estimate is the min over its D cells — here
+    evaluated for the exact top-20 tokens so the output doubles as the
+    overestimation audit (CMS never underestimates: est_n >= exact_n, an
+    invariant the planted test asserts and the oracle reproduces
+    cell-for-cell).
+
+    Seeded md5 row hashes keep the sketch deterministic and engine-shared —
+    the same discipline that makes MinHash/SimHash hash-checkable here.
+    """
+    ex = _fanned(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    cells = ex.select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d} AS d, ({_cms_bucket_spark(d)}) AS b)"
+                    for d in range(_CMS_D)
+                )
+                + ")"
+            )
+        ).alias("c")
+    ).select("c.d", "c.b")
+    sk = (
+        cells.groupBy("d", "b")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.expr(
+                f"map_from_entries(collect_list(struct(d * {_CMS_W} + b, n)))"
+            ).alias("m")
+        )
+    )
+    exact = (
+        ex.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(_TOPK_HH)
+    )
+    est = F.least(
+        *[
+            F.expr(f"element_at(m, {d} * {_CMS_W} + ({_cms_bucket_spark(d)}))")
+            for d in range(_CMS_D)
+        ]
+    )
+    return exact.join(F.broadcast(sk)).select(
+        "tok",
+        "exact_n",
+        est.alias("est_n"),
+        (est - F.col("exact_n")).alias("overestimate"),
+    )
+
+
 @register(
     "token_zipf_slope",
     oracle=f"""

@@ -185,6 +185,29 @@ def test_zipf_windows_are_histogram_partitioned(spark, sf_dir):
     assert "windowspecdefinition(c" not in plan, plan
 
 
+def test_cms_estimates_bound_planted_counts(spark, tmp_path):
+    """On a corpus with known token counts the CMS top-20 must report the
+    exact counts exactly, and every estimate must respect the one-sided CMS
+    error bound (never under, over only by colliding mass)."""
+    from collections import Counter
+
+    words = (["alpha"] * 30 + ["beta"] * 20 + ["gamma"] * 10
+             + [f"rare{i}" for i in range(15)])
+    rows = [(" ".join(words), "srcZ")]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["token_heavy_hitters_cms"](spark, sf).collect()
+    truth = Counter(words)
+    assert len(got) == 18  # 3 heavy + 15 rare = whole vocabulary (< top-20)
+    for r in got:
+        assert r["exact_n"] == truth[r["tok"]]
+        assert r["est_n"] >= r["exact_n"]
+        assert r["overestimate"] == r["est_n"] - r["exact_n"]
+    total = sum(truth.values())
+    for r in got:
+        # CMS bound with W=256: overestimate <= corpus mass (loose sanity)
+        assert r["overestimate"] <= total
+
+
 def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
     """Independent greedy BPE: argmax pair by (freq, lexicographic), merged
     leftmost-non-overlapping — the semantics the Spark fold must match."""
