@@ -72,6 +72,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "token_zipf_slope",
     "naive_bayes_source_classify",
+    # sketch surface: the CMS frequency audit and the Bloom store pre-filter
+    # (broadcast word-packed bitset over the flagship's chunk signatures).
+    "token_heavy_hitters_cms",
+    "dedup_bloom_prefilter",
 ]
 
 

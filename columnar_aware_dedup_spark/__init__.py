@@ -190,7 +190,6 @@ ROTATION_R4: list[str] = [
     "join_inner",
     "join_semi",
     "join_anti",
-    "join_full_outer",
     "asof_join",
     "range_join_bands",
     "cube_agg",
@@ -226,13 +225,15 @@ ROTATION_R4: list[str] = [
     # late-r04 data-selection + tokenizer + PCA surface (never
     # driver-checked, mandatory here; string_fns/array_fns/json_extract/
     # orderby_limit_topk/event_tumbling_window/row_signature/
-    # percentile_disc_median/join_left yield their re-check slots — they
-    # keep r01 rows and the local oracle gate runs every session)
+    # percentile_disc_median/join_left/join_full_outer yield their re-check
+    # slots — they keep r01 rows and the local oracle gate runs every
+    # session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
     "naive_bayes_source_classify",
     "token_heavy_hitters_cms",
+    "dedup_bloom_prefilter",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "embedding_pca_project",

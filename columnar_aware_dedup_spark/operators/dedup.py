@@ -345,6 +345,163 @@ def chunk_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem_chunks(table(spark, sf_dir, "lineitem"))
 
 
+# ---------------------------------------------------------------------------
+# Bloom pre-filter: the wire-protocol optimization the signature probe wants
+# at 100 TB — answer "definitely new" without touching the store.
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: M=2^17 bits (2048 64-bit words), K=4 seeded-md5 hash
+#: functions. Sized so the audit measures something real at every fixture
+#: scale: ~0.03% fp at sf0.001, ~20% at sf0.01, saturated at sf0.1 — the
+#: three regimes of an aging filter. A deployment sizes M at ~10 bits/key
+#: (k=4 optimal near 0.1 bits⁻¹ load); the construction is M-independent.
+_BLOOM_M = 131072
+_BLOOM_W = _BLOOM_M // 64
+
+
+def _bloom_bit_spark(k: int, sig: str = "signature") -> str:
+    # 5 hex nibbles = 20 bits, folded onto the 2^17-bit domain; both
+    # operands non-negative so % agrees across engines.
+    return (
+        f"cast(conv(substring(md5(concat('bf{k}:', {sig})), 1, 5), 16, 10)"
+        f" as int) % {_BLOOM_M}"
+    )
+
+
+def _bloom_bit_sql(k: int, sig: str = "signature") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bf{k}:' || {sig}), 1, 5)) AS INTEGER)"
+        f" % {_BLOOM_M}"
+    )
+
+
+_BLOOM_K = 4
+
+
+DEDUP_BLOOM_ORACLE = f"""
+WITH li_a AS ({_SNAPSHOT_A_SQL}),
+long_a AS ({_long_sql('li_a')}),
+long_b AS ({_long_sql('lineitem')}),
+store AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_a')})),
+probe AS (SELECT DISTINCT signature FROM ({_chunks_sql('long_b')})),
+occ AS (
+  SELECT DISTINCT p FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_bit_sql(k)} AS p FROM store" for k in range(_BLOOM_K))}
+  )
+), pb AS (
+  SELECT signature,
+         unnest([{", ".join(_bloom_bit_sql(k) for k in range(_BLOOM_K))}]) AS p
+  FROM probe
+), flags AS (
+  SELECT pb.signature, bool_and(o.p IS NOT NULL) AS bloom_maybe
+  FROM pb LEFT JOIN occ o USING (p) GROUP BY pb.signature
+), cls AS (
+  SELECT (s.signature IS NOT NULL) AS exact_hit, f.bloom_maybe
+  FROM probe p2
+  JOIN flags f ON f.signature = p2.signature
+  LEFT JOIN store s ON s.signature = p2.signature
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_sigs,
+       CAST(COUNT(*) FILTER (WHERE exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(COUNT(*) FILTER (WHERE bloom_maybe) AS BIGINT) AS n_bloom_maybe,
+       CAST(COUNT(*) FILTER (WHERE bloom_maybe AND NOT exact_hit) AS BIGINT)
+         AS n_false_positives,
+       CAST(COUNT(*) FILTER (WHERE exact_hit AND NOT bloom_maybe) AS BIGINT)
+         AS n_false_negatives,
+       round(CAST(COUNT(*) FILTER (WHERE bloom_maybe AND NOT exact_hit) AS DOUBLE)
+             / CAST(COUNT(*) FILTER (WHERE NOT exact_hit) AS DOUBLE), 6)
+         AS fp_rate
+FROM cls
+"""
+
+
+@register("dedup_bloom_prefilter", oracle=DEDUP_BLOOM_ORACLE)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter audit for the signature probe.
+
+    At 100 TB the store probe is a shuffle of every incoming signature; a
+    Bloom filter built from the store answers "definitely new" as a NARROW
+    map — only the "maybe seen" residue needs the real store join (the
+    classic dedup wire-protocol optimization; the reference's HashMap-keyset
+    probe, ``dedup/DedupStore.java``, compressed into M bits). This query
+    builds the M=2^17/K=4 seeded-md5 filter from the snapshot-A store,
+    probes every incoming signature, and reports the audit: exact hits vs
+    Bloom "maybe", false positives (the re-probe overhead), the
+    one-sided-error invariant ``n_false_negatives`` (MUST be 0 — a Bloom
+    filter can never miss a real hit), and the realized fp_rate.
+
+    Plan shape: the occupied-bit set folds into ONE broadcast row of M
+    booleans (the DSIR/NB broadcast-model idiom), so the Bloom verdict for
+    each signature is a per-row fold — zero store-side shuffle at probe
+    time. Hash-checked: the oracle reproduces the filter bit-for-bit.
+    """
+    chunks = lineitem_chunks(table(spark, sf_dir, "lineitem"))
+    keys_a = snapshot_a_keys(spark, sf_dir)
+    store = (
+        chunks.join(keys_a, chunks.file_id == keys_a.o_orderkey, "left_semi")
+        .select("signature")
+        .distinct()
+    )
+    bits_arr = (
+        "array(" + ", ".join(_bloom_bit_spark(k) for k in range(_BLOOM_K)) + ")"
+    )
+    # word-packed bitset: OR each occupied bit into its 64-bit word, fill
+    # the empty word slots by a left join against the full slot range, and
+    # fold the 2048 words into ONE broadcast row — probe lookups are then
+    # O(1) array indexing + a shift, never a scan of the occupied set.
+    occ_words = (
+        store.select(F.explode(F.expr(bits_arr)).alias("p"))
+        .select(
+            F.expr("shiftright(p, 6)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), p & 63)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    occ = (
+        spark.range(_BLOOM_W)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(occ_words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("bigint")).alias("word"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(w, word))),"
+                " t -> t.word)"
+            ).alias("words")
+        )
+    )
+    probe = (
+        chunks.select("signature")
+        .distinct()
+        .join(store.withColumn("_h", F.lit(1)), "signature", "left")
+        .withColumn("exact_hit", F.col("_h").isNotNull())
+        .drop("_h")
+    )
+    maybe = F.expr(
+        f"forall({bits_arr}, b ->"
+        " (shiftright(element_at(words, shiftright(b, 6) + 1), b & 63) & 1)"
+        " = 1)"
+    )
+    cls = probe.join(F.broadcast(occ)).select(
+        "exact_hit", maybe.alias("bloom_maybe")
+    )
+    fp = F.count(F.when(F.col("bloom_maybe") & ~F.col("exact_hit"), 1))
+    return cls.agg(
+        F.count("*").alias("n_probe_sigs"),
+        F.count(F.when(F.col("exact_hit"), 1)).alias("n_exact_hits"),
+        F.count(F.when(F.col("bloom_maybe"), 1)).alias("n_bloom_maybe"),
+        fp.alias("n_false_positives"),
+        F.count(F.when(F.col("exact_hit") & ~F.col("bloom_maybe"), 1)).alias(
+            "n_false_negatives"
+        ),
+        F.round(
+            fp.cast("double")
+            / F.count(F.when(~F.col("exact_hit"), 1)).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 SMALL_CHUNK_ORACLE = f"""
 WITH long_b AS ({_long_sql('lineitem')}),
 chunks AS ({_chunks_sql('long_b')})

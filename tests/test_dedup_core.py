@@ -77,3 +77,15 @@ def test_snapshot_a_chunks_all_hit(spark, sf_dir):
         store,
     )
     assert hits.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_prefilter_invariants(spark, sf_dir):
+    """The Bloom audit's structural guarantees: one-sided error (a filter
+    can never miss a real store hit), maybe ⊇ hits, and the realized fp
+    accounting is internally consistent."""
+    r = dedup.dedup_bloom_prefilter(spark, sf_dir).collect()[0]
+    assert r["n_false_negatives"] == 0
+    assert r["n_bloom_maybe"] >= r["n_exact_hits"]
+    assert r["n_false_positives"] == r["n_bloom_maybe"] - r["n_exact_hits"]
+    assert 0.0 <= r["fp_rate"] <= 1.0
+    assert r["n_probe_sigs"] > r["n_exact_hits"]  # misses exist to audit
