@@ -194,8 +194,6 @@ ROTATION_R4: list[str] = [
     "range_join_bands",
     "cube_agg",
     "rollup_agg",
-    "grouping_sets_agg",
-    "pivot_agg",
     "argminmax_agg",
     "having_filter",
     "window_rank",
@@ -225,15 +223,17 @@ ROTATION_R4: list[str] = [
     # late-r04 data-selection + tokenizer + PCA surface (never
     # driver-checked, mandatory here; string_fns/array_fns/json_extract/
     # orderby_limit_topk/event_tumbling_window/row_signature/
-    # percentile_disc_median/join_left/join_full_outer yield their re-check
-    # slots — they keep r01 rows and the local oracle gate runs every
-    # session)
+    # percentile_disc_median/join_left/join_full_outer/grouping_sets_agg/
+    # pivot_agg yield their re-check slots — they keep r01 rows and the
+    # local oracle gate runs every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
     "naive_bayes_source_classify",
     "token_heavy_hitters_cms",
+    "token_vocab_hll",
     "dedup_bloom_prefilter",
+    "pmi_collocations",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "embedding_pca_project",

@@ -469,6 +469,107 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HyperLogLog geometry: m=256 registers (p=8). Register = first two md5
+#: nibbles; rank = leading-zero count of the NEXT 32 hash bits + 1 (via the
+#: bit length of the integer — no float log2, so no boundary flips).
+_HLL_M = 256
+#: standard alpha_m for m >= 128, written as the same literal expression on
+#: both engines so the double is identical.
+_HLL_ALPHA = "(0.7213 / (1 + 1.079 / 256))"
+
+_HLL_REG_SPARK = "cast(conv(substring(md5(tok), 1, 2), 16, 10) as int)"
+_HLL_V_SPARK = "cast(conv(substring(md5(tok), 3, 8), 16, 10) as bigint)"
+_HLL_RHO_SPARK = (
+    f"CASE WHEN {_HLL_V_SPARK} = 0 THEN 33"
+    f" ELSE 33 - length(bin({_HLL_V_SPARK})) END"
+)
+_HLL_REG_SQL = "CAST(('0x' || substr(md5(tok), 1, 2)) AS INTEGER)"
+_HLL_V_SQL = "CAST(('0x' || substr(md5(tok), 3, 8)) AS BIGINT)"
+_HLL_RHO_SQL = (
+    f"CASE WHEN {_HLL_V_SQL} = 0 THEN 33"
+    f" ELSE 33 - length(bin({_HLL_V_SQL})) END"
+)
+
+#: estimator from (sum of 2^-M_j over PRESENT registers, #present): add one
+#: per empty register (2^0), harmonic raw estimate, linear-counting branch
+#: for the small range. Every 2^-rho term is an exact dyadic double and the
+#: bounded sum stays exact in ANY order, so plain SUM is engine-stable.
+_HLL_EST = (
+    f"CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
+    f"          / (s_present + ({_HLL_M} - n_regs)) <= 2.5 * {_HLL_M}"
+    f"      AND n_regs < {_HLL_M}"
+    f" THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)"
+    f"                    / ({_HLL_M} - n_regs))"
+    f" ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
+    f"      / (s_present + ({_HLL_M} - n_regs)) END"
+)
+
+
+@register(
+    "token_vocab_hll",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), h AS (
+  SELECT source, {_HLL_REG_SQL} AS reg, {_HLL_RHO_SQL} AS rho FROM toks
+), regs AS (
+  SELECT source, reg, MAX(rho) AS mr FROM h GROUP BY source, reg
+), st AS (
+  SELECT source,
+         SUM(power(2.0, -mr)) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY source
+), ex AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+  FROM toks GROUP BY source
+)
+SELECT st.source, ex.n_exact,
+       round({_HLL_EST}, 4) AS n_hll,
+       round(({_HLL_EST} - ex.n_exact) / ex.n_exact, 4) AS rel_err
+FROM st JOIN ex USING (source)
+""",
+)
+def token_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality via a hand-rolled HyperLogLog,
+    audited against the exact distinct count.
+
+    Unlike ``approx_count_distinct`` (whose sketch is engine-internal, so
+    its twin queries are rows-only), this HLL is built from seeded md5 bits
+    shared with DuckDB — the THIRD deterministic sketch in the engine (CMS,
+    Bloom, HLL), all hash-checkable. State is m=256 registers per source
+    regardless of cardinality; every task partial-aggregates to <=m rows
+    (MAX combines), so at 100 TB the distinct-count costs one m-bounded
+    shuffle instead of a vocabulary-sized one. The rank uses integer bit
+    length, not float log2, and the harmonic sum's dyadic terms are exact
+    in any order — both choices keep the estimate bit-stable across
+    engines.
+    """
+    ex = _fanned(spark, sf_dir).select("source", F.explode("toks").alias("tok"))
+    regs = (
+        ex.select(
+            "source",
+            F.expr(_HLL_REG_SPARK).alias("reg"),
+            F.expr(_HLL_RHO_SPARK).alias("rho"),
+        )
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    st = regs.groupBy("source").agg(
+        F.sum(F.expr("power(2.0, -mr)")).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = ex.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_exact")
+    )
+    est = F.expr(_HLL_EST)
+    return st.join(exact, "source").select(
+        "source",
+        "n_exact",
+        F.round(est, 4).alias("n_hll"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
 @register(
     "token_zipf_slope",
     oracle=f"""

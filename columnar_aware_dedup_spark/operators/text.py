@@ -1001,3 +1001,87 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- PMI collocations ---------------------------------------------------------
+
+#: minimum pair count for a collocation candidate (PMI is noise below this).
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+PMI_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+  FROM t WHERE len(toks) >= 2
+), bi AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+       FROM bi GROUP BY w1, w2),
+cl AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c_left FROM cb GROUP BY w1),
+cr AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c_right FROM cb GROUP BY w2),
+tot AS (SELECT SUM(n_pair) AS n FROM cb)
+SELECT cb.w1, cb.w2, cb.n_pair,
+       round(ln(CAST(cb.n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                / (CAST(cl.c_left AS DOUBLE) * CAST(cr.c_right AS DOUBLE))),
+             6) AS pmi
+FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+WHERE cb.n_pair >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOPK}
+"""
+
+
+@register("pmi_collocations", oracle=PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over the corpus
+    bigram stream — the classic phrase detector (Church & Hanks 1990; the
+    word2vec-phrases preprocessing step): PMI = ln(p(w1,w2)/(p(w1)p(w2)))
+    with marginals taken over bigram slots.
+
+    Plan shape is the ``bigram_logprob_score`` family: ONE (w1, w2) shuffle
+    builds pair counts, both marginals re-aggregate those partials
+    (vocabulary-sized, no broadcast hints — the tfidf lesson), the corpus
+    total is a one-row broadcast, and the top-k is TakeOrdered on the
+    ROUNDED score with (w1, w2) tiebreak so the cut is engine-exact.
+    """
+    bi = (
+        _fanned(spark, sf_dir)
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    cl = cb.groupBy("w1").agg(F.sum("n_pair").cast("bigint").alias("c_left"))
+    cr = cb.groupBy("w2").agg(F.sum("n_pair").cast("bigint").alias("c_right"))
+    tot = cb.agg(F.sum("n_pair").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("c_left").cast("double") * F.col("c_right").cast("double"))
+        ),
+        6,
+    )
+    return (
+        cb.filter(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

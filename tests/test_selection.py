@@ -208,6 +208,44 @@ def test_cms_estimates_bound_planted_counts(spark, tmp_path):
         assert r["overestimate"] <= total
 
 
+def test_hll_tracks_planted_cardinality(spark, tmp_path):
+    """High-cardinality corpus (raw-estimate branch): the deterministic HLL
+    must land within the m=256 error envelope of the true 5000; and a tiny
+    source (linear-counting branch) must be near-exact."""
+    big = " ".join(f"tok{i}" for i in range(5000))
+    rows = [(big, "big"), ("alpha beta gamma", "small")]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r["source"]: r for r in QUERIES["token_vocab_hll"](spark, sf).collect()}
+    assert got["big"]["n_exact"] == 5000
+    assert abs(got["big"]["rel_err"]) < 0.2  # ~3 sigma for m=256
+    assert got["small"]["n_exact"] == 3
+    assert abs(got["small"]["n_hll"] - 3) < 0.5  # linear counting regime
+    for r in got.values():
+        assert r["rel_err"] == pytest.approx(
+            (r["n_hll"] - r["n_exact"]) / r["n_exact"], abs=1e-3
+        )
+
+
+def test_pmi_surfaces_planted_collocation(spark, tmp_path):
+    """A phrase whose halves only ever occur together must out-PMI the
+    independent filler pairs."""
+    import random
+
+    filler = "the a of to in and is on at by".split()
+    rows = []
+    for i in range(20):
+        words = filler[:]
+        random.Random(i).shuffle(words)  # break filler adjacencies
+        rows.append((" ".join(words) + " san francisco", "srcP"))
+    sf = _write_documents(spark, tmp_path, rows)
+    got = QUERIES["pmi_collocations"](spark, sf).collect()
+    assert got, "planted corpus must yield collocations"
+    assert (got[0]["w1"], got[0]["w2"]) == ("san", "francisco")
+    pmi_by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in got}
+    top = pmi_by_pair[("san", "francisco")]
+    assert all(top >= v for v in pmi_by_pair.values())
+
+
 def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
     """Independent greedy BPE: argmax pair by (freq, lexicographic), merged
     leftmost-non-overlapping — the semantics the Spark fold must match."""
