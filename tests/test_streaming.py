@@ -549,3 +549,40 @@ def test_streaming_dsir_gate_matches_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in sel.dsir_importance_weights(spark, sf_dir).collect()
     }
     assert got == self_fit
+
+
+def test_streaming_sketches_match_batch(spark, sf_dir, tmp_path):
+    """Incremental CMS/HLL maintenance: stream the corpus in two waves with
+    a replayed file, and the served (re-aggregated) sketches must equal the
+    batch-built ones cell-for-cell — replay protection is load-bearing for
+    the additive CMS."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.streaming import sketches as sk
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_sketch")
+    prefix = "test_stream_sketch"
+    sk.init_sketch_tables(spark, prefix)
+
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+    q = sk.start_sketcher(spark, str(docs_dir), prefix, ck)
+    q.awaitTermination(120)
+    assert spark.table(f"{prefix}_seen").count() == half
+
+    pq_.write_table(t.slice(half), docs_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1_replay.parquet")
+    q = sk.start_sketcher(spark, str(docs_dir), prefix, ck)
+    q.awaitTermination(120)
+    assert spark.table(f"{prefix}_seen").count() == t.num_rows
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got_cms = {tuple(r) for r in sk.served_cms(spark, prefix).collect()}
+    want_cms = {tuple(r) for r in sk.batch_cms_cells(full).collect()}
+    assert got_cms == want_cms
+    got_hll = {tuple(r) for r in sk.served_hll(spark, prefix).collect()}
+    want_hll = {tuple(r) for r in sk.batch_hll_regs(full).collect()}
+    assert got_hll == want_hll
