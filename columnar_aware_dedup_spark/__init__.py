@@ -194,7 +194,6 @@ ROTATION_R4: list[str] = [
     "range_join_bands",
     "cube_agg",
     "rollup_agg",
-    "argminmax_agg",
     "having_filter",
     "window_rank",
     "window_lag_frame",
@@ -224,8 +223,8 @@ ROTATION_R4: list[str] = [
     # driver-checked, mandatory here; string_fns/array_fns/json_extract/
     # orderby_limit_topk/event_tumbling_window/row_signature/
     # percentile_disc_median/join_left/join_full_outer/grouping_sets_agg/
-    # pivot_agg yield their re-check slots — they keep r01 rows and the
-    # local oracle gate runs every session)
+    # pivot_agg/argminmax_agg yield their re-check slots — they keep r01
+    # rows and the local oracle gate runs every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
@@ -234,6 +233,7 @@ ROTATION_R4: list[str] = [
     "token_vocab_hll",
     "dedup_bloom_prefilter",
     "pmi_collocations",
+    "source_mix_kl",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "embedding_pca_project",

@@ -469,6 +469,103 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-bucket KL term: smoothed p_s(b) * ln(p_s(b) / p_corpus(b)), rounded
+#: to 10 dp and summed as DECIMAL so the 256-term reduction is
+#: order-independent. ALL buckets contribute (an empty source bucket still
+#: carries smoothed mass), hence the sequence(0,255) fold over maps — the
+#: DSIR lambda-array construction, pointed at divergence instead of
+#: selection.
+_KL_PS = f"cast(coalesce(element_at(m, b), 0L) + 1 as double) / cast(ts + {_B} as double)"
+_KL_PC = f"cast(coalesce(element_at(mc, b), 0L) + 1 as double) / cast(tc + {_B} as double)"
+_KL_FOLD = f"""
+aggregate(
+  transform(sequence(0, {_B - 1}), b ->
+    cast(round(({_KL_PS}) * ln(({_KL_PS}) / ({_KL_PC})), 10)
+         as decimal(18,10))),
+  cast(0 as decimal(18,10)),
+  (acc, t) -> cast(acc + t as decimal(18,10)))
+"""
+
+
+@register(
+    "source_mix_kl",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), bt AS (
+  SELECT source, {_BUCKET_SQL} AS b FROM toks
+), cs AS (
+  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n FROM bt GROUP BY source, b
+), st AS (
+  SELECT source, SUM(n) AS ts FROM cs GROUP BY source
+), corpus AS (
+  SELECT b, SUM(n) AS nc FROM cs GROUP BY b
+), tc AS (
+  SELECT SUM(nc) AS tcv FROM corpus
+), grid AS (
+  SELECT s.source, g.b
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(generate_series(0, {_B - 1})) AS b) g
+), terms AS (
+  SELECT grid.source,
+         CAST(round(
+           (CAST(COALESCE(cs.n, 0) + 1 AS DOUBLE) / CAST(st.ts + {_B} AS DOUBLE))
+           * ln((CAST(COALESCE(cs.n, 0) + 1 AS DOUBLE) / CAST(st.ts + {_B} AS DOUBLE))
+                / (CAST(COALESCE(c.nc, 0) + 1 AS DOUBLE) / CAST(t.tcv + {_B} AS DOUBLE))),
+           10) AS DECIMAL(18,10)) AS term
+  FROM grid
+  LEFT JOIN cs ON cs.source = grid.source AND cs.b = grid.b
+  JOIN st ON st.source = grid.source
+  LEFT JOIN corpus c ON c.b = grid.b
+  CROSS JOIN tc t
+)
+SELECT terms.source,
+       CAST(ANY_VALUE(st.ts) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS kl_to_corpus
+FROM terms JOIN st ON st.source = terms.source
+GROUP BY terms.source
+""",
+)
+def source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift report: smoothed KL divergence of each source's hashed
+    unigram distribution from the corpus mixture — the quantitative answer
+    to "which sources look different from the blend" that data-mixing
+    decisions (`domain_mix_sample`) start from.
+
+    Same scale shape as the DSIR fit: one B-bounded (source, bucket)
+    shuffle, per-source maps + the one-row corpus map broadcast, and the
+    256-term divergence folded per source with an exact decimal
+    accumulator. Nothing vocabulary- or corpus-sized moves.
+    """
+    bt = (
+        _fanned(spark, sf_dir)
+        .select("source", F.explode("toks").alias("tok"))
+        .select("source", F.expr(_BUCKET_SPARK).cast("int").alias("b"))
+    )
+    cs = bt.groupBy("source", "b").agg(F.count("*").alias("n"))
+    per_source = cs.groupBy("source").agg(
+        F.expr("map_from_entries(collect_list(struct(b, n)))").alias("m"),
+        F.sum("n").alias("ts"),
+    )
+    corpus = (
+        cs.groupBy("b")
+        .agg(F.sum("n").alias("nc"))
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(b, nc)))").alias("mc"),
+            F.sum("nc").alias("tc"),
+        )
+    )
+    kl = F.expr(_KL_FOLD)
+    return (
+        per_source.join(F.broadcast(corpus))
+        .select(
+            "source",
+            F.col("ts").cast("bigint").alias("n_tokens"),
+            F.round(kl.cast("double"), 6).alias("kl_to_corpus"),
+        )
+    )
+
+
 #: HyperLogLog geometry: m=256 registers (p=8). Register = first two md5
 #: nibbles; rank = leading-zero count of the NEXT 32 hash bits + 1 (via the
 #: bit length of the integer — no float log2, so no boundary flips).

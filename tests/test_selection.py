@@ -246,6 +246,28 @@ def test_pmi_surfaces_planted_collocation(spark, tmp_path):
     assert all(top >= v for v in pmi_by_pair.values())
 
 
+def test_kl_flags_the_divergent_source(spark, tmp_path):
+    """Sources sharing a vocabulary must sit near zero divergence; a
+    disjoint-vocabulary source must stand far above them."""
+    # long docs so real token mass dominates the add-one smoothing prior
+    rows = (
+        [(" ".join(["alpha", "beta", "gamma", "delta"] * 50), "srcA")] * 5
+        + [(" ".join(["beta", "alpha", "delta", "gamma"] * 50), "srcB")] * 5
+        + [(" ".join(["omega", "sigma", "tau", "kappa"] * 50), "srcO")] * 5
+    )
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r["source"]: r for r in QUERIES["source_mix_kl"](spark, sf).collect()}
+    assert set(got) == {"srcA", "srcB", "srcO"}
+    for r in got.values():
+        assert r["kl_to_corpus"] >= 0  # Gibbs: KL of smoothed dists
+        assert r["n_tokens"] == 1000
+    assert got["srcA"]["kl_to_corpus"] == got["srcB"]["kl_to_corpus"]
+    # the divergent source clears the shared smoothing noise floor (the
+    # empty-bucket terms ~ ln(T/T_s) every source pays) by a wide margin
+    assert got["srcO"]["kl_to_corpus"] > 2 * got["srcA"]["kl_to_corpus"]
+    assert got["srcO"]["kl_to_corpus"] - got["srcA"]["kl_to_corpus"] > 0.3
+
+
 def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
     """Independent greedy BPE: argmax pair by (freq, lexicographic), merged
     leftmost-non-overlapping — the semantics the Spark fold must match."""
