@@ -78,7 +78,13 @@ def batch_hll_regs(docs: DataFrame) -> DataFrame:
 
 def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
     """Create the three empty state tables (seen docs, CMS cells, HLL
-    register partials) under ``prefix``, replacing any previous state."""
+    register partials) under ``prefix``, replacing any previous state —
+    including a leftover warehouse directory from a session whose metastore
+    no longer lists the table (DROP TABLE can't see it, and ``saveAsTable``
+    would fail with LOCATION_ALREADY_EXISTS)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for suffix, schema in (
         ("seen", "doc_id long"),
         ("cms", "d int, b int, n long"),
@@ -86,6 +92,7 @@ def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
     ):
         name = f"{prefix}_{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
         spark.createDataFrame([], schema).write.format("parquet").mode(
             "overwrite"
         ).saveAsTable(name)
