@@ -197,7 +197,6 @@ ROTATION_R4: list[str] = [
     "having_filter",
     "window_rank",
     "window_lag_frame",
-    "window_first_last",
     "window_ntile_dist",
     "dedup_exact_rows",
     "event_sliding_window",
@@ -223,8 +222,8 @@ ROTATION_R4: list[str] = [
     # driver-checked, mandatory here; string_fns/array_fns/json_extract/
     # orderby_limit_topk/event_tumbling_window/row_signature/
     # percentile_disc_median/join_left/join_full_outer/grouping_sets_agg/
-    # pivot_agg/argminmax_agg yield their re-check slots — they keep r01
-    # rows and the local oracle gate runs every session)
+    # pivot_agg/argminmax_agg/window_first_last yield their re-check slots
+    # — they keep r01 rows and the local oracle gate runs every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
@@ -234,6 +233,7 @@ ROTATION_R4: list[str] = [
     "dedup_bloom_prefilter",
     "pmi_collocations",
     "source_mix_kl",
+    "multimodal_scene_cuts",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "embedding_pca_project",

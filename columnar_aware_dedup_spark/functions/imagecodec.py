@@ -143,6 +143,27 @@ def synth_frames(doc_id: int) -> bytes:
     return bytes(out)
 
 
+def synth_scene_frames(doc_id: int) -> bytes:
+    """Like :func:`synth_frames`, but with a PLANTED SCENE CUT: from frame
+    ``cut = 1 + doc_id % 3`` onward every pixel jumps by +128 (mod 256), so
+    cross-cut per-pixel differences are 115..141 while within-scene ones
+    are 13 or 243 (mean <= ~96 even at the worst wrap overlap of the
+    smallest 36-byte frames) — a separable detection signal that is
+    still closed-form for the SQL oracle. Geometry: width ``4 + d%5``,
+    height ``3 + d%4``, frames ``4 + d%4`` (always >= 4, so every container
+    has at least three boundaries and exactly one cut)."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    n_frames = 4 + doc_id % 4
+    cut = 1 + doc_id % 3
+    out = bytearray()
+    for f in range(n_frames):
+        base = doc_id * 7 + f * 13 + (128 if f >= cut else 0)
+        rgb = bytes((base + i) % 256 for i in range(w * h * 3))
+        out += encode_ppm(w, h, rgb)
+    return bytes(out)
+
+
 def mean_luma(rgb: bytes) -> float:
     """Rec.601 luma over RGB bytes, normalized to [0, 1], 6 decimals."""
     n = len(rgb) // 3

@@ -627,3 +627,131 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("crossings") / (F.col("n_samples") - F.lit(1)).cast("double"), 6
         ).alias("zcr"),
     ).orderBy("doc_id")
+
+
+# -- video scene-cut detection ------------------------------------------------
+
+#: scene-container parameters, closed-form in doc_id (must match
+#: ``imagecodec.synth_scene_frames``).
+_SCENE_PAR_SQL = """
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h,
+         4 + doc_id % 4 AS nf,
+         1 + doc_id % 3 AS cut
+  FROM documents
+"""
+
+#: flag threshold between the within-scene band (mean <= ~96 at the worst
+#: wrap overlap of the smallest frames) and the cross-cut band (>= 115).
+_CUT_THRESHOLD = 105.0
+
+SCENE_CUT_ORACLE = f"""
+WITH par AS ({_SCENE_PAR_SQL}
+), bd AS (
+  SELECT doc_id, w, h, cut, unnest(generate_series(0, nf - 2)) AS f
+  FROM par
+), px AS (
+  SELECT doc_id, w, h, cut, f, unnest(generate_series(0, w * h * 3 - 1)) AS i
+  FROM bd
+), d AS (
+  SELECT doc_id, f, w, h,
+         abs(((doc_id * 7 + (f + 1) * 13
+               + CASE WHEN f + 1 >= cut THEN 128 ELSE 0 END + i) % 256)
+           - ((doc_id * 7 + f * 13
+               + CASE WHEN f >= cut THEN 128 ELSE 0 END + i) % 256)) AS ad
+  FROM px
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS boundary,
+       CAST(sum(ad) AS BIGINT) AS sum_abs_diff,
+       CAST(any_value(w) * any_value(h) * 3 AS BIGINT) AS n_bytes,
+       round(CAST(sum(ad) AS DOUBLE)
+             / (any_value(w) * any_value(h) * 3), 6) AS mean_diff,
+       (CAST(sum(ad) AS DOUBLE)
+        / (any_value(w) * any_value(h) * 3)) > {_CUT_THRESHOLD} AS is_cut
+FROM d GROUP BY doc_id, f
+ORDER BY doc_id, boundary
+"""
+
+
+def scene_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): multi-frame P6 containers with a planted scene
+    cut per doc (``imagecodec.synth_scene_frames``)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        imagecodec.synth_scene_frames(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(_synth, "doc_id long, payload binary")
+
+
+@register("multimodal_scene_cuts", oracle=SCENE_CUT_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video containers, HASH-CHECKED end to end:
+    consecutive-frame absolute-difference energy per boundary, thresholded
+    into cut flags — the heuristic that upgrades blind every-Nth-frame
+    sampling (``multimodal_frame_sample``) into content-aware keyframe
+    selection. The synthesized containers PLANT one cut per doc (+128
+    pixel jump at a doc-derived frame), so within-scene boundary means
+    stay below ~96 while the cut boundary sits in 115..141 — a separable
+    signal even at the worst wrap overlap of the smallest frames,
+    yet every byte is closed-form and the DuckDB oracle regenerates the
+    exact integer difference sums (any codec/boundary/stride defect breaks
+    the hash, the audio-query discipline).
+
+    Scale shape: synth -> decode -> per-boundary integer sums fuse into one
+    narrow Arrow ``mapInPandas`` pass; payloads never shuffle; the
+    threshold/mean derivation is columnar on the tiny feature rows.
+    """
+    payloads = scene_payload_table(spark, sf_dir)
+
+    def _diffs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = imagecodec.decode_frames(bytes(payload))
+                arrs = [
+                    np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                    for _, _, rgb in frames
+                ]
+                for f in range(len(arrs) - 1):
+                    rows.append(
+                        (
+                            int(did),
+                            f,
+                            int(np.abs(arrs[f + 1] - arrs[f]).sum()),
+                            int(arrs[f].size),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "boundary", "sum_abs_diff", "n_bytes"]
+            )
+
+    raw = payloads.mapInPandas(
+        _diffs, "doc_id long, boundary int, sum_abs_diff long, n_bytes long"
+    )
+    mean_diff = F.col("sum_abs_diff").cast("double") / F.col("n_bytes")
+    return raw.select(
+        "doc_id",
+        "boundary",
+        "sum_abs_diff",
+        "n_bytes",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        (mean_diff > F.lit(_CUT_THRESHOLD)).alias("is_cut"),
+    ).orderBy("doc_id", "boundary")

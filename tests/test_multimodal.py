@@ -193,3 +193,22 @@ def test_wav_parser_rejects_truncated_fmt():
     truncated = b"RIFF" + struct.pack("<I", len(truncated) - 8) + truncated[8:]
     with _pytest.raises(ValueError, match="truncated fmt chunk"):
         audiocodec.parse_wav(truncated)
+
+
+def test_scene_cuts_find_exactly_the_planted_cut(spark, sf_dir):
+    """Every synthesized container plants one +128 scene jump at frame
+    1 + doc_id % 3; the detector must flag exactly that boundary, and the
+    two bands must be separated (within-scene < threshold < cross-cut)."""
+    from columnar_aware_dedup_spark.registry import QUERIES
+
+    rows = QUERIES["multimodal_scene_cuts"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 500
+    for d, rs in by_doc.items():
+        cuts = [r["boundary"] for r in rs if r["is_cut"]]
+        assert cuts == [d % 3], (d, cuts)  # boundary (cut-1) = 1 + d%3 - 1
+        within = [r["mean_diff"] for r in rs if not r["is_cut"]]
+        cross = [r["mean_diff"] for r in rs if r["is_cut"]]
+        assert max(within) < 105.0 < min(cross)
