@@ -193,7 +193,6 @@ ROTATION_R4: list[str] = [
     "asof_join",
     "range_join_bands",
     "cube_agg",
-    "rollup_agg",
     "having_filter",
     "window_rank",
     "window_lag_frame",
@@ -222,8 +221,9 @@ ROTATION_R4: list[str] = [
     # driver-checked, mandatory here; string_fns/array_fns/json_extract/
     # orderby_limit_topk/event_tumbling_window/row_signature/
     # percentile_disc_median/join_left/join_full_outer/grouping_sets_agg/
-    # pivot_agg/argminmax_agg/window_first_last yield their re-check slots
-    # — they keep r01 rows and the local oracle gate runs every session)
+    # pivot_agg/argminmax_agg/window_first_last/rollup_agg yield their
+    # re-check slots — they keep r01 rows and the local oracle gate runs
+    # every session)
     "dsir_importance_weights",
     "dsir_gumbel_resample",
     "token_zipf_slope",
@@ -234,6 +234,7 @@ ROTATION_R4: list[str] = [
     "pmi_collocations",
     "source_mix_kl",
     "multimodal_scene_cuts",
+    "near_dup_pagerank",
     "bpe_train_merges",
     "bpe_segment_corpus",
     "embedding_pca_project",

@@ -25,7 +25,7 @@ what a correctness gate should look like for an iterative operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.registry import register
@@ -308,3 +308,88 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+# -- centrality: canonical-document selection by PageRank --------------------
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 10) -> DataFrame:
+    """(doc_a, doc_b) undirected edges -> (doc_id, rank): power-iteration
+    PageRank over the symmetrized graph, restricted to nodes with at least
+    one edge (isolated docs carry no centrality signal).
+
+    Dataflow per round (kmeans/PCA trainer discipline — DataFrame state,
+    ``localCheckpoint`` lineage truncation, zero ``collect()``): one join
+    of the edge list against the current ranks, one dst-keyed partial-agg
+    shuffle, and a broadcast of the two one-row totals (node count and
+    dangling mass — symmetric graphs restricted to edge-bearing nodes have
+    none, but the term keeps the operator correct on any edge list).
+    Scale: each round moves |E| + |V| rows — the textbook distributed
+    PageRank schedule.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    )
+    n_row = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.join(F.broadcast(n_row)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            sym.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .join(F.broadcast(n_row))
+            .select(
+                "doc_id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@register("near_dup_pagerank")
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: PageRank of every edge-bearing
+    document, with the per-cluster argmax flagged as the CANONICAL doc —
+    the centrality-based alternative to min-id (`near_dup_clusters`) and
+    quality-score (`cluster_quality_keeper`) survivor selection: the doc
+    most linked-to by duplicates is the one the crawl keeps re-finding.
+
+    Rows-only (iterated float division is not SQL-expressible); the
+    planted-graph pytest pins the rank vector against an independent
+    pure-Python power iteration and the star-center argmax.
+    """
+    from columnar_aware_dedup_spark.operators.text import minhash_near_dup
+
+    edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    ranks = pagerank(edges)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank"), F.col("doc_id")
+    )
+    return (
+        ranks.join(labels, "doc_id")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.round("rank", 8).alias("rank"),
+            "is_canonical",
+        )
+        .orderBy("doc_id")
+    )

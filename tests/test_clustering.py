@@ -84,3 +84,34 @@ def test_star_contraction_multiple_components_and_pairs(spark):
         for r in connected_components_star(edges).collect()
     }
     assert got == {5: 5, 7: 5, 9: 5, 11: 11, 20: 11}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Star graph 0-{1,2,3,4} plus a detached pair 10-11: ranks must match
+    an independent pure-Python power iteration to 1e-9, and the star
+    center must be the canonical argmax."""
+    from columnar_aware_dedup_spark.operators.clustering import pagerank
+
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank(edges).collect()}
+
+    # reference: same symmetric graph, same schedule
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        inflow = {v: 0.0 for v in nodes}
+        for v in nodes:
+            share = r[v] / len(adj[v])
+            for u in adj[v]:
+                inflow[u] += share
+        r = {v: 0.15 / n + 0.85 * inflow[v] for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert max(got, key=got.get) == 0  # the star center dominates

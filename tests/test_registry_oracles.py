@@ -93,6 +93,10 @@ R_ALLOWLIST = {
         "applies the iteratively-trained merge table; segmentation equality"
         " with the pure-Python tokenizer pytest-verified"
     ),
+    "near_dup_pagerank": (
+        "iterated float division; rank vector pytest-pinned to 1e-9 against"
+        " an independent pure-Python power iteration"
+    ),
 }
 
 
