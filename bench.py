@@ -78,6 +78,24 @@ HEADLINE = [
     "dedup_bloom_prefilter",
 ]
 
+#: the dual-SF scaling probes: the structurally heaviest / most diverse
+#: plans (two-snapshot dedup joins, banded LSH, iterative CC, cell-bounded
+#: quadratic semantic dedup, fused multimodal kernels, TPC-H join+agg,
+#: broadcast-model scoring). Each runs at sf0.01 AND the main SF; the
+#: per-query wall-clock ratio lands in the JSON "scaling" section.
+SCALING_QUERIES = [
+    "dedup_hit_miss",
+    "dedup_hierarchical",
+    "chunk_simulate",
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "semantic_dedup",
+    "multimodal_audio_features",
+    "token_topk",
+    "q3_shipping_priority",
+    "bigram_logprob_score",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,6 +130,32 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Second scale point (VERDICT r04 next-round #7): run the structurally
+    # heaviest queries at sf0.01 AND the main SF and record the wall-clock
+    # ratio per query. Data grows 10x between the two points, so a ratio
+    # well above ~10 flags a super-linear plan long before a real 100x
+    # scale-up would; ratios far below 10 just mean fixed overhead (JVM,
+    # Python workers, per-stage latency) still dominates at these sizes.
+    scaling: dict[str, dict[str, float]] = {}
+    small_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(small_dir) and small_dir != sf_dir:
+        for name in SCALING_QUERIES:
+            fn = queries[name]
+            best_small = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, small_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best_small = min(best_small, time.time() - t0)
+            big = timings[name]
+            scaling[name] = {
+                "sf0.01_sec": round(best_small, 3),
+                f"sf{sf}_sec": big,
+                "ratio": round(big / best_small, 2) if best_small > 0 else -1.0,
+            }
+
     print(
         json.dumps(
             {
@@ -120,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "scaling": scaling,
             }
         )
     )

@@ -28,6 +28,8 @@ from columnar_aware_dedup_spark.operators import text  # noqa: F401
 from columnar_aware_dedup_spark.operators import clustering  # noqa: F401
 from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
 from columnar_aware_dedup_spark.operators import pq  # noqa: F401
+from columnar_aware_dedup_spark.operators import sq  # noqa: F401
+from columnar_aware_dedup_spark.operators import phash  # noqa: F401
 from columnar_aware_dedup_spark.operators import pca  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
@@ -97,7 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "apply_in_pandas_group",
 ]
 
-#: r03 rotation (ACTIVE): the 41 queries with no driver CORRECTNESS row from
+#: r03 rotation (historical): the 41 queries with no driver CORRECTNESS row from
 #: r01 or r02, the 8 queries registered this round (new registrations have no
 #: prior row by construction), and one flagship re-check to fill the 50-slot
 #: window.  With this window checked, every registered query has at least one
@@ -163,7 +165,7 @@ ROTATION_R3: list[str] = [
     "dedup_hit_miss",
 ]
 
-#: r04 rotation (ACTIVE): leads with the two r03 FAIL rows (driver-canon
+#: r04 rotation (historical): led with the two r03 FAIL rows (driver-canon
 #: fixes — cast_fns ships its decimal as DOUBLE, doc_hash_embedding joins
 #: its vector to a string) and the two R->H promotions (the image pipeline
 #: now hash-checks against a closed-form pixel oracle); then the 39 queries
@@ -211,7 +213,10 @@ ROTATION_R4: list[str] = [
     "dup_span_fraction",
     "bigram_logprob_score",
     "ngram_containment_pairs",
-    "near_dup_clusters_star",
+    # registered as near_dup_clusters_star in r04; renamed in r05 when the
+    # star contraction became the default engine and label propagation the
+    # checked spec variant (the r04 driver row lives under the old name)
+    "near_dup_clusters_labelprop",
     "cluster_quality_keeper",
     "source_overlap_matrix",
     "ann_pq_topk",
@@ -243,16 +248,21 @@ ROTATION_R4: list[str] = [
     "dedup_hit_miss",
 ]
 
-#: r05 rotation (PREPARED, not active): with r04 re-verifying the r01-stale
-#: surface, the next window's job is the queries whose newest driver row is
-#: from r02 — the dedup core, ORC family, text/embedding suites, and macro
-#: batch 1 — plus the flagship and two r03-flagship re-checks as fill. The
-#: freshness test arms itself once CORRECTNESS_r04.json lands, so any query
-#: still missing a driver row then must appear here.
+#: r05 rotation (ACTIVE): with r04 re-verifying the r01-stale surface, this
+#: window's job is the queries whose newest driver row is from r02 — the
+#: dedup core, ORC family, text/embedding suites, and macro batch 1 — plus
+#: the six queries whose oracle status changed this round: the five R->H
+#: trainer certificates (pq_train_codebooks, bpe_train_merges,
+#: bpe_segment_corpus, embedding_pca_project, near_dup_pagerank — the
+#: tolerance-bit pattern, VERDICT r04 "What's missing" #2) and the renamed
+#: never-checked near_dup_clusters_labelprop. Four r02-stale re-checks
+#: (transfer_stats_rollup_approx, grouped_percentile_approx,
+#: apply_in_pandas_group, pandas_udf_scalar — two R-only sketches, two UDF
+#: demos) yield their slots to ROTATION_R6; they keep r02 rows and the
+#: local oracle gate runs every session.
 ROTATION_R5: list[str] = [
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "apply_in_pandas_group",
     "approx_distinct",
     "chunk_simulate",
     "col_type_stats",
@@ -265,7 +275,6 @@ ROTATION_R5: list[str] = [
     "embedding_near_dup_pairs",
     "embedding_norm_stats",
     "grouped_percentile",
-    "grouped_percentile_approx",
     "lang_id_heuristic",
     "line_dedup_corpus",
     "minhash_near_dup",
@@ -277,13 +286,9 @@ ROTATION_R5: list[str] = [
     "orc_hierarchical_dedup",
     "orc_linked_reconstruction",
     "orc_reconstruction",
-    "pandas_udf_scalar",
     "parquet_file_chunks",
     "pipeline_curate",
-    "q10_returned_item",
-    "q14_promo_effect",
     "q18_large_volume",
-    "q19_bracketed_or",
     "q4_order_priority",
     "q6_forecast_revenue",
     "salted_groupby",
@@ -295,14 +300,87 @@ ROTATION_R5: list[str] = [
     "token_count_bpe",
     "token_topk",
     "transfer_stats_rollup",
-    "transfer_stats_rollup_approx",
     "transfer_stats_taxonomy",
-    # fill: the flagship family + the set-ops displaced from the r04 window
-    "dedup_hit_miss",
     "dedup_hierarchical",
+    # r05 oracle-status changes: the renamed labelprop variant (never
+    # driver-checked under this name) and the five R->H trainer certificates
+    "near_dup_clusters_labelprop",
+    "pq_train_codebooks",
+    "bpe_train_merges",
+    "bpe_segment_corpus",
+    "embedding_pca_project",
+    "near_dup_pagerank",
+    # r05 new registrations (never driver-checked, so mandatory in the
+    # active window): the SQ8 compression ANN path and the perceptual-hash
+    # image near-dup family (three q1x macro re-checks yield slots to R6)
+    "ann_sq8_topk",
+    "image_ahash_signature",
+    "image_ahash_near_dup",
+]
+
+#: r06 rotation (PREPARED, not active): the 45 queries whose newest driver
+#: row is from r03 (ANN batch 2, curation, macro batch 2, the *_all set
+#: ops), plus the four re-checks displaced from the r05 window and the
+#: oldest r01 set-op row. The freshness test arms once CORRECTNESS_r05.json
+#: lands, so any query still missing a driver row then must appear here.
+ROTATION_R6: list[str] = [
+    "ann_ivf_nprobe_topk",
+    "ann_recall_report",
+    "cohort_retention",
+    "corpus_report",
+    "corpus_shuffle",
+    "corpus_split",
+    "correlated_subquery",
+    "decontaminate_ngram_overlap",
+    "doc_repetition_score",
+    "domain_mix_sample",
+    "event_funnel",
+    "event_gapfill_locf",
+    "except_all",
+    "file_inventory",
+    "file_parse_overhead",
+    "intersect_all",
+    "inverted_index_search",
+    "ivf_train_kmeans",
+    "like_rlike_pred",
+    "limit_offset",
+    "multimodal_audio_features",
+    "null_fns",
+    "pandas_udf_grouped_agg",
+    "parquet_reconstruction",
+    "pii_redaction",
+    "pipeline_dedup_all",
+    "posexplode_tokens",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "semantic_dedup",
+    "sequence_pack",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "union_all_counts",
+    # displaced from the r05 window (keep r02 rows; local gate every
+    # session); transfer_stats_rollup_approx / grouped_percentile_approx /
+    # apply_in_pandas_group wait for r07 — R-only sketches and a UDF demo
+    # are the weakest driver-row signal on the board
+    "q10_returned_item",
+    "q14_promo_effect",
+    "q19_bracketed_or",
+    "pandas_udf_scalar",
+    # oldest remaining r01 row in the set-op family
     "set_union",
 ]
 
-registry.reorder(ROTATION_R4)
+registry.reorder(ROTATION_R5)
 
 __all__ = ["registry"]

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 SAMPLE_RATE = 8000
 N_CHANNELS = 1
 BITS = 16
@@ -33,14 +35,23 @@ def synth_params(doc_id: int) -> tuple[int, int, int]:
     return 16 + doc_id % 32, 4000 + (doc_id % 50) * 100, 640 + (doc_id % 10) * 80
 
 
-def synth_samples(doc_id: int) -> list[int]:
+def synth_samples(doc_id: int) -> np.ndarray:
+    """int64 sample vector; whole-array arithmetic (the per-sample Python
+    comprehension here was the r04 bench's 5.8x regression — VERDICT r04
+    "What's wrong" #1). Integer // on the non-negative numerator matches the
+    closed form's floor division exactly."""
     period, amp, n = synth_params(doc_id)
-    return [((i % period) * 2 * amp) // (period - 1) - amp for i in range(n)]
+    i = np.arange(n, dtype=np.int64)
+    return ((i % period) * 2 * amp) // (period - 1) - amp
 
 
-def write_wav(samples: list[int], rate: int = SAMPLE_RATE) -> bytes:
-    """Canonical RIFF/WAVE PCM bytes (fmt + data chunks)."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+def write_wav(samples, rate: int = SAMPLE_RATE) -> bytes:
+    """Canonical RIFF/WAVE PCM bytes (fmt + data chunks).
+
+    ``samples`` is any int sequence/ndarray within int16 range; the payload
+    is the little-endian int16 view (``tobytes`` ≡ ``struct.pack('<Nh')``).
+    """
+    data = np.asarray(samples, dtype=np.int64).astype("<i2").tobytes()
     fmt = struct.pack(
         "<HHIIHH",
         1,  # PCM
@@ -58,8 +69,11 @@ def write_wav(samples: list[int], rate: int = SAMPLE_RATE) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """(sample_rate, n_channels, bits, samples) from RIFF/WAVE bytes.
+def parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(sample_rate, n_channels, bits, samples) from RIFF/WAVE bytes;
+    ``samples`` is an int16 ndarray (zero-copy ``np.frombuffer`` view — the
+    ``struct.unpack``-into-list parse was the other half of the r04 audio
+    regression).
 
     Walks the chunk list generically (unknown chunks skipped, word-aligned)
     rather than assuming the writer's fmt-then-data layout, so files from
@@ -89,4 +103,4 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
     if bits != 16:
         raise ValueError(f"unsupported bit depth {bits}")
     n = len(data) // 2
-    return rate, channels, bits, list(struct.unpack(f"<{n}h", data))
+    return rate, channels, bits, np.frombuffer(data[: n * 2], dtype="<i2")

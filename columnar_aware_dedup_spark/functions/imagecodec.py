@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 
 def _ppm_tokens(data: bytes, pos: int, n: int) -> tuple[list[int], int] | None:
     """Read ``n`` whitespace-separated integer tokens (skipping ``#``
@@ -80,19 +82,12 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes] | None:
     stride = (w * 3 + 3) & ~3
     if pix_off + stride * h > len(data):
         return None
-    rows = []
-    for r in range(h):
-        src = h - 1 - r if bottom_up else r
-        row = data[pix_off + src * stride : pix_off + src * stride + w * 3]
-        # BGR -> RGB
-        rows.append(
-            bytes(
-                b
-                for i in range(0, len(row), 3)
-                for b in (row[i + 2], row[i + 1], row[i])
-            )
-        )
-    return w, h, b"".join(rows)
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        raw = raw[::-1]
+    return w, h, raw[:, :, ::-1].tobytes()  # BGR -> RGB
 
 
 def decode_frames(data: bytes) -> list[tuple[int, int, bytes]]:
@@ -135,10 +130,10 @@ def synth_frames(doc_id: int) -> bytes:
     w = 4 + doc_id % 5
     h = 3 + doc_id % 4
     n_frames = 1 + doc_id % 4
+    i = np.arange(w * h * 3, dtype=np.int64)
     out = bytearray()
     for f in range(n_frames):
-        base = doc_id * 7 + f * 13
-        rgb = bytes((base + i) % 256 for i in range(w * h * 3))
+        rgb = ((doc_id * 7 + f * 13 + i) % 256).astype(np.uint8).tobytes()
         out += encode_ppm(w, h, rgb)
     return bytes(out)
 
@@ -156,12 +151,38 @@ def synth_scene_frames(doc_id: int) -> bytes:
     h = 3 + doc_id % 4
     n_frames = 4 + doc_id % 4
     cut = 1 + doc_id % 3
+    i = np.arange(w * h * 3, dtype=np.int64)
     out = bytearray()
     for f in range(n_frames):
         base = doc_id * 7 + f * 13 + (128 if f >= cut else 0)
-        rgb = bytes((base + i) % 256 for i in range(w * h * 3))
+        rgb = ((base + i) % 256).astype(np.uint8).tobytes()
         out += encode_ppm(w, h, rgb)
     return bytes(out)
+
+
+#: geometry of the perceptual-hash fixture images (fixed so the 8x8
+#: nearest-neighbor sample map is a constant both engines share).
+AHASH_W, AHASH_H = 16, 12
+#: pixel values stay in 0..202 (pattern mod 200 + shift <= 3): the per-doc
+#: brightness shift must never clamp, or shift-invariance of the hash bits
+#: (strict inequalities shift with both sides) would break.
+AHASH_MOD = 200
+
+
+def synth_class_frame(doc_id: int) -> bytes:
+    """One P6 frame with a PLANTED DUPLICATE CLASS and a per-doc global
+    brightness shift: docs sharing ``doc_id % 41`` show the same underlying
+    pattern ``(cls*7 + i) % 200`` shifted by ``1 + doc_id % 3`` — so their
+    BYTES (and md5) differ, but every average-hash bit compares a cell
+    value against the global mean and a uniform shift moves both sides
+    equally, leaving the hash identical. Cross-class patterns differ
+    everywhere. Closed-form for the SQL oracle, like :func:`synth_frames`.
+    """
+    cls = doc_id % 41
+    delta = 1 + doc_id % 3
+    i = np.arange(AHASH_W * AHASH_H * 3, dtype=np.int64)
+    rgb = ((cls * 7 + i) % AHASH_MOD + delta).astype(np.uint8).tobytes()
+    return encode_ppm(AHASH_W, AHASH_H, rgb)
 
 
 def mean_luma(rgb: bytes) -> float:
@@ -169,21 +190,18 @@ def mean_luma(rgb: bytes) -> float:
     n = len(rgb) // 3
     if n == 0:
         return 0.0
-    acc = 0.0
-    for i in range(0, n * 3, 3):
-        acc += 0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+    px = np.frombuffer(rgb, dtype=np.uint8, count=n * 3).reshape(n, 3)
+    s = px.sum(axis=0, dtype=np.int64)
+    acc = 0.299 * float(s[0]) + 0.587 * float(s[1]) + 0.114 * float(s[2])
     return round(acc / (255.0 * n), 6)
 
 
 def resize_nearest(
     w: int, h: int, rgb: bytes, tw: int, th: int
 ) -> bytes:
-    """Nearest-neighbor resample to (tw, th) — the stdlib resize kernel."""
-    out = bytearray()
-    for ty in range(th):
-        sy = min(h - 1, ty * h // th)
-        row_off = sy * w * 3
-        for tx in range(tw):
-            sx = min(w - 1, tx * w // tw)
-            out += rgb[row_off + sx * 3 : row_off + sx * 3 + 3]
-    return bytes(out)
+    """Nearest-neighbor resample to (tw, th) — the stdlib resize kernel
+    (numpy fancy-indexed; same source-pixel map as the former loop)."""
+    px = np.frombuffer(rgb, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    sy = np.minimum(h - 1, np.arange(th) * h // th)
+    sx = np.minimum(w - 1, np.arange(tw) * w // tw)
+    return px[sy][:, sx].tobytes()

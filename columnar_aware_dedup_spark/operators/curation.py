@@ -454,7 +454,6 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.join(F.broadcast(offsets), "_b")
         .withColumn("position", (F.col("_offset") + F.col("_pos_in_b")).cast("bigint"))
         .select("doc_id", "source", "shuffle_key", "position")
-        .orderBy("position")
     )
 
 

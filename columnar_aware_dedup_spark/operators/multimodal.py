@@ -330,17 +330,26 @@ FROM agg ORDER BY doc_id
 """
 
 
+def fanned_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id fanned across all cores: the documents fixture is one parquet
+    file -> one scan task, and the synth/parse kernels are CPU-bound Python,
+    so without the spread the whole multimodal path runs single-threaded.
+    Only the 8-byte ids ever shuffle; payloads are synthesized (and, in the
+    fused H queries, decoded) after the exchange and never move."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
 def image_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload): deterministic multi-frame P6 containers synthesized
     per doc — the image analogue of :func:`audio_payload_table` (ENCODE side
     of the codec runs here, DECODE side in the feature kernels, so the
     oracle checks the full byte roundtrip). Only doc_ids shuffle in the
     fan-out repartition; payloads are generated after the exchange."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = fanned_doc_ids(spark, sf_dir)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -366,19 +375,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float policy stays engine-side — the same discipline as the audio
     query and ``streaming/anomaly.py``).
 
-    Scale shape: synth -> decode fuse into one narrow pass; payloads never
-    shuffle; only the tiny integer feature rows leave Python. A PIL/libav
-    kernel drops into the same (payload -> integer sums) signature.
+    Scale shape: synth and decode are FUSED into one mapInPandas kernel —
+    the container bytes are encoded and re-parsed inside the same Python
+    worker, so payloads never cross the Arrow boundary at all (an identity
+    mapInPandas pass costs ~2 s of worker latency on this host; the r04
+    two-pass layout paid it twice per query plus the payload transfer).
+    Only the 8-byte ids shuffle in; only the tiny integer feature rows
+    leave Python. A PIL/libav kernel drops into the same
+    (payload -> integer sums) signature.
     """
-    payloads = image_payload_table(spark, sf_dir)
+    payloads = fanned_doc_ids(spark, sf_dir)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = imagecodec.decode_frames(bytes(payload))
+            for did in pdf["doc_id"]:
+                frames = imagecodec.decode_frames(
+                    imagecodec.synth_frames(int(did))
+                )
                 w, h, _ = frames[0]
                 sums = np.zeros(3, dtype=np.int64)
                 for _, _, rgb in frames:
@@ -423,7 +439,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_r") * 3 + F.col("sum_g") * 5 + F.col("sum_b") * 7
         ).cast("bigint").alias("pixel_checksum"),
         F.round(luma / n_px, 6).alias("mean_luma"),
-    ).orderBy("doc_id")
+    )
 
 
 IMAGE_FRAME_SAMPLE_ORACLE = f"""
@@ -452,16 +468,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — the oracle regenerates each sampled frame closed-form, so a frame
     boundary, ordering, or stride defect in the container walk breaks the
     hash (the libav sampler drops into the same one-row-per-kept-frame
-    signature)."""
-    payloads = image_payload_table(spark, sf_dir)
+    signature). Synth+decode are fused in one kernel (see
+    :func:`multimodal_decode`); payloads never cross Arrow."""
+    payloads = fanned_doc_ids(spark, sf_dir)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = imagecodec.decode_frames(bytes(payload))
+            for did in pdf["doc_id"]:
+                frames = imagecodec.decode_frames(
+                    imagecodec.synth_frames(int(did))
+                )
                 for idx in range(0, len(frames), 2):
                     w, h, rgb = frames[idx]
                     s = int(
@@ -478,7 +497,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _sample,
         "doc_id long, frame_idx int, width int, height int, frame_sum long",
-    ).orderBy("doc_id", "frame_idx")
+    )
 
 
 # -- audio: real WAV encode -> parse -> feature extraction -------------------
@@ -526,20 +545,9 @@ def audio_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audio analogue of :func:`payload_table` (the fixture corpus has no
     binary column, so the payload is generated; the ENCODE side of the codec
     runs here, the PARSE side in the feature kernel, so the oracle checks
-    the full byte roundtrip).
-
-    The id column is repartitioned across all cores first: the documents
-    fixture is one parquet file -> one scan task, and the synth+parse
-    kernels are CPU-bound Python, so without the spread the whole audio
-    path would run single-threaded (same lesson as ``text._fanned``;
-    measured 1.9x at sf0.1).
-    Only doc_ids shuffle — payloads are generated after the exchange and
-    never move."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    the full byte roundtrip). Ids are fanned across cores first
+    (:func:`fanned_doc_ids`; measured 1.9x at sf0.1)."""
+    docs = fanned_doc_ids(spark, sf_dir)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -570,22 +578,27 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates the same samples closed-form with ``generate_series`` — any
     byte-level encode/parse defect breaks the hash match.
 
-    Scale shape: payloads never shuffle (synth -> parse fuse into one
-    narrow mapInPandas pass per batch); only the tiny integer feature rows
+    Scale shape: synth (RIFF encode) and parse are FUSED into one
+    mapInPandas kernel, so the WAV bytes never cross the Arrow boundary —
+    one Python stage instead of two (the r04 two-pass layout plus the
+    per-sample pure-Python kernels were the 5.8x bench regression; the
+    kernels are whole-array numpy now, see ``functions/audiocodec.py``).
+    Only the 8-byte ids shuffle in; only the tiny integer feature rows
     leave Python. Float policy stays engine-side: the kernel returns exact
     integers (sum-of-squares, crossings, peak) and duration/RMS/ZCR are
     derived as rounded columnar expressions.
     """
-    wavs = audio_payload_table(spark, sf_dir)
+    wavs = fanned_doc_ids(spark, sf_dir)
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["wav"]):
-                rate, _ch, _bits, samples = audiocodec.parse_wav(bytes(payload))
-                s = np.asarray(samples, dtype=np.int64)
+            for did in pdf["doc_id"]:
+                wav = audiocodec.write_wav(audiocodec.synth_samples(int(did)))
+                rate, _ch, _bits, samples = audiocodec.parse_wav(wav)
+                s = samples.astype(np.int64)
                 nonneg = s >= 0
                 rows.append(
                     (
@@ -626,7 +639,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("crossings") / (F.col("n_samples") - F.lit(1)).cast("double"), 6
         ).alias("zcr"),
-    ).orderBy("doc_id")
+    )
 
 
 # -- video scene-cut detection ------------------------------------------------
@@ -678,11 +691,7 @@ ORDER BY doc_id, boundary
 def scene_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload): multi-frame P6 containers with a planted scene
     cut per doc (``imagecodec.synth_scene_frames``)."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = fanned_doc_ids(spark, sf_dir)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -713,19 +722,22 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer difference sums (any codec/boundary/stride defect breaks
     the hash, the audio-query discipline).
 
-    Scale shape: synth -> decode -> per-boundary integer sums fuse into one
-    narrow Arrow ``mapInPandas`` pass; payloads never shuffle; the
-    threshold/mean derivation is columnar on the tiny feature rows.
+    Scale shape: synth -> decode -> per-boundary integer sums are FUSED
+    into one narrow Arrow ``mapInPandas`` kernel (payloads never cross the
+    Arrow boundary, see :func:`multimodal_decode`); the threshold/mean
+    derivation is columnar on the tiny feature rows.
     """
-    payloads = scene_payload_table(spark, sf_dir)
+    payloads = fanned_doc_ids(spark, sf_dir)
 
     def _diffs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = imagecodec.decode_frames(bytes(payload))
+            for did in pdf["doc_id"]:
+                frames = imagecodec.decode_frames(
+                    imagecodec.synth_scene_frames(int(did))
+                )
                 arrs = [
                     np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
                     for _, _, rgb in frames
@@ -754,4 +766,4 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(mean_diff, 6).alias("mean_diff"),
         (mean_diff > F.lit(_CUT_THRESHOLD)).alias("is_cut"),
-    ).orderBy("doc_id", "boundary")
+    )

@@ -316,16 +316,7 @@ def pq_train(
     lowest-id vectors' sub-slices) keeps runs reproducible — the
     ``kmeans.init_centroids`` decision.
     """
-    init = (
-        subvectors(e.orderBy("vec_id").limit(k), m)
-        .withColumn(
-            "code",
-            (F.row_number().over(Window.partitionBy("j").orderBy("vec_id")) - 1
-             ).cast("int"),
-        )
-        .select("j", "code", F.col("sv").alias("ce"))
-    )
-    cent = init.localCheckpoint(eager=True)
+    cent = _init_codebooks(e, m, k).localCheckpoint(eager=True)
     subs = subvectors(e, m)
     best = (
         "element_at(array_sort(transform(element_at(cbs, j + 1).cents,"
@@ -359,13 +350,13 @@ def pq_train(
     return cent
 
 
-@register("pq_train_codebooks")  # R: iterative float averages (like kmeans)
-def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_train_codebooks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train PQ codebooks and report per-(subspace, code) structure: member
     count, centroid norm, and mean within-cell squared distance (the
-    quantization error ADC inherits). Rows-only like ``ivf_train_kmeans``
-    (data-dependent float averages); intent pinned by planted-structure
-    tests in ``tests/test_pq.py``."""
+    quantization error ADC inherits). Data-dependent float averages, so not
+    oracle-checkable per cell; intent pinned by planted-structure tests in
+    ``tests/test_pq.py`` and the registered certificate query
+    (:func:`pq_train_codebooks`) hash-checks the Lloyd invariants."""
     e = table(spark, sf_dir, "embeddings")
     cent = pq_train(e)
     subs = subvectors(e)
@@ -402,6 +393,101 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("d2"), 6).alias("mean_d2"),
         )
         .orderBy("j", "code")
+    )
+
+
+def _init_codebooks(e: DataFrame, m: int = _M, k: int = _KSUB) -> DataFrame:
+    """The deterministic seed codebooks (k lowest-id vectors' sub-slices) —
+    factored out of :func:`pq_train` so the certificate query can measure
+    quantization error BEFORE training."""
+    return (
+        subvectors(e.orderBy("vec_id").limit(k), m)
+        .withColumn(
+            "code",
+            (F.row_number().over(Window.partitionBy("j").orderBy("vec_id")) - 1
+             ).cast("int"),
+        )
+        .select("j", "code", F.col("sv").alias("ce"))
+    )
+
+
+def _inertia_per_j(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(j, inertia): total min-over-codes squared distance per subspace —
+    the Lloyd objective, via the zero-shuffle broadcast argmin and a
+    j-keyed partial agg."""
+    best_d = (
+        "element_at(array_sort(transform(element_at(cbs, j + 1).cents,"
+        " c -> struct(aggregate(zip_with(sv, c.ce,"
+        " (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE),"
+        " (acc, v) -> acc + v) AS d, c.code AS code))), 1).d"
+    )
+    return (
+        subs.join(F.broadcast(_fold_codebooks(cent)))
+        .select("j", F.expr(best_d).alias("d"))
+        .groupBy("j")
+        .agg(F.sum("d").alias("inertia"), F.count("*").alias("n_assigned"))
+    )
+
+
+PQ_TRAIN_ORACLE = f"""
+SELECT j.j,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_assigned,
+       {_KSUB} AS k_cells,
+       TRUE AS inertia_improved_ok,
+       TRUE AS centroids_finite_ok
+FROM (SELECT unnest(generate_series(0, {_M - 1})) AS j) j
+ORDER BY j.j
+"""
+
+
+@register("pq_train_codebooks", oracle=PQ_TRAIN_ORACLE)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ Lloyd training, HASH-CHECKED via the tolerance-bit certificate
+    pattern (VERDICT r04 "What's missing" #2 — the ``approx_distinct``
+    discipline): per subspace ``j``, exact facts the oracle derives
+    independently (every vector is assigned in every subspace, the cell
+    count is the configured k) plus boolean invariants computed from the
+    REAL trained codebooks:
+
+    - ``inertia_improved_ok``: total quantization error under the trained
+      codebooks <= error under the deterministic seed codebooks + eps —
+      Lloyd iterations never increase the objective, so a broken
+      assignment/update step flips the bit;
+    - ``centroids_finite_ok``: every trained centroid coordinate is finite
+      (catches NaN propagation from empty-cell division).
+
+    The full per-cell structure table (member counts, centroid norms, mean
+    within-cell error) stays available as
+    :func:`pq_train_codebooks_full`, planted-structure pytest-pinned.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    subs = subvectors(e)
+    before = _inertia_per_j(subs, _init_codebooks(e)).select(
+        "j", F.col("inertia").alias("inertia0")
+    )
+    cent = pq_train(e)
+    after = _inertia_per_j(subs, cent)
+    finite = cent.groupBy("j").agg(
+        F.min(
+            F.expr(
+                "aggregate(ce, true, (acc, x) -> acc AND NOT isnan(x)"
+                " AND NOT x IS NULL)"
+            )
+        ).alias("all_finite")
+    )
+    return (
+        after.join(before, "j")
+        .join(finite, "j")
+        .select(
+            "j",
+            F.col("n_assigned").cast("bigint").alias("n_assigned"),
+            F.lit(_KSUB).alias("k_cells"),
+            (F.col("inertia") <= F.col("inertia0") + F.lit(1e-6)).alias(
+                "inertia_improved_ok"
+            ),
+            F.col("all_finite").alias("centroids_finite_ok"),
+        )
+        .orderBy("j")
     )
 
 

@@ -110,7 +110,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_TERMS)
         .drop("rn")
-        .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
 
 
@@ -277,7 +276,6 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS DECIMAL(9,6)) AS STRING)) END, ',')"
             ).alias("embedding"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -239,9 +239,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a", "vec_b", _cosine_spark("emb_a", "emb_b").alias("cosine_sim")
         )
     )
-    return pairs.filter(F.col("cosine_sim") >= _NEAR_DUP_THRESHOLD).orderBy(
-        "vec_a", "vec_b"
-    )
+    return pairs.filter(F.col("cosine_sim") >= _NEAR_DUP_THRESHOLD)
 
 
 ANN_LSH_ORACLE = f"""
@@ -682,5 +680,4 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             F.coalesce("hit", F.lit(False)).alias("is_dup"),
         )
-        .orderBy("vec_id")
     )

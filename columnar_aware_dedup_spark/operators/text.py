@@ -529,7 +529,6 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.countDistinct("a.band").alias("shared_bands"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -651,7 +650,6 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .orderBy("doc_a")
     )
 
 
@@ -816,7 +814,6 @@ def pipeline_dedup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("keep"))
             .alias("decision"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -904,7 +901,6 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac, 6).alias("dup_frac"),
             (frac < 0.5).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -999,7 +995,6 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(avg, 6).alias("avg_logprob"),
             (avg >= -6.5).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

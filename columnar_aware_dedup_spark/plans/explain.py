@@ -57,3 +57,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in plan_string(df, "formatted")
+
+
+def has_global_sort(df: DataFrame) -> bool:
+    """True if the plan contains a GLOBAL Sort (a full-exchange total
+    order). Formatted mode prints sort nodes as ``Sort [...], true/false``
+    where the boolean is the global flag; TakeOrderedAndProject (the heap
+    top-k) is a different node and does not match."""
+    plan = plan_string(df, "formatted")
+    return bool(re.search(r"\bSort \[[^\]]*\], true\b", plan))

@@ -77,18 +77,19 @@ def batch_hll_regs(docs: DataFrame) -> DataFrame:
 
 
 def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
-    """Create the three empty state tables (seen docs, CMS cells, HLL
-    register partials) under ``prefix``, replacing any previous state —
-    including a leftover warehouse directory from a session whose metastore
-    no longer lists the table (DROP TABLE can't see it, and ``saveAsTable``
-    would fail with LOCATION_ALREADY_EXISTS)."""
+    """Create the four empty state tables (seen docs, CMS cells, HLL
+    register partials, commit markers) under ``prefix``, replacing any
+    previous state — including a leftover warehouse directory from a
+    session whose metastore no longer lists the table (DROP TABLE can't see
+    it, and ``saveAsTable`` would fail with LOCATION_ALREADY_EXISTS)."""
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for suffix, schema in (
-        ("seen", "doc_id long"),
-        ("cms", "d int, b int, n long"),
-        ("hll", "reg int, mr int"),
+        ("seen", "doc_id long, attempt_id string"),
+        ("cms", "d int, b int, n long, attempt_id string"),
+        ("hll", "reg int, mr int, attempt_id string"),
+        ("commits", "attempt_id string"),
     ):
         name = f"{prefix}_{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -98,45 +99,77 @@ def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
         ).saveAsTable(name)
 
 
+def _committed(spark: SparkSession, prefix: str, suffix: str) -> DataFrame:
+    """The ``suffix`` partial rows restricted to COMMITTED attempts."""
+    return spark.table(f"{prefix}_{suffix}").join(
+        F.broadcast(spark.table(f"{prefix}_commits")), "attempt_id", "left_semi"
+    )
+
+
 def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
     """Idempotently fold one batch into the sketch tables; returns the
-    number of NEW documents absorbed. Already-seen documents are dropped
-    whole before any cell is derived, so a replayed file adds zero counts."""
+    number of NEW documents absorbed.
+
+    Atomic-commit protocol (ADVICE r04 #1 — the three appends are not
+    atomic on plain parquet, so a crash between them must not corrupt the
+    additive CMS): every partial row of this merge carries a fresh
+    ``attempt_id``, and readers / the dedup anti-join only honor rows whose
+    attempt appears in the ``commits`` table — which is appended LAST, as
+    the single-table publication point. A crash before the commit marker
+    leaves invisible garbage (swept opportunistically at the next merge);
+    the checkpoint replay then re-derives the same docs under a NEW attempt
+    and only that attempt ever commits. A replayed file after a successful
+    commit anti-joins away as before, so it still adds zero counts.
+    """
+    import uuid
+
     with store_lock(spark, f"{prefix}_seen"):
-        for suffix in ("seen", "cms", "hll"):
+        for suffix in ("seen", "cms", "hll", "commits"):
             spark.catalog.refreshTable(f"{prefix}_{suffix}")
-        seen = spark.table(f"{prefix}_seen")
+        seen = _committed(spark, prefix, "seen")
         fresh = docs.join(seen, "doc_id", "left_anti").persist()
         try:
             n = fresh.count()
             if n:
-                batch_cms_cells(fresh).write.format("parquet").mode(
-                    "append"
-                ).insertInto(f"{prefix}_cms")
-                batch_hll_regs(fresh).write.format("parquet").mode(
-                    "append"
-                ).insertInto(f"{prefix}_hll")
-                fresh.select("doc_id").write.format("parquet").mode(
+                attempt = uuid.uuid4().hex
+                tag = F.lit(attempt).alias("attempt_id")
+                batch_cms_cells(fresh).select("d", "b", "n", tag).write.format(
+                    "parquet"
+                ).mode("append").insertInto(f"{prefix}_cms")
+                batch_hll_regs(fresh).select("reg", "mr", tag).write.format(
+                    "parquet"
+                ).mode("append").insertInto(f"{prefix}_hll")
+                fresh.select("doc_id", tag).write.format("parquet").mode(
                     "append"
                 ).insertInto(f"{prefix}_seen")
+                # the publication point: everything above becomes visible
+                # in this one single-table append
+                spark.createDataFrame(
+                    [(attempt,)], "attempt_id string"
+                ).write.format("parquet").mode("append").insertInto(
+                    f"{prefix}_commits"
+                )
         finally:
             fresh.unpersist()
         return n
 
 
 def served_cms(spark: SparkSession, prefix: str) -> DataFrame:
-    """(d, b, n): the maintained sketch, appends re-aggregated at read."""
+    """(d, b, n): the maintained sketch — committed appends re-aggregated
+    at read (uncommitted attempts are crash debris and never count)."""
     return (
-        spark.table(f"{prefix}_cms")
+        _committed(spark, prefix, "cms")
         .groupBy("d", "b")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
 
 
 def served_hll(spark: SparkSession, prefix: str) -> DataFrame:
-    """(reg, mr): the maintained registers, max-merged at read."""
+    """(reg, mr): the maintained registers, committed rows max-merged."""
     return (
-        spark.table(f"{prefix}_hll").groupBy("reg").agg(F.max("mr").alias("mr"))
+        _committed(spark, prefix, "hll")
+        .groupBy("reg")
+        .agg(F.max("mr").alias("mr"))
     )
 
 

@@ -36,14 +36,17 @@ def test_min_id_direction_irrelevant(spark):
 
 def test_star_contraction_matches_fixpoint_on_fixture(spark, sf_dir):
     """Both CC algorithms must produce identical labels on the real
-    MinHash candidate pairs."""
+    MinHash candidate pairs (star is the r05 default engine; label-prop
+    is the spec variant)."""
     from columnar_aware_dedup_spark.operators.clustering import (
         near_dup_clusters,
-        near_dup_clusters_star,
+        near_dup_clusters_labelprop,
     )
 
-    a = [tuple(r) for r in near_dup_clusters(spark, sf_dir).collect()]
-    b = [tuple(r) for r in near_dup_clusters_star(spark, sf_dir).collect()]
+    a = sorted(tuple(r) for r in near_dup_clusters(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r) for r in near_dup_clusters_labelprop(spark, sf_dir).collect()
+    )
     assert a == b
 
 

@@ -145,10 +145,10 @@ def test_wav_roundtrip_golden():
     s = audiocodec.synth_samples(7)
     rate, ch, bits, out = audiocodec.parse_wav(audiocodec.write_wav(s))
     assert (rate, ch, bits) == (8000, 1, 16)
-    assert out == s
+    assert out.tolist() == s.tolist()
     # sawtooth invariants from the closed form
     period, amp, n = audiocodec.synth_params(7)
-    assert len(s) == n and min(s) == -amp and max(s) == amp
+    assert len(s) == n and s.min() == -amp and s.max() == amp
 
 
 def test_wav_parser_skips_unknown_chunks():
@@ -166,7 +166,7 @@ def test_wav_parser_skips_unknown_chunks():
     patched = (
         b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
     )
-    assert audiocodec.parse_wav(patched)[3] == s
+    assert audiocodec.parse_wav(patched)[3].tolist() == s.tolist()
 
 
 def test_wav_parser_rejects_non_riff():

@@ -6,7 +6,6 @@ import math
 import random
 
 from columnar_aware_dedup_spark.operators.pca import fit_pca2
-from columnar_aware_dedup_spark.registry import QUERIES
 
 
 def _planted_embeddings(spark, n=200, dim=8):
@@ -46,7 +45,11 @@ def test_power_iteration_recovers_planted_axes(spark):
 
 
 def test_pca_projection_query_shape(spark, sf_dir):
-    rows = QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    from columnar_aware_dedup_spark.operators.pca import (
+        embedding_pca_project_full,
+    )
+
+    rows = embedding_pca_project_full(spark, sf_dir).collect()
     assert len(rows) == 500
     assert {r["vec_id"] for r in rows} == set(range(500))
     lam1, lam2 = rows[0]["lam1"], rows[0]["lam2"]

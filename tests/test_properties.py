@@ -200,4 +200,4 @@ def test_wav_codec_roundtrips_any_pcm(samples):
 
     rate, ch, bits, out = audiocodec.parse_wav(audiocodec.write_wav(samples))
     assert (rate, ch, bits) == (8000, 1, 16)
-    assert out == samples
+    assert out.tolist() == samples

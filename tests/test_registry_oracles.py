@@ -57,13 +57,13 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r04 rotation (fixed reds + R->H promotions + r01-stale re-checks)
-    must be exactly that window."""
+    active r05 rotation (r02-stale re-checks + the six oracle-status
+    changes) must be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R4)] == pkg.ROTATION_R4
+    assert names[: len(pkg.ROTATION_R5)] == pkg.ROTATION_R5
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -78,25 +78,12 @@ R_ALLOWLIST = {
     "parquet_file_chunks": "binary parquet bytes; DuckDB cannot chunk files",
     "parquet_reconstruction": "binary reassembly golden, pytest-verified",
     "ivf_train_kmeans": "iterative float averages; recovery pytest-verified",
-    "pq_train_codebooks": "iterative float averages; structure pytest-verified",
     "file_inventory": "no DuckDB directory scan",
     "file_parse_overhead": "wall-clock measurement",
-    "bpe_train_merges": (
-        "iterative greedy argmax; merge sequence pytest-verified against an"
-        " independent pure-Python BPE on a planted corpus"
-    ),
-    "embedding_pca_project": (
-        "iterative float power method; planted-axis recovery and deflation"
-        " orthogonality pytest-verified"
-    ),
-    "bpe_segment_corpus": (
-        "applies the iteratively-trained merge table; segmentation equality"
-        " with the pure-Python tokenizer pytest-verified"
-    ),
-    "near_dup_pagerank": (
-        "iterated float division; rank vector pytest-pinned to 1e-9 against"
-        " an independent pure-Python power iteration"
-    ),
+    # r05: pq_train_codebooks, bpe_train_merges, bpe_segment_corpus,
+    # embedding_pca_project, and near_dup_pagerank graduated to H via the
+    # tolerance-bit certificate pattern (their *_full twins stay
+    # pytest-pinned, unregistered).
 }
 
 
@@ -120,44 +107,44 @@ def _driver_checked_queries() -> set[str]:
     return checked
 
 
-def test_rotation_r4_is_a_valid_window():
-    """The active r04 rotation must be 50 unique registered names covering
+def test_rotation_r5_is_a_valid_window():
+    """The active r05 rotation must be 50 unique registered names covering
     EVERY query that lacks a driver CORRECTNESS row. The never-checked set
     is derived from the recorded CORRECTNESS_r0*.json files rather than a
     hand-maintained list, so registering a new query fails this test until
     it is rotated into the driver window."""
     import columnar_aware_dedup_spark as pkg
 
-    assert len(pkg.ROTATION_R4) == 50
-    assert len(set(pkg.ROTATION_R4)) == 50
-    assert set(pkg.ROTATION_R4) <= set(_QUERIES)
+    assert len(pkg.ROTATION_R5) == 50
+    assert len(set(pkg.ROTATION_R5)) == 50
+    assert set(pkg.ROTATION_R5) <= set(_QUERIES)
 
     never_checked = set(_QUERIES) - _driver_checked_queries()
-    missing = never_checked - set(pkg.ROTATION_R4)
+    missing = never_checked - set(pkg.ROTATION_R5)
     assert not missing, (
         "queries with no driver CORRECTNESS row must be in the active "
         f"rotation window: {sorted(missing)}"
     )
 
 
-def test_rotation_r5_is_prepared_and_fresh():
-    """ROTATION_R5 (prepared for next round) must be 50 unique registered
-    names; once this round's CORRECTNESS_r04.json exists, it must also cover
+def test_rotation_r6_is_prepared_and_fresh():
+    """ROTATION_R6 (prepared for next round) must be 50 unique registered
+    names; once this round's CORRECTNESS_r05.json exists, it must also cover
     every query still lacking a driver row — the conditional keeps the
     prepared list from rotting between rounds (the r02->r03 staleness)."""
     from pathlib import Path
 
     import columnar_aware_dedup_spark as pkg
 
-    assert len(pkg.ROTATION_R5) == 50
-    assert len(set(pkg.ROTATION_R5)) == 50
-    assert set(pkg.ROTATION_R5) <= set(_QUERIES)
+    assert len(pkg.ROTATION_R6) == 50
+    assert len(set(pkg.ROTATION_R6)) == 50
+    assert set(pkg.ROTATION_R6) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r04.json").exists():
+    if (root / "CORRECTNESS_r05.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
-        missing = never_checked - set(pkg.ROTATION_R5)
+        missing = never_checked - set(pkg.ROTATION_R6)
         assert not missing, (
-            "queries with no driver row must be in the prepared r05 "
+            "queries with no driver row must be in the prepared r06 "
             f"window: {sorted(missing)}"
         )

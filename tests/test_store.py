@@ -257,3 +257,97 @@ def test_compact_generalizes_to_postings_index(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in via_index.collect()] == [
         tuple(r) for r in via_scan.collect()
     ]
+
+
+def _crash_compaction_mid_swap(spark, tbl, n_buckets=8):
+    """Replicate compact_store up to the crash window: the compacted
+    ``__compacting`` table is fully written and the canonical name has been
+    renamed aside, but the rename-in never ran (the process 'died' between
+    store.py's two ALTER TABLE RENAMEs)."""
+    import shutil
+
+    tmp, aside = f"{tbl}__compacting", f"{tbl}__precompact"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    location = store._store_location(spark, tbl)
+    for t in (tmp, aside):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t.lower()}", ignore_errors=True)
+    (
+        spark.read.parquet(location)
+        .dropDuplicates(["signature"])
+        .repartition(n_buckets, "signature")
+        .write.bucketBy(n_buckets, "signature")
+        .sortBy("signature")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {aside}")
+    # -- crash: canonical name unbound, both versions intact --
+
+
+def _build_appended_store(spark, sf_dir, tbl):
+    chunks = _chunks(spark, sf_dir)
+    parts = [
+        chunks.filter(F.crc32(F.col("signature")) % 4 == i) for i in range(4)
+    ]
+    store.create_store(spark, parts[0], tbl, n_buckets=8)
+    for p in parts[1:]:
+        store.merge_into_store(spark, p, tbl)
+    return {r["signature"] for r in chunks.select("signature").distinct().collect()}
+
+
+def test_compaction_crash_recovery_prefers_new(spark, sf_dir):
+    """Crash between rename-aside and rename-in, then recover the NEW
+    (compacted) table: the canonical name rebinds, the signature set is
+    exactly the pre-crash set, the one-file-per-bucket layout of the
+    compacted table holds, and the debris is gone."""
+    tbl = "test_crash_recover_new"
+    want = _build_appended_store(spark, sf_dir, tbl)
+    _crash_compaction_mid_swap(spark, tbl)
+    assert not spark.catalog.tableExists(tbl)
+
+    assert store.recover_compaction(spark, tbl, prefer="new") == "new"
+    assert spark.catalog.tableExists(tbl)
+    got = {r["signature"] for r in spark.table(tbl).collect()}
+    assert got == want
+    assert store._n_data_files(store._store_location(spark, tbl)) == 8
+    assert not spark.catalog.tableExists(f"{tbl}__precompact")
+    assert not spark.catalog.tableExists(f"{tbl}__compacting")
+    # recovered store still probes shuffle-free on the store side
+    classified = store.probe_store(spark, _chunks(spark, sf_dir), tbl)
+    assert explain.n_exchanges(classified) <= 2
+
+
+def test_compaction_crash_recovery_prefers_old(spark, sf_dir):
+    """Same crash, other branch: rebind the OLD (pre-compaction) table —
+    the operator's conservative choice — and the store content is exactly
+    what every merge had built."""
+    tbl = "test_crash_recover_old"
+    want = _build_appended_store(spark, sf_dir, tbl)
+    _crash_compaction_mid_swap(spark, tbl)
+
+    assert store.recover_compaction(spark, tbl, prefer="old") == "old"
+    got = {r["signature"] for r in spark.table(tbl).collect()}
+    assert got == want
+    assert not spark.catalog.tableExists(f"{tbl}__compacting")
+    # a fresh compaction then completes normally on the recovered table
+    before, after = store.compact_store(spark, tbl, n_buckets=8)
+    assert after == 8, (before, after)
+    assert {r["signature"] for r in spark.table(tbl).collect()} == want
+
+
+def test_recover_compaction_noop_when_table_bound(spark, sf_dir):
+    """If the canonical table is bound (no crash, or a crash before the
+    aside rename), recovery is a no-op that only sweeps debris."""
+    tbl = "test_crash_recover_noop"
+    want = _build_appended_store(spark, sf_dir, tbl)
+    # leftover tmp from a crash BEFORE the aside rename
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+    spark.table(tbl).limit(1).write.format("parquet").mode(
+        "overwrite"
+    ).saveAsTable(f"{tbl}__compacting")
+
+    assert store.recover_compaction(spark, tbl) is None
+    assert not spark.catalog.tableExists(f"{tbl}__compacting")
+    assert {r["signature"] for r in spark.table(tbl).collect()} == want

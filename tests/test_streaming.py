@@ -586,3 +586,45 @@ def test_streaming_sketches_match_batch(spark, sf_dir, tmp_path):
     got_hll = {tuple(r) for r in sk.served_hll(spark, prefix).collect()}
     want_hll = {tuple(r) for r in sk.batch_hll_regs(full).collect()}
     assert got_hll == want_hll
+
+
+def test_sketch_merge_survives_crash_before_commit(spark, sf_dir):
+    """ADVICE r04 #1: a merge that dies AFTER appending CMS/HLL/seen
+    partials but BEFORE the commit marker must leave the served sketches
+    untouched, and the checkpoint replay of the same batch must land the
+    counts exactly once."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.streaming import sketches as sk
+
+    prefix = "test_sketch_crash"
+    sk.init_sketch_tables(spark, prefix)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+
+    # simulate the aborted attempt: every append EXCEPT the commit marker
+    tag = F.lit("aborted-attempt").alias("attempt_id")
+    sk.batch_cms_cells(docs).select("d", "b", "n", tag).write.mode(
+        "append"
+    ).insertInto(f"{prefix}_cms")
+    sk.batch_hll_regs(docs).select("reg", "mr", tag).write.mode(
+        "append"
+    ).insertInto(f"{prefix}_hll")
+    docs.select("doc_id", tag).write.mode("append").insertInto(f"{prefix}_seen")
+
+    # crash debris is invisible: served sketches are still empty
+    assert sk.served_cms(spark, prefix).count() == 0
+    assert sk.served_hll(spark, prefix).count() == 0
+
+    # the replay re-derives the SAME docs (they are not committed-seen)
+    # and commits them exactly once
+    assert sk.merge_sketches(spark, docs, prefix) == 40
+    got = {tuple(r) for r in sk.served_cms(spark, prefix).collect()}
+    want = {tuple(r) for r in sk.batch_cms_cells(docs).collect()}
+    assert got == want
+    got_hll = {tuple(r) for r in sk.served_hll(spark, prefix).collect()}
+    want_hll = {tuple(r) for r in sk.batch_hll_regs(docs).collect()}
+    assert got_hll == want_hll
+
+    # a second replay after the successful commit is a no-op
+    assert sk.merge_sketches(spark, docs, prefix) == 0
+    assert {tuple(r) for r in sk.served_cms(spark, prefix).collect()} == want
