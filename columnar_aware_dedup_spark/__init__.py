@@ -336,11 +336,16 @@ ROTATION_R6: list[str] = [
     "domain_mix_sample",
     "event_funnel",
     "event_gapfill_locf",
-    "except_all",
     "file_inventory",
     "file_parse_overhead",
-    "intersect_all",
     "inverted_index_search",
+    # r06 new registrations (never driver-checked, so mandatory in the
+    # active window): the 64-bit banded all-corpus SimHash near-dup family
+    # (VERDICT r05 brief #4); except_all/intersect_all yield their slots
+    # and move to ROTATION_R7 (pytest + local oracle gate cover them
+    # meanwhile)
+    "simhash64_signature",
+    "simhash_band_near_dup",
     "ivf_train_kmeans",
     "like_rlike_pred",
     "limit_offset",
@@ -381,6 +386,68 @@ ROTATION_R6: list[str] = [
     "set_union",
 ]
 
-registry.reorder(ROTATION_R5)
+#: r07 rotation (PREPARED, not active): the 23-query r01/r02 tail — the
+#: whole simple relational/scalar surface whose newest driver row predates
+#: r04 once r06 lands (VERDICT r05 "What's missing" #2) — plus
+#: except_all/intersect_all (displaced from r06 by the new SimHash family)
+#: and the alphabetically-first r04 rows as fill, so freshness keeps
+#: cycling. The max-staleness invariant (tests/test_registry_oracles.py::
+#: test_overdue_queries_are_scheduled) holds by construction: every query
+#: 3+ rounds stale after r06 appears here.
+ROTATION_R7: list[str] = [
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "apply_in_pandas_group",
+    "argminmax_agg",
+    "array_fns",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "cluster_quality_keeper",
+    "cube_agg",
+    "date_fns",
+    "dedup_bloom_prefilter",
+    "dedup_exact_rows",
+    "dedup_hit_miss",
+    "distinct_count",
+    "doc_hash_embedding",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "except_all",
+    "intersect_all",
+    "event_anomaly_zscore",
+    "event_dedup_first",
+    "event_hypertable_rollup",
+    "event_session_window",
+    "event_sliding_window",
+    "event_tumbling_window",
+    "event_watermark_filter",
+    "filter_pred",
+    "groupby_sum_count",
+    "grouped_percentile_approx",
+    "grouping_sets_agg",
+    "having_filter",
+    "join_full_outer",
+    "join_inner",
+    "join_left",
+    "json_extract",
+    "math_fns",
+    "multimodal_decode",
+    "orderby_limit_topk",
+    "percentile_disc_median",
+    "pivot_agg",
+    "rollup_agg",
+    "row_signature",
+    "scan_project",
+    "set_except",
+    "set_intersect",
+    "string_fns",
+    "transfer_stats_rollup_approx",
+    "window_first_last",
+]
+
+# r06: the prepared window goes ACTIVE (VERDICT r05 brief #2).
+registry.reorder(ROTATION_R6)
 
 __all__ = ["registry"]

@@ -50,8 +50,16 @@ def write_wav(samples, rate: int = SAMPLE_RATE) -> bytes:
 
     ``samples`` is any int sequence/ndarray within int16 range; the payload
     is the little-endian int16 view (``tobytes`` ≡ ``struct.pack('<Nh')``).
+    Out-of-range samples raise (matching the struct.pack('<h') contract the
+    vectorized r05 rewrite replaced — astype alone would wrap mod 2^16 and
+    silently corrupt payloads; ADVICE r05).
     """
-    data = np.asarray(samples, dtype=np.int64).astype("<i2").tobytes()
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError(
+            f"sample out of int16 range: [{arr.min()}, {arr.max()}]"
+        )
+    data = arr.astype("<i2").tobytes()
     fmt = struct.pack(
         "<HHIIHH",
         1,  # PCM

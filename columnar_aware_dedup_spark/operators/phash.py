@@ -166,42 +166,7 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted brightness-shifted duplicate classes whose bytes and md5 all
     differ; feeds the same cluster/keeper machinery as the text near-dup
     pairs (`clustering.connected_components_star`)."""
+    from columnar_aware_dedup_spark.operators.text import banded_hamming_pairs
+
     sigs = ahash_signatures(spark, sf_dir).localCheckpoint(eager=True)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr("array(struct(0 AS band, b0 AS v), struct(1 AS band, b1 AS v),"
-                   " struct(2 AS band, b2 AS v), struct(3 AS band, b3 AS v))")
-        ).alias("s"),
-    ).select("doc_id", F.col("s.band").alias("band"), F.col("s.v").alias("v"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(c).alias(f"a_{c}") for c in ("b0", "b1", "b2", "b3")],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"b_{c}") for c in ("b0", "b1", "b2", "b3")],
-    )
-    ham = sum(
-        F.bit_count(F.expr(f"a_b{i} ^ b_b{i}")) for i in range(4)
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= _HAM_T)
-    )
+    return banded_hamming_pairs(sigs, _HAM_T)

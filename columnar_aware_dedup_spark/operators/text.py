@@ -653,6 +653,182 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 64-bit SimHash for the ALL-CORPUS banded near-dup query (VERDICT r05
+#: brief #4). The 16-bit sketch above keeps its adjacent-pair verifier
+#: role, but 16 bits give only 16 values per 4-bit band — banding would
+#: degenerate to near-all-pairs. 64 bits over four 16-bit bands is the
+#: image-aHash scale shape: bucket joins stay sparse and any pair within
+#: Hamming distance 3 shares an untouched band (pigeonhole), so the <= 3
+#: verdict has full recall by construction. Bit k of a token's hash is bit
+#: (k % 4) of hex digit (k // 4) of md5(token), extracted with
+#: instr/shift/mask — identical semantics in Spark SQL and DuckDB
+#: (verified digit-for-digit; both engines lowercase md5 hex).
+_SIMHASH64_BITS = 64
+_SH64_HAM_T = 3
+_HEXDIGITS = "'0123456789abcdef'"
+
+
+def _sh64_sum_exprs() -> list[str]:
+    exprs = []
+    for k in range(_SIMHASH64_BITS):
+        j, b = k // 4 + 1, k % 4
+        bit = (
+            f"((instr({_HEXDIGITS}, substring(md5(token), {j}, 1)) - 1)"
+            f" >> {b}) & 1"
+        )
+        exprs.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{k}")
+    return exprs
+
+
+def _sh64_band_exprs() -> list[str]:
+    return [
+        "("
+        + " + ".join(
+            f"CASE WHEN s{k} > 0 THEN {1 << (k % 16)} ELSE 0 END"
+            for k in range(band * 16, band * 16 + 16)
+        )
+        + f") AS b{band}"
+        for band in range(4)
+    ]
+
+
+_SH64_SIG_SQL = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+),
+sums AS (
+  SELECT doc_id, {", ".join(_sh64_sum_exprs())}
+  FROM toks WHERE token <> '' GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {", ".join(f"CAST({e.replace(f' AS b{i}', '')} AS INTEGER) AS b{i}" for i, e in enumerate(_sh64_band_exprs()))}
+  FROM sums
+)"""
+
+
+def simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3): the four 16-bit bands of each doc's 64-bit
+    SimHash. One explode -> 64 conditional sums -> band packing: a single
+    doc_id-keyed shuffle, all JVM-side (the wide aggregate is map-side
+    combined, so the shuffle carries 64 ints per doc, not per token)."""
+    toks = (
+        _fanned(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _sh64_sum_exprs()]
+    )
+    return sums.select(
+        "doc_id",
+        *[
+            F.expr(e.replace(f" AS b{i}", "")).cast("int").alias(f"b{i}")
+            for i, e in enumerate(_sh64_band_exprs())
+        ],
+    )
+
+
+@register(
+    "simhash64_signature",
+    oracle=f"""
+WITH {_SH64_SIG_SQL}
+SELECT doc_id, b0, b1, b2, b3 FROM sig ORDER BY doc_id
+""",
+)
+def simhash64_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash as four 16-bit bands, HASH-CHECKED
+    digit-for-digit against the DuckDB regeneration — pins the token
+    hashing, the per-bit vote, and the band packing before the banded
+    near-dup query consumes them."""
+    return simhash64_bands(spark, sf_dir)
+
+
+@register(
+    "simhash_band_near_dup",
+    oracle=f"""
+WITH {_SH64_SIG_SQL},
+bands AS (
+  SELECT doc_id, n.n AS band,
+         CASE n.n WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                  ELSE b3 END AS v
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS n) n
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+          + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+         AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+    + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= {_SH64_HAM_T}
+ORDER BY doc_a, doc_b
+""",
+)
+def simhash_band_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-CORPUS SimHash near-duplicate pairs: band-equal candidates
+    (bucket join, never all-pairs) filtered to Hamming distance <= 3 —
+    full recall at that radius by pigeonhole over the four 16-bit bands.
+    The first-class text twin of ``image_ahash_near_dup``
+    (operators/phash.py); ``simhash_hamming_pairs`` stays as the
+    adjacent-pair verifier demo. Feeds the same cluster/keeper machinery
+    as the MinHash pairs. Exhaustive-recall cross-checked at fixture scale
+    by tests/test_simhash_band.py::test_simhash_band_near_dup_full_recall."""
+    return banded_hamming_pairs(
+        simhash64_bands(spark, sf_dir).localCheckpoint(eager=True),
+        _SH64_HAM_T,
+    )
+
+
+def banded_hamming_pairs(sigs: DataFrame, ham_t: int) -> DataFrame:
+    """(doc_a, doc_b, hamming <= ham_t) from a (doc_id, b0..b3) band
+    table: explode to (band, value) keys, self-join band-equal buckets,
+    dedup candidates, verify exact Hamming on the four bands. Shared by
+    the text SimHash and reusable for any 4x16-bit banded signature."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array(struct(0 AS band, b0 AS v), struct(1 AS band, b1 AS v),"
+                " struct(2 AS band, b2 AS v), struct(3 AS band, b3 AS v))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band").alias("band"), F.col("s.v").alias("v"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham = sum(F.bit_count(F.expr(f"a_b{i} ^ b_b{i}")) for i in range(4))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= ham_t)
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""

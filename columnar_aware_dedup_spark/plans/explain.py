@@ -61,8 +61,11 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 def has_global_sort(df: DataFrame) -> bool:
     """True if the plan contains a GLOBAL Sort (a full-exchange total
-    order). Formatted mode prints sort nodes as ``Sort [...], true/false``
-    where the boolean is the global flag; TakeOrderedAndProject (the heap
-    top-k) is a different node and does not match."""
-    plan = plan_string(df, "formatted")
+    order). SIMPLE mode prints sort nodes inline as ``Sort [...], true, 0``
+    where the boolean is the global flag (formatted mode splits the node
+    header from its ``Arguments:`` line, so a one-line regex there is
+    vacuous — it never matched); TakeOrderedAndProject (the heap top-k) is
+    a different node and does not match. Positive/negative self-tested in
+    tests/test_plans.py::test_has_global_sort_detects_orderby."""
+    plan = plan_string(df, "simple")
     return bool(re.search(r"\bSort \[[^\]]*\], true\b", plan))

@@ -106,6 +106,39 @@ def _committed(spark: SparkSession, prefix: str, suffix: str) -> DataFrame:
     )
 
 
+def sweep_uncommitted(spark: SparkSession, prefix: str) -> int:
+    """Physically remove crash debris: partial rows whose ``attempt_id``
+    never reached the commits table. Must be called under the store lock
+    (``merge_sketches`` does, opportunistically, before each merge).
+
+    Debris is invisible to readers regardless (the commits semi-join), so
+    this is a space reclaim, not a correctness step — but without it an
+    often-crashing writer accretes dead rows forever. The rewrite
+    localCheckpoints the committed subset first (materialize-before-
+    overwrite: Spark cannot overwrite a table from a plan still reading
+    it), then overwrites in place; a crash mid-overwrite loses only
+    already-invisible rows plus committed rows that the NEXT stream replay
+    re-derives under a fresh attempt. Returns debris rows removed.
+    """
+    removed = 0
+    commits = F.broadcast(spark.table(f"{prefix}_commits"))
+    for suffix in ("seen", "cms", "hll"):
+        name = f"{prefix}_{suffix}"
+        tbl = spark.table(name)
+        n_debris = tbl.join(commits, "attempt_id", "left_anti").count()
+        if not n_debris:
+            continue
+        kept = tbl.join(commits, "attempt_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        kept.select(*tbl.columns).write.format("parquet").mode(
+            "overwrite"
+        ).insertInto(name, overwrite=True)
+        spark.catalog.refreshTable(name)
+        removed += n_debris
+    return removed
+
+
 def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
     """Idempotently fold one batch into the sketch tables; returns the
     number of NEW documents absorbed.
@@ -116,7 +149,8 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
     ``attempt_id``, and readers / the dedup anti-join only honor rows whose
     attempt appears in the ``commits`` table — which is appended LAST, as
     the single-table publication point. A crash before the commit marker
-    leaves invisible garbage (swept opportunistically at the next merge);
+    leaves invisible garbage (physically removed by
+    :func:`sweep_uncommitted` at the start of the next merge);
     the checkpoint replay then re-derives the same docs under a NEW attempt
     and only that attempt ever commits. A replayed file after a successful
     commit anti-joins away as before, so it still adds zero counts.
@@ -126,6 +160,7 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
     with store_lock(spark, f"{prefix}_seen"):
         for suffix in ("seen", "cms", "hll", "commits"):
             spark.catalog.refreshTable(f"{prefix}_{suffix}")
+        sweep_uncommitted(spark, prefix)
         seen = _committed(spark, prefix, "seen")
         fresh = docs.join(seen, "doc_id", "left_anti").persist()
         try:

@@ -23,3 +23,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def rows_equal(a, b) -> bool:
+    """Order-insensitive DataFrame equality — the default idiom for
+    comparing two query results in this suite.
+
+    DataFrames without a trailing global sort have NO ordering contract
+    (and the engine deliberately drops data-sized sorts — see
+    tests/test_plans.py data-sized-output guard), so positional
+    ``.collect()`` comparison is a test bug. Sort collected tuples by repr
+    (None-safe across mixed-type columns) before comparing.
+    """
+    sa = sorted((tuple(r) for r in a.collect()), key=repr)
+    sb = sorted((tuple(r) for r in b.collect()), key=repr)
+    return sa == sb

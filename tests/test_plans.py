@@ -10,6 +10,8 @@ from __future__ import annotations
 from columnar_aware_dedup_spark.operators import dedup, relational
 from columnar_aware_dedup_spark.plans import explain
 
+from tests.conftest import rows_equal
+
 
 def test_filter_pushdown(spark, sf_dir):
     df = relational.filter_pred(spark, sf_dir)
@@ -325,7 +327,7 @@ def test_postings_index_probe_is_exchange_free_and_identical(spark, sf_dir):
     search.write_postings_index(spark, sf_dir, tbl)
     got = search.search_with_index(spark, tbl)
     want = search.inverted_index_search(spark, sf_dir)
-    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert rows_equal(got, want)
     # one exchange total: the post-filter per-doc aggregation of the few
     # searched postings; zero on the bucketed index scan itself. Plan
     # inspected on a FRESH DataFrame — an executed AQE plan prints final +
@@ -352,6 +354,25 @@ def test_span_and_bigram_tables_unhinted(spark, sf_dir):
         )
         plan = explain.plan_string(fn(spark, sf_dir))
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_has_global_sort_detects_orderby(spark, sf_dir):
+    """ADVICE r05: the formatted-mode regex never matched (node header and
+    Arguments print on separate lines), making the no-global-sort guard
+    vacuous. Pin the detector itself: positive on a genuine orderBy plan,
+    negative on the same plan without it and on a top-k heap plan."""
+    from columnar_aware_dedup_spark.io import table
+
+    base = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    assert explain.has_global_sort(base.orderBy("r_name")), (
+        "detector must fire on a global Sort:\n"
+        + explain.plan_string(base.orderBy("r_name"), "simple")
+    )
+    assert not explain.has_global_sort(base)
+    # TakeOrderedAndProject (heap top-k) is not a global sort
+    topk = base.orderBy("r_name").limit(2)
+    assert explain.has_take_ordered(topk)
+    assert not explain.has_global_sort(topk)
 
 
 def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):

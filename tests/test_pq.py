@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from columnar_aware_dedup_spark.operators import pq
 from columnar_aware_dedup_spark.plans import explain
 
+from tests.conftest import rows_equal
+
 
 def _write_embeddings(tmp_path, vecs):
     t = pa.table(
@@ -116,9 +118,7 @@ def test_pq_index_serves_identical_results(spark, sf_dir):
     pq.write_pq_index(spark, sf_dir, tbl)
     via_index = pq.ann_pq_topk_from_index(spark, sf_dir, tbl)
     via_scan = pq.ann_pq_topk(spark, sf_dir)
-    assert [tuple(r) for r in via_index.collect()] == [
-        tuple(r) for r in via_scan.collect()
-    ]
+    assert rows_equal(via_index, via_scan)
     # the collection side of the index plan must not read embeddings
     plan = explain.plan_string(via_index, "formatted")
     scans = [

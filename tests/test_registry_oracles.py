@@ -57,13 +57,13 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r05 rotation (r02-stale re-checks + the six oracle-status
-    changes) must be exactly that window."""
+    active r06 rotation (the r03-stale surface + displaced re-checks) must
+    be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R5)] == pkg.ROTATION_R5
+    assert names[: len(pkg.ROTATION_R6)] == pkg.ROTATION_R6
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -108,23 +108,15 @@ def _driver_checked_queries() -> set[str]:
 
 
 def test_rotation_r5_is_a_valid_window():
-    """The active r05 rotation must be 50 unique registered names covering
-    EVERY query that lacks a driver CORRECTNESS row. The never-checked set
-    is derived from the recorded CORRECTNESS_r0*.json files rather than a
-    hand-maintained list, so registering a new query fails this test until
-    it is rotated into the driver window."""
+    """Historical record: ROTATION_R5 (the r05 active window) stays a
+    well-formed 50-name window. Never-checked coverage moved to the ACTIVE
+    window's test (r06) when R6 took over — r06 registrations are not
+    R5's job."""
     import columnar_aware_dedup_spark as pkg
 
     assert len(pkg.ROTATION_R5) == 50
     assert len(set(pkg.ROTATION_R5)) == 50
     assert set(pkg.ROTATION_R5) <= set(_QUERIES)
-
-    never_checked = set(_QUERIES) - _driver_checked_queries()
-    missing = never_checked - set(pkg.ROTATION_R5)
-    assert not missing, (
-        "queries with no driver CORRECTNESS row must be in the active "
-        f"rotation window: {sorted(missing)}"
-    )
 
 
 def test_rotation_r6_is_prepared_and_fresh():
@@ -148,3 +140,63 @@ def test_rotation_r6_is_prepared_and_fresh():
             "queries with no driver row must be in the prepared r06 "
             f"window: {sorted(missing)}"
         )
+
+
+def _latest_driver_round() -> tuple[dict[str, int], int]:
+    """(latest round per checked query, newest archive round)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
+        newest = max(newest, rnd)
+        for q in json.loads(path.read_text()):
+            latest[q] = max(latest.get(q, 0), rnd)
+    return latest, newest
+
+
+def test_rotation_r7_is_prepared_and_fresh():
+    """ROTATION_R7 (prepared for the round after next) must be 50 unique
+    registered names; once CORRECTNESS_r06.json lands, it must also cover
+    every query still lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R7) == 50
+    assert len(set(pkg.ROTATION_R7)) == 50
+    assert set(pkg.ROTATION_R7) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r06.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R7)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r07 "
+            f"window: {sorted(missing)}"
+        )
+
+
+def test_overdue_queries_are_scheduled():
+    """MAXIMUM-STALENESS invariant (VERDICT r05 brief #3): never-checked
+    coverage alone let 21 queries sit on four-round-old driver rows. Any
+    registered query whose newest driver row is 3+ rounds behind the newest
+    archive must appear in the active or next prepared rotation window, so
+    it is re-verified within two driver runs. Holds by construction now
+    (the r01/r02 tail is ROTATION_R7's mandatory block) and arms against
+    every future round's archives automatically."""
+    import columnar_aware_dedup_spark as pkg
+
+    latest, newest = _latest_driver_round()
+    overdue = {
+        q for q in _QUERIES if latest.get(q, 0) <= newest - 3
+    }
+    scheduled = set(pkg.ROTATION_R6) | set(pkg.ROTATION_R7)
+    unscheduled = overdue - scheduled
+    assert not unscheduled, (
+        f"{len(unscheduled)} queries are 3+ driver rounds stale and in "
+        f"neither rotation window: {sorted(unscheduled)}"
+    )

@@ -9,6 +9,8 @@ from columnar_aware_dedup_spark.operators.dedup import lineitem_chunks
 from columnar_aware_dedup_spark.plans import explain
 from columnar_aware_dedup_spark.sources import store
 
+from tests.conftest import rows_equal
+
 TABLE = "test_chunk_store"
 
 
@@ -254,9 +256,7 @@ def test_compact_generalizes_to_postings_index(spark, sf_dir, tmp_path):
     assert spark.table(tbl).count() == want, "every posting must survive"
     via_index = search.search_with_index(spark, tbl)
     via_scan = search.inverted_index_search(spark, sf_dir)
-    assert [tuple(r) for r in via_index.collect()] == [
-        tuple(r) for r in via_scan.collect()
-    ]
+    assert rows_equal(via_index, via_scan)
 
 
 def _crash_compaction_mid_swap(spark, tbl, n_buckets=8):

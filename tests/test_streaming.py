@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.streaming import ingest
 
+from tests.conftest import rows_equal
+
 
 def test_ingest_idempotent_store_merge(spark, sf_dir, tmp_path):
     inbox = tmp_path / "inbox"
@@ -446,9 +448,7 @@ def test_streaming_indexer_matches_batch_index(spark, sf_dir, tmp_path):
     # and the maintained index serves searches identically to a fresh scan
     via_index = search.search_with_index(spark, tbl)
     via_scan = search.inverted_index_search(spark, sf_dir)
-    assert [tuple(r) for r in via_index.collect()] == [
-        tuple(r) for r in via_scan.collect()
-    ]
+    assert rows_equal(via_index, via_scan)
 
 
 def test_streaming_span_index_matches_batch_dedup(spark, sf_dir, tmp_path):
@@ -503,9 +503,7 @@ def test_streaming_span_index_matches_batch_dedup(spark, sf_dir, tmp_path):
 
     via_index = span_idx.dup_fraction_from_index(spark, tbl)
     via_scan = dup_span_fraction(spark, sf_dir)
-    assert [tuple(r) for r in via_index.collect()] == [
-        tuple(r) for r in via_scan.collect()
-    ]
+    assert rows_equal(via_index, via_scan)
 
 
 def test_streaming_dsir_gate_matches_batch(spark, sf_dir, tmp_path):
@@ -628,3 +626,14 @@ def test_sketch_merge_survives_crash_before_commit(spark, sf_dir):
     # a second replay after the successful commit is a no-op
     assert sk.merge_sketches(spark, docs, prefix) == 0
     assert {tuple(r) for r in sk.served_cms(spark, prefix).collect()} == want
+
+    # ADVICE r05: the merge's opportunistic sweep must have PHYSICALLY
+    # removed the aborted attempt's rows (not just hidden them) — debris
+    # may not accumulate forever in the partial tables.
+    for suffix in ("seen", "cms", "hll"):
+        n = (
+            spark.table(f"{prefix}_{suffix}")
+            .filter(F.col("attempt_id") == "aborted-attempt")
+            .count()
+        )
+        assert n == 0, f"{suffix}: crash debris survived the sweep"
