@@ -377,32 +377,39 @@ ROTATION_R6: list[str] = [
     # displaced from the r05 window (keep r02 rows; local gate every
     # session); transfer_stats_rollup_approx / grouped_percentile_approx /
     # apply_in_pandas_group wait for r07 — R-only sketches and a UDF demo
-    # are the weakest driver-row signal on the board
-    "q10_returned_item",
-    "q14_promo_effect",
-    "q19_bracketed_or",
-    "pandas_udf_scalar",
-    # oldest remaining r01 row in the set-op family
-    "set_union",
+    # r06 oracle-status changes: the five binary-file queries promoted R->H
+    # via structural certificates (VERDICT r05 brief #5) take the remaining
+    # slots so the driver hash-checks the new oracles THIS round; the five
+    # r02-stale fills (q10/q14/q19, pandas_udf_scalar, set_union) move to
+    # ROTATION_R7 — they keep r01/r02 rows, the local oracle gate runs them
+    # every session, and R7 membership keeps the staleness invariant green
+    "orc_file_chunks",
+    "orc_reconstruction",
+    "orc_hierarchical_dedup",
+    "orc_linked_reconstruction",
+    "parquet_file_chunks",
 ]
 
 #: r07 rotation (PREPARED, not active): the 23-query r01/r02 tail — the
 #: whole simple relational/scalar surface whose newest driver row predates
 #: r04 once r06 lands (VERDICT r05 "What's missing" #2) — plus
 #: except_all/intersect_all (displaced from r06 by the new SimHash family)
-#: and the alphabetically-first r04 rows as fill, so freshness keeps
-#: cycling. The max-staleness invariant (tests/test_registry_oracles.py::
+#: the five fills displaced from r06 by the binary-file certificate
+#: promotions, and r04 rows as fill so freshness keeps cycling. The
+#: max-staleness invariant (tests/test_registry_oracles.py::
 #: test_overdue_queries_are_scheduled) holds by construction: every query
 #: 3+ rounds stale after r06 appears here.
 ROTATION_R7: list[str] = [
-    "ann_pq_recall",
-    "ann_pq_topk",
+    # displaced from r06 by the binary-file certificate promotions (all
+    # overdue after r06, so R7 membership is what keeps them scheduled)
+    "q10_returned_item",
+    "q14_promo_effect",
+    "q19_bracketed_or",
+    "pandas_udf_scalar",
+    "set_union",
     "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
-    "asof_join",
-    "bigram_logprob_score",
-    "cast_fns",
     "cluster_quality_keeper",
     "cube_agg",
     "date_fns",

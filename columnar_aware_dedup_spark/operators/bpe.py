@@ -88,10 +88,14 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def train_merges_from(words: DataFrame, n_merges: int = 8) -> DataFrame:
     """Greedy BPE merge table from a (word, n) DataFrame.
 
-    Returns (merge_rank, left, right, merged, freq) ordered by rank. If the
-    corpus exhausts its pairs before ``n_merges`` rounds, later rounds
-    produce no row and the table is simply shorter — the join against an
-    empty argmax empties the working set, so no round can crash.
+    Returns (merge_rank, left, right, merged, freq), UNORDERED — every
+    consumer either re-orders itself (``segment_words`` array_sorts the
+    collapsed model row; the table view sorts its 8 rows) or is
+    order-insensitive, so the trainer carries no Sort node to leak into
+    downstream data-sized plans. If the corpus exhausts its pairs before
+    ``n_merges`` rounds, later rounds produce no row and the table is
+    simply shorter — the join against an empty argmax empties the working
+    set, so no round can crash.
     """
     sym = (
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
@@ -126,7 +130,7 @@ def train_merges_from(words: DataFrame, n_merges: int = 8) -> DataFrame:
             .select(F.expr(_MERGE_FOLD).alias("sym"), "n")
             .localCheckpoint(eager=True)
         )
-    return reduce(DataFrame.unionAll, tops).orderBy("merge_rank")
+    return reduce(DataFrame.unionAll, tops)
 
 
 def bpe_train_merges_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,8 +138,11 @@ def bpe_train_merges_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full (merge_rank, left, right, merged, freq) table. The greedy
     argmax sequence is pytest-pinned against an independent pure-Python
     BPE; the registered query (:func:`bpe_train_merges`) ships the
-    hash-checkable certificate view."""
-    return train_merges_from(word_counts(spark, sf_dir), n_merges=8)
+    hash-checkable certificate view. Sorting 8 model rows is free — the
+    trainer itself returns unordered so the segment path stays sort-free."""
+    return train_merges_from(word_counts(spark, sf_dir), n_merges=8).orderBy(
+        "merge_rank"
+    )
 
 
 _N_MERGES = 8

@@ -374,9 +374,36 @@ def reconstruct_files(files: DataFrame, chunker=chunk_orc_bytes) -> DataFrame:
     return files.select("path", "content").mapInPandas(_recon, _RECON_SCHEMA)
 
 
-@register("parquet_reconstruction")  # rows-only: DuckDB has no binary-file scan
-def parquet_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-cover identity for every fixture parquet file (distributed)."""
+#: the driver fixture tables — the constant file list both engines know,
+#: which is what lets the binary-file certificates below be HASH-CHECKED:
+#: DuckDB cannot parse ORC/parquet bytes, but it can state, per known file
+#: name, the booleans the Spark side must prove in-plan (the trainer-
+#: certificate pattern, VERDICT r05 brief #5).
+FIXTURE_TABLES = (
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier",
+)
+
+
+def _const_true_rows_sql(names: list[str], key: str, bools: list[str]) -> str:
+    """DuckDB oracle: one row per constant key, every certificate bit TRUE."""
+    cols = ", ".join(f"TRUE AS {b}" for b in bools)
+    values = ", ".join(f"('{n}')" for n in names)
+    return (
+        f"SELECT {key}, {cols} FROM (VALUES {values}) t({key}) ORDER BY {key}"
+    )
+
+
+PARQUET_RECON_ORACLE = _const_true_rows_sql(
+    [f"{t}.parquet" for t in FIXTURE_TABLES],
+    "file_name",
+    ["chunked_ok", "identical"],
+)
+
+
+def parquet_reconstruction_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file reconstruction verdicts with the raw chunk counts (the
+    unregistered census twin of :func:`parquet_reconstruction`)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -387,6 +414,21 @@ def parquet_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         "identical",
     ).orderBy("file_name")
+
+
+@register("parquet_reconstruction", oracle=PARQUET_RECON_ORACLE)
+def parquet_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact chunk-cover identity for every fixture parquet file,
+    HASH-CHECKED: per file, ``identical`` proves reassembling the page-walk
+    chunks reproduces the original bytes (computed in-task on the real
+    bytes), ``chunked_ok`` proves the walk emitted a real multi-chunk
+    structure. The oracle re-states the constant fixture file list with
+    every bit TRUE — any chunker defect flips a bit and breaks the hash."""
+    return parquet_reconstruction_full(spark, sf_dir).select(
+        "file_name",
+        (F.col("n_chunks") >= 2).alias("chunked_ok"),
+        "identical",
+    )
 
 
 _PARSE_SCHEMA = T.StructType(
@@ -432,11 +474,9 @@ def file_parse_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(_timed, _PARSE_SCHEMA).orderBy("file")
 
 
-@register("parquet_file_chunks")  # rows-only: DuckDB has no binary-file scan
-def parquet_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk the fixture parquet files themselves and summarize per type —
-    the reference's client pipeline (scan dir -> chunk -> stats) end-to-end
-    on real columnar files."""
+def parquet_file_chunks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type chunk census of the fixture parquet files (the unregistered
+    twin keeping the raw counts: n_chunks / bytes / distinct signatures)."""
     chunks = chunk_files(spark, sf_dir, glob="*.parquet")
     return (
         chunks.groupBy("chunk_type")
@@ -446,4 +486,75 @@ def parquet_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("signature").alias("distinct_signatures"),
         )
         .orderBy("chunk_type")
+    )
+
+
+def cover_certificate(chunks: DataFrame, page_type: str, footer_type: str) -> DataFrame:
+    """Per-file structural-cover certificate from a chunk table:
+
+    - ``cover_contiguous_ok``: sorted by start, every chunk begins exactly
+      where the previous one ended and the first begins at 0 — no gaps, no
+      overlaps (the property that makes reassembly pure concatenation);
+    - ``bytes_sum_equals_span_ok``: sum(size) equals the covered span —
+      with contiguity, the byte accounting is exact;
+    - ``structure_parsed_ok``: at least one real structural chunk of
+      ``page_type`` — proves the format walk ran, not a whole-file
+      fallback;
+    - ``footer_ok``: exactly one ``footer_type`` chunk.
+
+    The per-file window is bounded by that file's chunk count (thousands,
+    not corpus-sized), so the sort stays partition-local at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("file").orderBy("start")
+    prev_end = F.lag(F.col("start") + F.col("size")).over(w)
+    gap = F.when(prev_end.isNull(), F.col("start")).otherwise(
+        F.col("start") - prev_end
+    )
+    return (
+        chunks.withColumn("gap", gap)
+        .groupBy("file")
+        .agg(
+            (F.max(F.abs("gap")) == 0).alias("cover_contiguous_ok"),
+            (
+                F.sum("size") == F.max(F.col("start") + F.col("size"))
+            ).alias("bytes_sum_equals_span_ok"),
+            (
+                F.sum((F.col("chunk_type") == page_type).cast("int")) > 0
+            ).alias("structure_parsed_ok"),
+            (
+                F.sum((F.col("chunk_type") == footer_type).cast("int")) == 1
+            ).alias("footer_ok"),
+        )
+    )
+
+
+PARQUET_CHUNKS_ORACLE = _const_true_rows_sql(
+    [f"{t}.parquet" for t in FIXTURE_TABLES],
+    "file_name",
+    [
+        "cover_contiguous_ok",
+        "bytes_sum_equals_span_ok",
+        "structure_parsed_ok",
+        "footer_ok",
+    ],
+)
+
+
+@register("parquet_file_chunks", oracle=PARQUET_CHUNKS_ORACLE)
+def parquet_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-granularity chunking of the fixture parquet files, HASH-CHECKED
+    via the per-file structural certificate: the in-plan booleans prove the
+    Thrift page walk produced an exact, gap-free, footer-terminated cover
+    of every file (DuckDB cannot chunk binary files, but it can re-state
+    the constant fixture file list with every invariant TRUE). The
+    per-type census stays as :func:`parquet_file_chunks_full`."""
+    chunks = chunk_files(spark, sf_dir, glob="*.parquet")
+    return cover_certificate(chunks, "PageHeader", "ParquetFooter").select(
+        F.element_at(F.split("file", "/"), -1).alias("file_name"),
+        "cover_contiguous_ok",
+        "bytes_sum_equals_span_ok",
+        "structure_parsed_ok",
+        "footer_ok",
     )

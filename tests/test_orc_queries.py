@@ -37,7 +37,7 @@ def test_linked_chunker_exact_cover(sf_dir):
 def test_hierarchical_levels(spark, sf_dir):
     """Append layout -> stripe hits exist; the one-column-modified file ->
     column-level hits exist even though its stripes miss; new file -> misses."""
-    rows = {r["level"]: r for r in orcfixtures.orc_hierarchical_dedup(spark, sf_dir).collect()}
+    rows = {r["level"]: r for r in orcfixtures.orc_hierarchical_dedup_full(spark, sf_dir).collect()}
     assert rows["stripe"]["hits"] > 0, "append-layout prefix stripes must hit"
     assert rows["stripe"]["misses"] > 0, "new content must miss"
     assert rows["column"]["hits"] > 0, "modified file's unchanged columns must hit"
@@ -46,7 +46,7 @@ def test_hierarchical_levels(spark, sf_dir):
 
 def test_linked_reconstruction_all_hits_ok(spark, sf_dir):
     """Every stripe hit must be reconstructable from the store's subchunks."""
-    rows = orcfixtures.orc_linked_reconstruction(spark, sf_dir).collect()
+    rows = orcfixtures.orc_linked_reconstruction_full(spark, sf_dir).collect()
     assert sum(r["n_hit"] for r in rows) > 0
     for r in rows:
         assert r["n_hit"] == r["n_reconstructed_ok"], r

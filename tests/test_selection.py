@@ -300,8 +300,8 @@ def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
 def test_bpe_trainer_matches_reference(spark):
     words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
     wdf = spark.createDataFrame(words, "word string, n long")
-    got = [tuple(r) for r in train_merges_from(wdf, 10).collect()]
-    assert got == _ref_bpe(words, 10)
+    got = sorted((tuple(r) for r in train_merges_from(wdf, 10).collect()))
+    assert got == sorted(_ref_bpe(words, 10))
     # sanity on the classic corpus: 'es' then 'est' merge early
     assert got[0][3] == "es" and got[1][3] == "est"
 
@@ -340,6 +340,6 @@ def test_bpe_trainer_survives_pair_exhaustion(spark):
     """A corpus whose pairs run out before n_merges must yield a short
     table, not a crash (the empty-argmax join empties the working set)."""
     wdf = spark.createDataFrame([("ab", 3)], "word string, n long")
-    got = [tuple(r) for r in train_merges_from(wdf, 6).collect()]
-    assert got == _ref_bpe([("ab", 3)], 6)
+    got = sorted(tuple(r) for r in train_merges_from(wdf, 6).collect())
+    assert got == sorted(_ref_bpe([("ab", 3)], 6))
     assert 0 < len(got) < 6
