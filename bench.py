@@ -76,6 +76,12 @@ HEADLINE = [
     # (broadcast word-packed bitset over the flagship's chunk signatures).
     "token_heavy_hitters_cms",
     "dedup_bloom_prefilter",
+    # r06 additions: the only families that landed without a perf signal —
+    # SQ8 scalar-quantized ANN, the perceptual-hash image near-dup, and the
+    # 64-bit banded all-corpus SimHash near-dup.
+    "ann_sq8_topk",
+    "image_ahash_near_dup",
+    "simhash_band_near_dup",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

