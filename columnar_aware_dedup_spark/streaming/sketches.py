@@ -154,12 +154,25 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
     the checkpoint replay then re-derives the same docs under a NEW attempt
     and only that attempt ever commits. A replayed file after a successful
     commit anti-joins away as before, so it still adds zero counts.
+
+    Cache discipline: under ``foreachBatch`` the partial appends execute in
+    the micro-batch's CLONED session, which invalidates only its own
+    table-relation cache — while ``spark`` here is the outer session whose
+    sweep just read (and therefore cached) every table's file listing. The
+    merge refreshes the four tables on ``spark`` both BEFORE reading and
+    AFTER publishing, so a later reader on this session never serves the
+    pre-append listing (without the trailing refresh, ``served_cms``
+    silently dropped the newest attempt's cells once the sweep started
+    touching the tables each round).
     """
     import uuid
 
-    with store_lock(spark, f"{prefix}_seen"):
+    def _refresh_all() -> None:
         for suffix in ("seen", "cms", "hll", "commits"):
             spark.catalog.refreshTable(f"{prefix}_{suffix}")
+
+    with store_lock(spark, f"{prefix}_seen"):
+        _refresh_all()
         sweep_uncommitted(spark, prefix)
         seen = _committed(spark, prefix, "seen")
         fresh = docs.join(seen, "doc_id", "left_anti").persist()
@@ -186,6 +199,7 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
                 )
         finally:
             fresh.unpersist()
+        _refresh_all()
         return n
 
 

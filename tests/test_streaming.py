@@ -637,3 +637,129 @@ def test_sketch_merge_survives_crash_before_commit(spark, sf_dir):
             .count()
         )
         assert n == 0, f"{suffix}: crash debris survived the sweep"
+
+
+def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
+    """Incremental MinHash-LSH maintenance: stream the corpus in two waves
+    (first file REPLAYED in wave two); the maintained band-bucket table
+    must hold exactly the batch-derived band rows, and the candidate-pair
+    table served FROM the index must equal the batch ``minhash_near_dup``
+    corpus re-hash row-for-row."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.text import minhash_near_dup
+    from columnar_aware_dedup_spark.streaming import lsh
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_stream_lsh"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_lsh")
+    tbl = "test_streaming_lsh"
+
+    empty = spark.createDataFrame([], "band_key string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "band_key")
+        .sortBy("band_key")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+    q = lsh.start_lsh_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+    n1 = spark.table(tbl).count()
+    assert n1 == 4 * half, "4 band rows per wave-1 doc"
+
+    pq_.write_table(t.slice(half), docs_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1_replay.parquet")
+    q = lsh.start_lsh_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+
+    got = spark.table(tbl)
+    want = lsh.batch_bands(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("band_key", "band", "doc_id")
+    assert got.count() == want.count(), "replay must not duplicate band rows"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    via_index = lsh.near_dup_pairs_from_index(spark, tbl)
+    via_scan = minhash_near_dup(spark, sf_dir)
+    assert rows_equal(via_index, via_scan)
+
+
+def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path):
+    """``probe_near_dups`` is the admission gate: an un-indexed batch
+    probed against the indexed history must report exactly the cross-set
+    collisions of the batch pair table — no batch-internal pairs, no
+    history-internal pairs — and must leave the index unchanged."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.streaming import lsh
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_probe_lsh"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_probe_lsh")
+    tbl = "test_streaming_lsh_probe"
+
+    empty = spark.createDataFrame([], "band_key string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "band_key")
+        .sortBy("band_key")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+    q = lsh.start_lsh_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch2 = full.join(
+        spark.table(tbl).select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    n_before = spark.table(tbl).count()
+    got = {
+        (r["new_doc_id"], r["old_doc_id"], r["shared_bands"])
+        for r in lsh.probe_near_dups(spark, batch2, tbl).collect()
+    }
+    assert spark.table(tbl).count() == n_before, "probe must not index"
+
+    # reference: cross-set collisions from batch band rows vs table rows
+    from pyspark.sql import functions as F
+
+    probe_b = lsh.batch_bands(batch2).alias("p")
+    hist_b = lsh.batch_bands(
+        full.join(batch2.select("doc_id"), "doc_id", "left_anti")
+    ).alias("h")
+    want = {
+        (r["new_doc_id"], r["old_doc_id"], r["shared_bands"])
+        for r in probe_b.join(
+            hist_b,
+            (F.col("p.band_key") == F.col("h.band_key"))
+            & (F.col("p.band") == F.col("h.band")),
+        )
+        .groupBy(
+            F.col("p.doc_id").alias("new_doc_id"),
+            F.col("h.doc_id").alias("old_doc_id"),
+        )
+        .agg(F.countDistinct("p.band").alias("shared_bands"))
+        .collect()
+    }
+    assert got == want
+    assert got, "fixture corpus must produce at least one cross-wave collision"
