@@ -6,7 +6,7 @@ postings indexer (``streaming/indexer.py``) and span index
 Why it exists: ``operators.text.minhash_near_dup`` recomputes signatures
 and re-joins the WHOLE corpus's band rows per run. At 100 TB with a daily
 crawl delta, that is the naive plan; the maintained bucket index pays only
-the delta — each micro-batch derives its own documents' (band, band_key,
+the delta — each micro-batch derives its own documents' (bucket, band,
 doc_id) rows (4 per doc — the same k=8/4-band geometry as the batch query)
 and appends them idempotently (an anti-join on doc_id makes at-least-once
 file delivery and checkpoint replays no-ops; a doc's band rows are a pure
@@ -14,14 +14,20 @@ function of its text, so skipping indexed docs whole keeps bucket contents
 exact). The maintained table then serves the SAME candidate-pair table as
 the batch query (proven result-identical in ``tests/test_streaming.py``),
 and — the daily-delta payoff — a NEW batch can be scored against the whole
-history by probing only its own 4·|batch| band keys
-(:func:`probe_near_dups`), never touching the historical buckets that the
-batch doesn't collide with.
+history by probing only its own 4·|batch| bucket keys
+(:func:`probe_near_dups`), never re-hashing the history.
 
-Layout: bucketed by ``band_key`` (like the postings table by term and the
-span index by span), so the index side of the probe join is exchange-free
-and ``sources.store.compact_store(key='band_key', dedupe=False)``
-maintains it as appends accumulate.
+Layout: the stored key is ONE column, ``bucket = band || ':' || md5(band
+slots)`` — the band index folded INTO the key rather than kept as a second
+join column. That is what makes the bucketed layout load-bearing: pair
+serving is a self-equi-join on exactly the bucket key, and probing is an
+equi-join on exactly the bucket key, so a table ``bucketBy(n, 'bucket')``
+joins with ZERO exchange on the index side (a two-column join key would
+defeat the single-column bucketing and re-shuffle the whole history —
+plan-pinned in ``tests/test_streaming.py``). ``band`` rides along as data
+for the shared-band count; it is determined by the key, never joined on.
+``sources.store.compact_store(key='bucket', dedupe=False)`` maintains the
+table as appends accumulate.
 """
 
 from __future__ import annotations
@@ -36,13 +42,14 @@ from columnar_aware_dedup_spark.operators.text import (
 )
 from columnar_aware_dedup_spark.sources.store import store_lock
 
-_BAND_COLS = ["band_key", "band", "doc_id"]
+_BAND_COLS = ["bucket", "band", "doc_id"]
 
 
 def batch_bands(docs: DataFrame) -> DataFrame:
-    """(band_key, band, doc_id) rows — each doc's 4 LSH bucket keys under
-    the shared k=8-slot / 4-band MinHash — for one batch of
-    documents-schema rows."""
+    """(bucket, band, doc_id) rows — each doc's 4 LSH bucket keys under the
+    shared k=8-slot / 4-band MinHash — for one batch of documents-schema
+    rows. ``bucket`` prefixes the band index, so equal buckets imply equal
+    bands and the key alone carries the full collision identity."""
     sigs = (
         docs.withColumn("norm", F.expr(_NORM_SPARK))
         .withColumn("toks", F.split("norm", " "))
@@ -51,13 +58,14 @@ def batch_bands(docs: DataFrame) -> DataFrame:
     band_rows = F.array(
         *[
             F.struct(
-                F.expr(b).alias("band_key"), F.lit(i).cast("int").alias("band")
+                F.concat(F.lit(f"{i}:"), F.expr(b)).alias("bucket"),
+                F.lit(i).cast("int").alias("band"),
             )
             for i, b in enumerate(_band_exprs())
         ]
     )
     return sigs.select("doc_id", F.explode(band_rows).alias("b")).select(
-        "b.band_key", "b.band", "doc_id"
+        "b.bucket", "b.band", "doc_id"
     )
 
 
@@ -90,17 +98,16 @@ def merge_bands(spark: SparkSession, docs: DataFrame, table_name: str) -> int:
 def near_dup_pairs_from_index(spark: SparkSession, table_name: str) -> DataFrame:
     """The ``minhash_near_dup`` candidate table served from the maintained
     index instead of a corpus re-hash — result-identical over the same
-    corpus (asserted in tests). Signatures are never recomputed: the only
-    work is the bucket self-join, whose index side arrives pre-bucketed on
-    ``band_key``."""
+    corpus (asserted in tests). Signatures are never recomputed, and the
+    self-join runs on the bucket key both sides arrive bucketed on: the
+    index contributes zero exchanges (plan-pinned)."""
     bands = spark.table(table_name)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band") == F.col("b.band"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -121,15 +128,14 @@ def probe_near_dups(
     Scale shape (the store-probe discipline,
     ``tests/test_store.py::test_probe_shuffles_only_incoming``): only the
     batch's own 4·|batch| band rows shuffle; the historical side is
-    bucketed on ``band_key`` and joins in place. History buckets the batch
-    never collides with are not read past the join's key pruning."""
+    bucketed on ``bucket`` and joins in place, contributing zero exchanges
+    (plan-pinned in ``tests/test_streaming.py``)."""
     probe = batch_bands(docs).alias("p")
     hist = spark.table(table_name).alias("h")
     return (
         probe.join(
             hist,
-            (F.col("p.band_key") == F.col("h.band_key"))
-            & (F.col("p.band") == F.col("h.band"))
+            (F.col("p.bucket") == F.col("h.bucket"))
             & (F.col("p.doc_id") != F.col("h.doc_id")),
         )
         .groupBy(

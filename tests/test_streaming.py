@@ -657,7 +657,7 @@ def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
     ck = str(tmp_path / "ck_lsh")
     tbl = "test_streaming_lsh"
 
-    empty = spark.createDataFrame([], "band_key string, band int, doc_id long")
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     import shutil as _sh
 
@@ -665,8 +665,8 @@ def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
     _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
     (
         empty.write.format("parquet")
-        .bucketBy(8, "band_key")
-        .sortBy("band_key")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
         .mode("overwrite")
         .saveAsTable(tbl)
     )
@@ -685,7 +685,7 @@ def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
     got = spark.table(tbl)
     want = lsh.batch_bands(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ).select("band_key", "band", "doc_id")
+    ).select("bucket", "band", "doc_id")
     assert got.count() == want.count(), "replay must not duplicate band rows"
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
@@ -693,6 +693,31 @@ def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
     via_index = lsh.near_dup_pairs_from_index(spark, tbl)
     via_scan = minhash_near_dup(spark, sf_dir)
     assert rows_equal(via_index, via_scan)
+
+    # the layout claim: pair serving self-joins on exactly the bucket key,
+    # so the bucketed table contributes ZERO join exchanges — the only
+    # exchanges left are the two phases of the countDistinct aggregation
+    # (keyed on doc pairs, never on the bucket). Broadcast is disabled for
+    # the check (at fixture scale Spark would broadcast the tiny table,
+    # which also avoids the shuffle but proves nothing about the layout a
+    # 100 TB index relies on), and the plan is taken from a FRESH DataFrame
+    # — explaining an already-executed AQE plan prints initial+final trees
+    # and double-counts every exchange.
+    from columnar_aware_dedup_spark.plans import explain
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = lsh.near_dup_pairs_from_index(spark, tbl)
+        plan = explain.plan_string(fresh, "formatted")
+        n_ex = explain.n_exchanges(fresh)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert n_ex <= 2, f"bucket self-join re-shuffled ({n_ex} exchanges):\n{plan}"
+    assert "hashpartitioning(bucket" not in plan, (
+        "the index was re-shuffled on the bucket key it is stored "
+        f"bucketed by:\n{plan}"
+    )
 
 
 def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path):
@@ -711,7 +736,7 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
     ck = str(tmp_path / "ck_probe_lsh")
     tbl = "test_streaming_lsh_probe"
 
-    empty = spark.createDataFrame([], "band_key string, band int, doc_id long")
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     import shutil as _sh
 
@@ -719,8 +744,8 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
     _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
     (
         empty.write.format("parquet")
-        .bucketBy(8, "band_key")
-        .sortBy("band_key")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
         .mode("overwrite")
         .saveAsTable(tbl)
     )
@@ -750,9 +775,7 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
     want = {
         (r["new_doc_id"], r["old_doc_id"], r["shared_bands"])
         for r in probe_b.join(
-            hist_b,
-            (F.col("p.band_key") == F.col("h.band_key"))
-            & (F.col("p.band") == F.col("h.band")),
+            hist_b, F.col("p.bucket") == F.col("h.bucket")
         )
         .groupBy(
             F.col("p.doc_id").alias("new_doc_id"),
@@ -763,3 +786,15 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
     }
     assert got == want
     assert got, "fixture corpus must produce at least one cross-wave collision"
+
+    # the store-probe discipline: only the incoming batch's band rows
+    # shuffle (its repartition + the join key); the bucketed history side
+    # contributes ZERO exchanges, plus the final aggregation
+    from columnar_aware_dedup_spark.plans import explain
+
+    probed = lsh.probe_near_dups(spark, batch2, tbl)
+    n_ex = explain.n_exchanges(probed)
+    assert n_ex <= 3, (
+        f"history side re-shuffled ({n_ex} exchanges):\n"
+        + explain.plan_string(probed, "formatted")
+    )
