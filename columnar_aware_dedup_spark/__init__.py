@@ -351,7 +351,10 @@ ROTATION_R6: list[str] = [
     "limit_offset",
     "multimodal_audio_features",
     "null_fns",
-    "pandas_udf_grouped_agg",
+    # r06 new registration: the LSH quality gate (never driver-checked, so
+    # mandatory here); pandas_udf_grouped_agg yields its slot and moves to
+    # ROTATION_R7 (pytest + local oracle gate cover it meanwhile)
+    "minhash_recall_report",
     "parquet_reconstruction",
     "pii_redaction",
     "pipeline_dedup_all",
@@ -407,11 +410,11 @@ ROTATION_R7: list[str] = [
     "q19_bracketed_or",
     "pandas_udf_scalar",
     "set_union",
+    "pandas_udf_grouped_agg",
     "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
     "cluster_quality_keeper",
-    "cube_agg",
     "date_fns",
     "dedup_bloom_prefilter",
     "dedup_exact_rows",

@@ -532,6 +532,132 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-similarity threshold for the LSH recall gate: the fixture's planted
+#: near-dups sit at shingle-Jaccard >= 0.8 and the background below 0.15
+#: (measured both SFs), so 0.5 cleanly separates "truly similar".
+_JACC_T = 0.5
+
+MINHASH_RECALL_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_sort(list_distinct(list_transform({_SHINGLES_SQL},
+                                                     s -> md5(s)))) AS hsh
+       FROM t),
+sigs AS (SELECT doc_id, {{slots}} FROM t),
+bands AS (
+  {{bands}}
+),
+lshp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_key = b.band_key AND a.band = b.band
+              AND a.doc_id < b.doc_id),
+ex AS (SELECT doc_id, unnest(hsh) AS s FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM cand
+          UNION SELECT doc_a, doc_b FROM lshp),
+j AS (SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(x.hsh, y.hsh))) AS DOUBLE)
+               AS jacc,
+             l.doc_a IS NOT NULL AS lsh_caught
+      FROM pairs p
+      JOIN sh x ON x.doc_id = p.doc_a
+      JOIN sh y ON y.doc_id = p.doc_b
+      LEFT JOIN lshp l ON l.doc_a = p.doc_a AND l.doc_b = p.doc_b)
+SELECT doc_a, doc_b, round(jacc, 6) AS jaccard,
+       jacc >= {_JACC_T} AS truly_similar, lsh_caught
+FROM j WHERE jacc >= {_JACC_T} OR lsh_caught
+ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_recall_oracle() -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_key, {i} AS band FROM sigs"
+        for i, b in enumerate(_band_exprs())
+    )
+    return MINHASH_RECALL_ORACLE.format(
+        slots=_minhash_slots_sql(), bands=bands_union
+    )
+
+
+def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hsh): each doc's sorted distinct md5-hashed 3-shingle set —
+    the exact-similarity space the MinHash sketch approximates, in the
+    canonical order the prefix filter needs."""
+    return _fanned(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"array_sort(array_distinct(transform({_SHINGLES_SPARK},"
+            " s -> md5(s))))"
+        ).alias("hsh"),
+    )
+
+
+@register("minhash_recall_report", oracle=_minhash_recall_oracle())
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH quality gate — ``ann_recall_report``'s text twin: every pair
+    that is truly similar (exact shingle-set Jaccard >= 0.5) OR that banded
+    MinHash proposed, with the exact Jaccard and both verdicts. Recall =
+    caught fraction of the truly-similar rows; the sub-threshold
+    lsh_caught rows are the precision cost. On the fixture the gate is
+    honest: banded 4×2 MinHash MISSES some planted >= 0.8 pairs, which is
+    exactly what a parameter-tuning report must surface.
+
+    Scale shape: the exact truth side never goes all-pairs — a Jaccard-t
+    pair must share a shingle among each doc's first ``n - ceil(t·n) + 1``
+    canonically-ordered shingles (prefix filtering, PPJoin family; proof in
+    ``tests/test_text_quality.py``), so candidates come from a bounded
+    prefix-shingle equi-join, then exact verification joins the full sets
+    only for candidate ∪ LSH pairs. Canonical order here is the md5 value
+    itself; a production corpus would order by ascending document
+    frequency to shrink prefixes further.
+    """
+    sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    prefix = F.expr(
+        f"slice(hsh, 1, size(hsh) - cast(ceil({_JACC_T} * size(hsh)) as int)"
+        " + 1)"
+    )
+    pref = sh.select("doc_id", F.explode(prefix).alias("s"))
+    pa, pb = pref.alias("a"), pref.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    lshp = (
+        minhash_near_dup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pairs = cand.union(lshp).distinct()
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
+    jacc = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
+        F.array_union("ha", "hb")
+    ).cast("double")
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .join(lshp.withColumn("lsh_caught", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jacc, 6).alias("jaccard"),
+            (jacc >= F.lit(_JACC_T)).alias("truly_similar"),
+            F.coalesce("lsh_caught", F.lit(False)).alias("lsh_caught"),
+        )
+        .filter(F.col("truly_similar") | F.col("lsh_caught"))
+    )
+
+
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
 _BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 

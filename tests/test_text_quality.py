@@ -1,0 +1,84 @@
+"""LSH quality gate (``minhash_recall_report``): prefix-filter soundness and
+report semantics.
+
+The recall gate's scale claim is that exact-Jaccard truth generation never
+goes all-pairs: a Jaccard-t pair must share a shingle inside each doc's
+``n - ceil(t*n) + 1``-element canonical prefix (PPJoin family). These tests
+pin that the prefix-join candidates really do cover every qualifying pair
+at fixture scale (against the exhaustive shared-shingle join), and that the
+report's verdict columns mean what they say.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.text import (
+    _JACC_T,
+    _hashed_shingle_sets,
+    minhash_near_dup,
+    minhash_recall_report,
+)
+
+
+def _truth_pairs_exhaustive(spark, sf_dir):
+    """Ground truth the slow way: the FULL shared-shingle join (every pair
+    sharing any shingle, no prefix restriction), exact Jaccard, filter."""
+    sh = _hashed_shingle_sets(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("hsh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
+    jacc = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
+        F.array_union("ha", "hb")
+    ).cast("double")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(jacc >= F.lit(_JACC_T))
+        .select("doc_a", "doc_b")
+    )
+
+
+def test_prefix_filter_misses_no_qualifying_pair(spark, sf_dir):
+    """The report's truly_similar pair set must equal the exhaustive
+    shared-shingle truth — if prefix filtering dropped a qualifying pair,
+    it would be missing here."""
+    report_truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_recall_report(spark, sf_dir)
+        .filter("truly_similar")
+        .collect()
+    }
+    exhaustive = {
+        (r["doc_a"], r["doc_b"])
+        for r in _truth_pairs_exhaustive(spark, sf_dir).collect()
+    }
+    assert report_truth == exhaustive
+    assert exhaustive, "fixture must plant at least one truly-similar pair"
+
+
+def test_recall_report_verdicts_are_consistent(spark, sf_dir):
+    """Column semantics: truly_similar <=> jaccard >= t; every row is truth
+    or LSH-caught; lsh_caught rows are exactly the banded candidate set."""
+    rows = minhash_recall_report(spark, sf_dir).collect()
+    for r in rows:
+        assert r["truly_similar"] == (r["jaccard"] >= _JACC_T), r
+        assert r["truly_similar"] or r["lsh_caught"], r
+    caught = {(r["doc_a"], r["doc_b"]) for r in rows if r["lsh_caught"]}
+    lshp = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dup(spark, sf_dir).collect()
+    }
+    assert caught == lshp
