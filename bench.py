@@ -82,6 +82,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "image_ahash_near_dup",
     "simhash_band_near_dup",
+    "minhash_recall_report",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
