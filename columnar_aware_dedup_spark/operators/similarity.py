@@ -681,3 +681,59 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hit", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# -- persisted cell-partitioned collection (the IVF deployment artifact) -----
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the cell-assigned collection PARTITIONED BY CELL — the
+    artifact the ``ann_ivf_topk`` docstring promises at 100 TB: one
+    directory per inverted-file cell, so a query probing nprobe cells
+    reads nprobe/k of the collection via partition pruning instead of
+    scanning it. Assignment pays the zero-shuffle broadcast-argmin once at
+    write time; ``partitionBy`` is the only shuffle-free layout step
+    (each task writes its rows into per-cell files)."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    ivf_assign(e, cent).write.partitionBy("cid").mode("overwrite").parquet(
+        path
+    )
+
+
+def ann_ivf_topk_from_index(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The ``ann_ivf_topk`` ranking served from the persisted
+    cell-partitioned index: queries read their own (vector, cell) rows from
+    the index, and the collection side is the SAME index joined on the
+    partition column — Spark's dynamic partition pruning then restricts
+    the scan to the queries' cells at runtime (the broadcast side feeds a
+    DynamicPruning subquery into PartitionFilters; plan-asserted in
+    ``tests/test_similarity_recall.py``). Result-identical to the scan
+    form."""
+    idx = spark.read.parquet(path)
+    q = idx.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cid").alias("qcid"),
+    )
+    pairs = idx.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_spark("qe", "embedding").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )

@@ -103,3 +103,28 @@ def test_ivf_nprobe2_dominates_nprobe1(spark, sf_dir):
         assert len(sims2) >= len(sims1)
         for s2, s1 in zip(sims2, sims1):
             assert s2 >= s1 - 1e-12, f"query {q}: nprobe=2 top-k worse than nprobe=1"
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF deployment artifact: the cell-partitioned index must serve
+    the EXACT ann_ivf_topk ranking, with the collection scan restricted to
+    the queries' cells by dynamic partition pruning — the plan property
+    that makes a probe read nprobe/k of a 100 TB collection instead of
+    scanning it."""
+    from columnar_aware_dedup_spark.plans import explain
+
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(spark, sf_dir, path)
+
+    got = similarity.ann_ivf_topk_from_index(spark, sf_dir, path)
+    plan = explain.plan_string(got, "formatted")
+    pruned = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "dynamicpruning" in line.lower()
+    ]
+    assert pruned, f"collection scan is not partition-pruned:\n{plan}"
+
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in similarity.ann_ivf_topk(spark, sf_dir).collect())
+    assert a == b and a, "index-served ranking must equal the scan form"

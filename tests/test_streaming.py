@@ -798,3 +798,58 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
         f"history side re-shuffled ({n_ex} exchanges):\n"
         + explain.plan_string(probed, "formatted")
     )
+
+
+def test_lsh_index_compaction_preserves_layout_and_pairs(spark, sf_dir, tmp_path):
+    """`compact_store(key='bucket', dedupe=False)` is the LSH index's
+    maintenance path: after two merge waves it must collapse the accreted
+    files, preserve the exact band-row set, and keep the bucketed layout
+    that makes pair serving exchange-free on the index side."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.plans import explain
+    from columnar_aware_dedup_spark.sources.store import compact_store
+    from columnar_aware_dedup_spark.streaming import lsh
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    tbl = "test_lsh_compact"
+
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = [spark.createDataFrame(t.slice(0, half).to_pandas()),
+            spark.createDataFrame(t.slice(half).to_pandas())]
+    for d in docs:
+        assert lsh.merge_bands(spark, d, tbl) > 0
+
+    before_rows = {tuple(r) for r in spark.table(tbl).collect()}
+    n_before, n_after = compact_store(
+        spark, tbl, n_buckets=8, key="bucket", dedupe=False
+    )
+    assert n_after < n_before, (n_before, n_after)
+    assert {tuple(r) for r in spark.table(tbl).collect()} == before_rows
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = lsh.near_dup_pairs_from_index(spark, tbl)
+        plan = explain.plan_string(pairs, "formatted")
+        n_ex = explain.n_exchanges(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert n_ex <= 2 and "hashpartitioning(bucket" not in plan, (
+        f"compaction broke the bucketed layout ({n_ex} exchanges):\n{plan}"
+    )
