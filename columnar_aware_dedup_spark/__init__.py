@@ -457,6 +457,68 @@ ROTATION_R7: list[str] = [
     "window_first_last",
 ]
 
+#: r08 rotation (PREPARED two ahead): the 25 queries whose newest driver
+#: row will be r04 once r06+r07 run as scheduled (the multimodal/sketch/
+#: window/TPC-H-batch-1 surface), plus the alphabetically-first r05 rows as
+#: fill so freshness keeps cycling. Preparing it now keeps the rolling
+#: staleness invariant (`test_overdue_queries_are_scheduled`, which checks
+#: the active window and the next prepared one) satisfiable by construction
+#: when CORRECTNESS_r07 lands; round 7 should re-derive and adjust for any
+#: r06 FAIL re-checks or new registrations before activating R7.
+ROTATION_R8: list[str] = [
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "cube_agg",
+    "join_anti",
+    "join_semi",
+    "multimodal_frame_sample",
+    "multimodal_scene_cuts",
+    "naive_bayes_source_classify",
+    "ngram_containment_pairs",
+    "pmi_collocations",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "range_join_bands",
+    "source_mix_kl",
+    "source_overlap_matrix",
+    "stats_agg",
+    "token_heavy_hitters_cms",
+    "token_vocab_hll",
+    "token_zipf_slope",
+    "window_lag_frame",
+    "window_ntile_dist",
+    "window_rank",
+    # fills: oldest remaining r05 rows, alphabetical
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "approx_distinct",
+    "bpe_segment_corpus",
+    "bpe_train_merges",
+    "chunk_simulate",
+    "col_type_stats",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "embedding_pca_project",
+    "grouped_percentile",
+    "image_ahash_near_dup",
+    "image_ahash_signature",
+    "lang_id_heuristic",
+    "line_dedup_corpus",
+    "minhash_near_dup",
+    "minhash_signature",
+]
+
 # r06: the prepared window goes ACTIVE (VERDICT r05 brief #2).
 registry.reorder(ROTATION_R6)
 

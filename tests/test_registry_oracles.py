@@ -186,21 +186,49 @@ def test_overdue_queries_are_scheduled():
     coverage alone let 21 queries sit on four-round-old driver rows. Any
     registered query whose newest driver row is 3+ rounds behind the newest
     archive must appear in the active or next prepared rotation window, so
-    it is re-verified within two driver runs. Holds by construction now
-    (the r01/r02 tail is ROTATION_R7's mandatory block) and arms against
-    every future round's archives automatically."""
+    it is re-verified within two driver runs. ROLLING (r06): the scheduled
+    set is derived from the archives — the window the next driver run will
+    check (ROTATION_R{newest+1}) plus the one after it — so the test keeps
+    arming as rounds advance instead of rotting on a hardcoded pair, and a
+    round that forgets to prepare its forward window fails here the moment
+    the previous archive lands."""
     import columnar_aware_dedup_spark as pkg
 
     latest, newest = _latest_driver_round()
     overdue = {
         q for q in _QUERIES if latest.get(q, 0) <= newest - 3
     }
-    scheduled = set(pkg.ROTATION_R6) | set(pkg.ROTATION_R7)
+    scheduled: set[str] = set()
+    for n in (newest + 1, newest + 2):
+        scheduled |= set(getattr(pkg, f"ROTATION_R{n}", []))
     unscheduled = overdue - scheduled
     assert not unscheduled, (
         f"{len(unscheduled)} queries are 3+ driver rounds stale and in "
-        f"neither rotation window: {sorted(unscheduled)}"
+        f"neither ROTATION_R{newest + 1} nor ROTATION_R{newest + 2}: "
+        f"{sorted(unscheduled)}"
     )
+
+
+def test_rotation_r8_is_prepared_and_fresh():
+    """ROTATION_R8 (prepared two ahead) must be 50 unique registered names;
+    once CORRECTNESS_r07.json lands, it must also cover every query still
+    lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R8) == 50
+    assert len(set(pkg.ROTATION_R8)) == 50
+    assert set(pkg.ROTATION_R8) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r07.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R8)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r08 "
+            f"window: {sorted(missing)}"
+        )
 
 
 def test_coverage_doc_counts_match_registry():
