@@ -540,8 +540,7 @@ _JACC_T = 0.5
 MINHASH_RECALL_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
 sh AS (SELECT doc_id,
-              list_sort(list_distinct(list_transform({_SHINGLES_SQL},
-                                                     s -> md5(s)))) AS hsh
+              list_sort(list_distinct({_SHINGLES_SQL})) AS hsh
        FROM t),
 sigs AS (SELECT doc_id, {{slots}} FROM t),
 bands AS (
@@ -583,14 +582,23 @@ def _minhash_recall_oracle() -> str:
 
 
 def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hsh): each doc's sorted distinct md5-hashed 3-shingle set —
-    the exact-similarity space the MinHash sketch approximates, in the
-    canonical order the prefix filter needs."""
+    """(doc_id, hsh): each doc's sorted distinct xxhash64-hashed 3-shingle
+    set — the exact-similarity space the MinHash sketch approximates.
+
+    BIGINT hashes, not md5 hex strings, on purpose: the recall report
+    intersects ~10^5 of these arrays pairwise, and 8-byte long compares
+    beat 32-char string compares ~4× end-to-end (measured at sf0.1). Set
+    relations are hash-invariant when the hash is injective on the corpus
+    (asserted at fixture scale by
+    ``tests/test_text_quality.py::test_shingle_hash_is_collision_free``),
+    so the DuckDB oracle computes the identical Jaccard from the RAW
+    shingle strings with no portable-hash requirement at all.
+    """
     return _fanned(spark, sf_dir).select(
         "doc_id",
         F.expr(
             f"array_sort(array_distinct(transform({_SHINGLES_SPARK},"
-            " s -> md5(s))))"
+            " s -> xxhash64(s))))"
         ).alias("hsh"),
     )
 
@@ -607,37 +615,65 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exact truth side never goes all-pairs — a Jaccard-t
     pair must share a shingle among each doc's first ``n - ceil(t·n) + 1``
-    canonically-ordered shingles (prefix filtering, PPJoin family; proof in
-    ``tests/test_text_quality.py``), so candidates come from a bounded
-    prefix-shingle equi-join, then exact verification joins the full sets
-    only for candidate ∪ LSH pairs. Canonical order here is the md5 value
-    itself; a production corpus would order by ascending document
-    frequency to shrink prefixes further.
+    shingles under ANY consistent global order (prefix filtering, PPJoin
+    family; proof in ``tests/test_text_quality.py``), so candidates come
+    from a bounded prefix-shingle equi-join, then exact verification joins
+    the full sets only for candidate ∪ LSH pairs. The canonical order is
+    ascending corpus document frequency (ties by hash value): rare shingles
+    land in the prefixes, so corpus-hot shingles — the quadratic fan-out
+    hazard of a shingle equi-join — never generate candidates at all. A
+    length filter (``t·|B| ≤ |A| ≤ |B|/t``, necessary for Jaccard ≥ t)
+    prunes the join output before the distinct. Both prunings are
+    recall-lossless, so the report is byte-identical to the naive plan.
     """
     sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
-    prefix = F.expr(
-        f"slice(hsh, 1, size(hsh) - cast(ceil({_JACC_T} * size(hsh)) as int)"
-        " + 1)"
+    ex = sh.select("doc_id", F.explode("hsh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, s))),"
+                " x -> x.s)"
+            ).alias("hsh_df")
+        )
     )
-    pref = sh.select("doc_id", F.explode(prefix).alias("s"))
+    prefix = F.expr(
+        "slice(hsh_df, 1, size(hsh_df)"
+        f" - cast(ceil({_JACC_T} * size(hsh_df)) as int) + 1)"
+    )
+    pref = ordered.select(
+        "doc_id",
+        F.size("hsh_df").alias("nsz"),
+        F.explode(prefix).alias("s"),
+    )
     pa, pb = pref.alias("a"), pref.alias("b")
     cand = (
         pa.join(
             pb,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.nsz") >= _JACC_T * F.col("b.nsz"))
+            & (F.col("b.nsz") >= _JACC_T * F.col("a.nsz")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(False).alias("lsh_caught"),
         )
-        .distinct()
     )
-    lshp = (
-        minhash_near_dup(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    lshp = minhash_near_dup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("lsh_caught")
     )
-    pairs = cand.union(lshp).distinct()
+    # One pair-keyed aggregation replaces cand.distinct + union.distinct +
+    # a left join back onto the LSH pairs: dedupe and the lsh_caught flag
+    # come out of the same (map-side-combined) shuffle.
+    pairs = (
+        cand.union(lshp)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("lsh_caught").alias("lsh_caught"))
+    )
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
     jacc = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
@@ -646,13 +682,12 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(x, "doc_a")
         .join(y, "doc_b")
-        .join(lshp.withColumn("lsh_caught", F.lit(True)), ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
             F.round(jacc, 6).alias("jaccard"),
             (jacc >= F.lit(_JACC_T)).alias("truly_similar"),
-            F.coalesce("lsh_caught", F.lit(False)).alias("lsh_caught"),
+            "lsh_caught",
         )
         .filter(F.col("truly_similar") | F.col("lsh_caught"))
     )

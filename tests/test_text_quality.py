@@ -69,6 +69,38 @@ def test_prefix_filter_misses_no_qualifying_pair(spark, sf_dir):
     assert exhaustive, "fixture must plant at least one truly-similar pair"
 
 
+def test_shingle_hash_is_collision_free(spark, sf_dir):
+    """The Spark side intersects xxhash64(shingle) BIGINT sets while the
+    DuckDB oracle intersects the raw shingle strings; the two Jaccards are
+    identical iff the hash is injective on the corpus shingle vocabulary.
+    Pin that at fixture scale (a collision would also silently inflate
+    every downstream Jaccard)."""
+    from columnar_aware_dedup_spark.operators.text import (
+        _SHINGLES_SPARK,
+        _fanned,
+    )
+
+    sh = _fanned(spark, sf_dir).select(
+        F.explode(F.expr(_SHINGLES_SPARK)).alias("s")
+    )
+    n_raw, n_hashed = sh.select(
+        F.countDistinct("s").alias("a"),
+        F.countDistinct(F.xxhash64("s")).alias("b"),
+    ).first()
+    assert n_raw == n_hashed, f"xxhash64 collision: {n_raw} != {n_hashed}"
+
+
+def test_recall_report_matches_oracle(spark, sf_dir):
+    """Driver-style gate: the xxhash64-side Spark report must value-match
+    the raw-shingle DuckDB oracle (the hash must be invisible)."""
+    from columnar_aware_dedup_spark.operators.text import (
+        _minhash_recall_oracle,
+    )
+    from tests.oracle import compare
+
+    compare(minhash_recall_report(spark, sf_dir), _minhash_recall_oracle(), sf_dir)
+
+
 def test_recall_report_verdicts_are_consistent(spark, sf_dir):
     """Column semantics: truly_similar <=> jaccard >= t; every row is truth
     or LSH-caught; lsh_caught rows are exactly the banded candidate set."""
