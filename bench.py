@@ -83,6 +83,12 @@ HEADLINE = [
     "image_ahash_near_dup",
     "simhash_band_near_dup",
     "minhash_recall_report",
+    # late-r06 additions: the composed IVF+PQ index (FAISS IVFADC shape),
+    # the acoustic-fingerprint audio near-dup, and the four-config LSH
+    # banding sweep.
+    "ann_ivfpq_topk",
+    "audio_fingerprint_near_dup",
+    "lsh_parameter_sweep",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

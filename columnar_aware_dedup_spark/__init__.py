@@ -30,6 +30,7 @@ from columnar_aware_dedup_spark.operators import kmeans  # noqa: F401
 from columnar_aware_dedup_spark.operators import pq  # noqa: F401
 from columnar_aware_dedup_spark.operators import sq  # noqa: F401
 from columnar_aware_dedup_spark.operators import phash  # noqa: F401
+from columnar_aware_dedup_spark.operators import audiofp  # noqa: F401
 from columnar_aware_dedup_spark.operators import pca  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
@@ -347,10 +348,17 @@ ROTATION_R6: list[str] = [
     "simhash64_signature",
     "simhash_band_near_dup",
     "ivf_train_kmeans",
-    "like_rlike_pred",
-    "limit_offset",
     "multimodal_audio_features",
-    "null_fns",
+    # r06 late registrations (never driver-checked, so mandatory in the
+    # active window): the composed IVF+PQ index, the acoustic-fingerprint
+    # near-dup family, and the LSH banding sweep. like_rlike_pred /
+    # limit_offset / null_fns / posexplode_tokens yield their slots and
+    # move to ROTATION_R7 (they keep r03 rows; the local oracle gate runs
+    # them every session)
+    "ann_ivfpq_topk",
+    "audio_fingerprint_signature",
+    "audio_fingerprint_near_dup",
+    "lsh_parameter_sweep",
     # r06 new registration: the LSH quality gate (never driver-checked, so
     # mandatory here); pandas_udf_grouped_agg yields its slot and moves to
     # ROTATION_R7 (pytest + local oracle gate cover it meanwhile)
@@ -358,7 +366,6 @@ ROTATION_R6: list[str] = [
     "parquet_reconstruction",
     "pii_redaction",
     "pipeline_dedup_all",
-    "posexplode_tokens",
     "q11_important_stock",
     "q12_priority_class",
     "q13_customer_distribution",
@@ -430,17 +437,22 @@ ROTATION_R7: list[str] = [
     "event_dedup_first",
     "event_hypertable_rollup",
     "event_session_window",
-    "event_sliding_window",
     "event_tumbling_window",
-    "event_watermark_filter",
     "filter_pred",
     "groupby_sum_count",
     "grouped_percentile_approx",
     "grouping_sets_agg",
-    "having_filter",
     "join_full_outer",
-    "join_inner",
     "join_left",
+    # displaced from r06 by the ann_ivfpq/audio-fingerprint/lsh-sweep
+    # registrations (r03 rows, overdue once r06 lands — R7 membership is
+    # what keeps them scheduled); event_sliding_window /
+    # event_watermark_filter / having_filter / join_inner keep r04 rows
+    # and move to ROTATION_R8
+    "like_rlike_pred",
+    "limit_offset",
+    "null_fns",
+    "posexplode_tokens",
     "json_extract",
     "math_fns",
     "multimodal_decode",
@@ -466,6 +478,15 @@ ROTATION_R7: list[str] = [
 #: when CORRECTNESS_r07 lands; round 7 should re-derive and adjust for any
 #: r06 FAIL re-checks or new registrations before activating R7.
 ROTATION_R8: list[str] = [
+    # displaced from r07 by the four r03 rows the r06 late registrations
+    # pushed down (these keep r04 rows, overdue once r07 lands); the four
+    # alphabetically-first r05 fills (ann_ivf_topk, ann_lsh_topk,
+    # ann_sq8_topk, approx_distinct) drop out — their r05 rows stay fresh
+    # through r07, and round 7's re-derivation reschedules them
+    "event_sliding_window",
+    "event_watermark_filter",
+    "having_filter",
+    "join_inner",
     "ann_pq_recall",
     "ann_pq_topk",
     "asof_join",
@@ -492,10 +513,6 @@ ROTATION_R8: list[str] = [
     "window_ntile_dist",
     "window_rank",
     # fills: oldest remaining r05 rows, alphabetical
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_sq8_topk",
-    "approx_distinct",
     "bpe_segment_corpus",
     "bpe_train_merges",
     "chunk_simulate",

@@ -112,3 +112,35 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"unsupported bit depth {bits}")
     n = len(data) // 2
     return rate, channels, bits, np.frombuffer(data[: n * 2], dtype="<i2")
+
+
+# -- fingerprint fixture synth (duplicate classes under gain shift) ----------
+
+#: class count and base amplitude for the fingerprint fixture. Docs sharing
+#: ``doc_id % FP_CLASSES`` play the SAME waveform SHAPE under a per-doc
+#: integer gain — the audio analogue of the image fixture's brightness
+#: shift: bytes and md5 differ, every energy-comparison bit is identical.
+FP_CLASSES = 37
+FP_BASE_AMP = 200
+FP_N_SAMPLES = 1024  # 64 frames x 16 samples
+
+
+def synth_class_params(doc_id: int) -> tuple[int, int]:
+    """(period, gain) of the doc's fingerprint-fixture waveform."""
+    return 16 + doc_id % FP_CLASSES, 1 + doc_id % 4
+
+
+def synth_class_samples(doc_id: int) -> np.ndarray:
+    """int64 samples: a sawtooth of per-class period scaled by a per-doc
+    integer gain. ``s = gain * base`` EXACTLY (the gain multiplies after
+    the floor division), so frame energies scale linearly and any
+    energy-comparison fingerprint is class-invariant by construction."""
+    period, gain = synth_class_params(doc_id)
+    i = np.arange(FP_N_SAMPLES, dtype=np.int64)
+    base = ((i % period) * 2 * FP_BASE_AMP) // (period - 1) - FP_BASE_AMP
+    return gain * base
+
+
+def synth_class_wav(doc_id: int) -> bytes:
+    """RIFF/WAVE bytes of the fingerprint-fixture waveform."""
+    return write_wav(synth_class_samples(doc_id))

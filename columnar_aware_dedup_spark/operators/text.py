@@ -603,30 +603,12 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_recall_report", oracle=_minhash_recall_oracle())
-def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH quality gate — ``ann_recall_report``'s text twin: every pair
-    that is truly similar (exact shingle-set Jaccard >= 0.5) OR that banded
-    MinHash proposed, with the exact Jaccard and both verdicts. Recall =
-    caught fraction of the truly-similar rows; the sub-threshold
-    lsh_caught rows are the precision cost. On the fixture the gate is
-    honest: banded 4×2 MinHash MISSES some planted >= 0.8 pairs, which is
-    exactly what a parameter-tuning report must surface.
-
-    Scale shape: the exact truth side never goes all-pairs — a Jaccard-t
-    pair must share a shingle among each doc's first ``n - ceil(t·n) + 1``
-    shingles under ANY consistent global order (prefix filtering, PPJoin
-    family; proof in ``tests/test_text_quality.py``), so candidates come
-    from a bounded prefix-shingle equi-join, then exact verification joins
-    the full sets only for candidate ∪ LSH pairs. The canonical order is
-    ascending corpus document frequency (ties by hash value): rare shingles
-    land in the prefixes, so corpus-hot shingles — the quadratic fan-out
-    hazard of a shingle equi-join — never generate candidates at all. A
-    length filter (``t·|B| ≤ |A| ≤ |B|/t``, necessary for Jaccard ≥ t)
-    prunes the join output before the distinct. Both prunings are
-    recall-lossless, so the report is byte-identical to the naive plan.
-    """
-    sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+def _prefix_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) WITH duplicates: the PPJoin-style candidate pairs —
+    prefix-shingle equi-join under ascending-document-frequency order with
+    a Jaccard length filter. Recall-lossless for Jaccard >= ``_JACC_T``
+    (proof in ``tests/test_text_quality.py``); callers dedupe in whatever
+    aggregation they already pay for."""
     ex = sh.select("doc_id", F.explode("hsh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -660,9 +642,48 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.lit(False).alias("lsh_caught"),
         )
     )
+    return cand
+
+
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame):
+    """(joined frame, jaccard column): ``pairs`` joined to both docs'
+    shingle sets (broadcast-sized per-doc side at fixture scale; doc-keyed
+    shuffle joins at corpus scale) with the exact Jaccard expression."""
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
+    jacc = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
+        F.array_union("ha", "hb")
+    ).cast("double")
+    return pairs.join(x, "doc_a").join(y, "doc_b"), jacc
+
+
+@register("minhash_recall_report", oracle=_minhash_recall_oracle())
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH quality gate — ``ann_recall_report``'s text twin: every pair
+    that is truly similar (exact shingle-set Jaccard >= 0.5) OR that banded
+    MinHash proposed, with the exact Jaccard and both verdicts. Recall =
+    caught fraction of the truly-similar rows; the sub-threshold
+    lsh_caught rows are the precision cost. On the fixture the gate is
+    honest: banded 4×2 MinHash MISSES some planted >= 0.8 pairs, which is
+    exactly what a parameter-tuning report must surface.
+
+    Scale shape: the exact truth side never goes all-pairs — a Jaccard-t
+    pair must share a shingle among each doc's first ``n - ceil(t·n) + 1``
+    shingles under ANY consistent global order (prefix filtering, PPJoin
+    family; proof in ``tests/test_text_quality.py``), so candidates come
+    from a bounded prefix-shingle equi-join, then exact verification joins
+    the full sets only for candidate ∪ LSH pairs. The canonical order is
+    ascending corpus document frequency (ties by hash value): rare shingles
+    land in the prefixes, so corpus-hot shingles — the quadratic fan-out
+    hazard of a shingle equi-join — never generate candidates at all. A
+    length filter (``t·|B| ≤ |A| ≤ |B|/t``, necessary for Jaccard ≥ t)
+    prunes the join output before the distinct. Both prunings are
+    recall-lossless, so the report is byte-identical to the naive plan.
+    """
+    sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _prefix_candidates(sh).withColumn("lsh_caught", F.lit(False))
     lshp = minhash_near_dup(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(True).alias("lsh_caught")
     )
@@ -674,15 +695,9 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.max("lsh_caught").alias("lsh_caught"))
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
-    jacc = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
-        F.array_union("ha", "hb")
-    ).cast("double")
+    joined, jacc = _pair_jaccard(pairs, sh)
     return (
-        pairs.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
+        joined.select(
             "doc_a",
             "doc_b",
             F.round(jacc, 6).alias("jaccard"),
@@ -690,6 +705,173 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lsh_caught",
         )
         .filter(F.col("truly_similar") | F.col("lsh_caught"))
+    )
+
+
+#: the (bands x rows-per-band) splits of the k=8 signature the sweep rates.
+#: More bands/fewer rows = looser (catches lower Jaccard, more false
+#: candidates); fewer bands/more rows = stricter. 4x2 is the production
+#: setting (`minhash_near_dup`).
+_SWEEP_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _sweep_oracle() -> str:
+    truth_ctes = f"""
+t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sigs AS (SELECT doc_id, {_minhash_slots_sql()} FROM t),
+sh AS (SELECT doc_id, list_sort(list_distinct({_SHINGLES_SQL})) AS hsh
+       FROM t),
+exx AS (SELECT doc_id, unnest(hsh) AS s FROM sh),
+candx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id),
+truth AS (
+  SELECT c.doc_a, c.doc_b FROM candx c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(x.hsh, y.hsh))) AS DOUBLE)
+        >= {_JACC_T})"""
+    cfg_ctes, cfg_rows = [], []
+    for b, r in _SWEEP_CONFIGS:
+        bands_union = " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, "
+            + " || ".join(f"mh{i * r + j}" for j in range(r))
+            + " AS band_key FROM sigs"
+            for i in range(b)
+        )
+        cfg_ctes.append(f"""
+b{b}_{r} AS ({bands_union}),
+p{b}_{r} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM b{b}_{r} a JOIN b{b}_{r} b
+               ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+c{b}_{r} AS (SELECT {b} AS n_bands, {r} AS rows_per_band,
+                    count(*) AS n_candidates,
+                    coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS n_caught
+             FROM p{b}_{r} p LEFT JOIN truth t USING (doc_a, doc_b))""")
+        cfg_rows.append(f"SELECT * FROM c{b}_{r}")
+    return f"""
+WITH {truth_ctes},{",".join(cfg_ctes)},
+allcfg AS ({" UNION ALL ".join(cfg_rows)})
+SELECT CAST(n_bands AS INTEGER) AS n_bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       round(CAST(n_caught AS DOUBLE)
+             / (SELECT count(*) FROM truth), 6) AS recall,
+       CASE WHEN n_candidates = 0 THEN 0.0
+            ELSE round(CAST(n_caught AS DOUBLE) / n_candidates, 6)
+       END AS precision
+FROM allcfg
+ORDER BY rows_per_band
+"""
+
+
+@register("lsh_parameter_sweep", oracle=_sweep_oracle())
+def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: empirical recall AND precision of every
+    (bands x rows-per-band) split of the SAME k=8 MinHash signature,
+    against the exact-Jaccard truth — the S-curve measurement an engineer
+    runs before choosing banding for a new corpus (`minhash_recall_report`
+    grades only the production 4x2 setting; this rates the whole knob).
+
+    One signature pass and one truth computation (PPJoin prefix filtering,
+    shared with the recall report) are reused across all four configs; each
+    config then pays exactly its own banded bucket join — candidate
+    generation is never all-pairs for any setting, and the truth side is
+    the recall-lossless prefix join, so the whole sweep stays scale-shaped
+    even though it rates four index layouts at once.
+    """
+    sigs = (
+        _fanned(spark, sf_dir)
+        .select("doc_id", *_minhash_slots_spark())
+        .localCheckpoint(eager=True)
+    )
+    sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    cand = (
+        _prefix_candidates(sh)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    joined, jacc = _pair_jaccard(cand, sh)
+    truth = (
+        joined.filter(jacc >= F.lit(_JACC_T))
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+        .localCheckpoint(eager=True)
+    )
+    per_cfg = []
+    for b, r in _SWEEP_CONFIGS:
+        band_rows = F.array(
+            *[
+                F.struct(
+                    F.concat(
+                        *[F.col(f"mh{i * r + j}") for j in range(r)]
+                    ).alias("band_key"),
+                    F.lit(i).cast("int").alias("band"),
+                )
+                for i in range(b)
+            ]
+        )
+        bands = sigs.select("doc_id", F.explode(band_rows).alias("s")).select(
+            "doc_id", "s.band_key", "s.band"
+        )
+        prs = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        per_cfg.append(
+            prs.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_true"), 1).otherwise(0)), F.lit(0)
+                ).alias("n_caught"),
+            )
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_caught",
+            )
+        )
+    allcfg = per_cfg[0]
+    for c in per_cfg[1:]:
+        allcfg = allcfg.unionAll(c)
+    tr = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        allcfg.join(F.broadcast(tr))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_caught").cast("bigint").alias("n_caught"),
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+            F.when(F.col("n_candidates") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_caught").cast("double") / F.col("n_candidates"),
+                    6,
+                )
+            )
+            .alias("precision"),
+        )
+        .orderBy("rows_per_band")
     )
 
 

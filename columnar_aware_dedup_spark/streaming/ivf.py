@@ -1,0 +1,104 @@
+"""Continuous IVF index maintenance: new embeddings stream in, get assigned
+to the FROZEN centroids with the zero-shuffle broadcast argmin, and land in
+the cell-partitioned index — the vector twin of the LSH band indexer
+(``streaming/lsh.py``).
+
+Why it exists: ``similarity.write_ivf_index`` re-assigns and rewrites the
+WHOLE collection. At 100 TB with a daily embedding delta that is the naive
+plan; the maintained index pays only the delta — each micro-batch assigns
+its own vectors (a narrow map against the broadcast centroid array; the
+history never rescans) and appends them idempotently into the same
+``partitionBy(cid)`` layout ``ann_ivf_topk_from_index`` serves from, so
+queries keep reading nprobe/k of the data via partition pruning while the
+index grows. Centroids are FROZEN at index creation (the FAISS/IVF
+deployment contract): assignment is a pure function of (vector, centroids),
+so a replayed file re-derives identical rows and the anti-join on vec_id
+makes at-least-once delivery and checkpoint replays no-ops. Re-training
+centroids (``kmeans.ivf_train_kmeans``) is a rebuild, not a merge — the
+cell of every historical vector could change.
+
+Serving equality is the test contract: after any sequence of merges and
+replays, ``ann_ivf_topk_from_index`` over the maintained directory must
+equal ``ann_ivf_topk`` over the union of the ingested batches, row for row
+(``tests/test_streaming.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.operators.similarity import (
+    _CENTROID_HI,
+    _CENTROID_LO,
+    ivf_assign,
+)
+from columnar_aware_dedup_spark.sources.store import store_lock
+
+
+def frozen_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, ce): the fixed centroid rows the whole index lifetime uses
+    (the fixture's deterministic medoids — a production index would load
+    the trained table written at build time)."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+
+
+def merge_vectors(
+    spark: SparkSession, batch: DataFrame, cent: DataFrame, path: str
+) -> int:
+    """Idempotently merge one batch of (vec_id, embedding) rows into the
+    cell-partitioned index directory; returns rows appended.
+
+    Vectors already indexed are dropped whole (the indexer discipline): a
+    replayed file re-derives the identical (vec_id, embedding, cid) row
+    against the frozen centroids, so skipping indexed ids keeps every
+    cell's membership exact. Only the batch assigns (broadcast argmin,
+    zero shuffle); the history contributes one vec_id column scan for the
+    anti-join, never a re-assignment."""
+    import os
+
+    with store_lock(spark, "ivf_index_" + path.replace("/", "_")):
+        assigned = ivf_assign(batch, cent)
+        if os.path.isdir(path) and any(
+            e.startswith("cid=") for e in os.listdir(path)
+        ):
+            seen = spark.read.parquet(path).select("vec_id").distinct()
+            assigned = assigned.join(seen, "vec_id", "left_anti")
+        fresh = assigned.persist()
+        try:
+            n = fresh.count()
+            if n:
+                fresh.write.partitionBy("cid").mode("append").parquet(path)
+        finally:
+            fresh.unpersist()
+        return n
+
+
+def start_ivf_indexer(
+    spark: SparkSession,
+    vectors_dir: str,
+    cent: DataFrame,
+    path: str,
+    checkpoint: str,
+) -> "object":
+    """File-source stream over embeddings-schema parquet -> cell merges.
+    ``availableNow`` drains then stops (test/backfill trigger); drop it
+    for continuous tailing."""
+    vecs = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(vectors_dir)
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        merge_vectors(spark, batch, cent, path)
+
+    return (
+        vecs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

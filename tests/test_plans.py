@@ -400,6 +400,12 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "multimodal_frame_sample",
         "embedding_pca_project",
         "bpe_segment_corpus",
+        # r06: the perceptual/acoustic signature families are row-per-doc /
+        # row-per-pair outputs too
+        "image_ahash_signature",
+        "image_ahash_near_dup",
+        "audio_fingerprint_signature",
+        "audio_fingerprint_near_dup",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (

@@ -853,3 +853,51 @@ def test_lsh_index_compaction_preserves_layout_and_pairs(spark, sf_dir, tmp_path
     assert n_ex <= 2 and "hashpartitioning(bucket" not in plan, (
         f"compaction broke the bucketed layout ({n_ex} exchanges):\n{plan}"
     )
+
+
+def test_streaming_ivf_index_matches_batch_topk(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: stream the embedding collection in two
+    waves (first file REPLAYED in wave two) against FROZEN centroids; the
+    maintained cell-partitioned directory must hold each vector exactly
+    once in its batch-assigned cell, and ``ann_ivf_topk_from_index`` over
+    it must equal the batch ``ann_ivf_topk`` corpus re-assignment
+    row-for-row."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_from_index,
+        ivf_assign,
+    )
+    from columnar_aware_dedup_spark.streaming import ivf
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+    half = t.num_rows // 2
+    vec_dir = tmp_path / "vec_stream_ivf"
+    vec_dir.mkdir()
+    ck = str(tmp_path / "ck_ivf")
+    idx = str(tmp_path / "ivf_index")
+    cent = ivf.frozen_centroids(spark, sf_dir)
+
+    pq_.write_table(t.slice(0, half), vec_dir / "wave1.parquet")
+    q = ivf.start_ivf_indexer(spark, str(vec_dir), cent, idx, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == half
+
+    pq_.write_table(t.slice(half), vec_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), vec_dir / "wave1_replay.parquet")
+    q = ivf.start_ivf_indexer(spark, str(vec_dir), cent, idx, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(idx).select("vec_id", "cid")
+    want = ivf_assign(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), cent
+    ).select("vec_id", "cid")
+    assert got.count() == want.count(), "replay must not duplicate vectors"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    assert rows_equal(
+        ann_ivf_topk_from_index(spark, sf_dir, idx),
+        ann_ivf_topk(spark, sf_dir),
+    )
