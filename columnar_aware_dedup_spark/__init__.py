@@ -363,8 +363,11 @@ ROTATION_R6: list[str] = [
     # mandatory here); pandas_udf_grouped_agg yields its slot and moves to
     # ROTATION_R7 (pytest + local oracle gate cover it meanwhile)
     "minhash_recall_report",
+    # r06 late registration: the cross-modality dedup decision table
+    # (never driver-checked, so mandatory here); pii_redaction yields its
+    # slot and moves to ROTATION_R7 (r03 row; local gate covers it)
+    "multimodal_dedup_report",
     "parquet_reconstruction",
-    "pii_redaction",
     "pipeline_dedup_all",
     "q11_important_stock",
     "q12_priority_class",
@@ -455,7 +458,7 @@ ROTATION_R7: list[str] = [
     "posexplode_tokens",
     "json_extract",
     "math_fns",
-    "multimodal_decode",
+    "pii_redaction",
     "orderby_limit_topk",
     "percentile_disc_median",
     "pivot_agg",
@@ -487,6 +490,7 @@ ROTATION_R8: list[str] = [
     "event_watermark_filter",
     "having_filter",
     "join_inner",
+    "multimodal_decode",
     "ann_pq_recall",
     "ann_pq_topk",
     "asof_join",
@@ -513,7 +517,6 @@ ROTATION_R8: list[str] = [
     "window_ntile_dist",
     "window_rank",
     # fills: oldest remaining r05 rows, alphabetical
-    "bpe_segment_corpus",
     "bpe_train_merges",
     "chunk_simulate",
     "col_type_stats",

@@ -767,3 +767,107 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_diff, 6).alias("mean_diff"),
         (mean_diff > F.lit(_CUT_THRESHOLD)).alias("is_cut"),
     )
+
+
+# -- cross-modality dedup decision table -------------------------------------
+
+def _mm_dedup_oracle() -> str:
+    """Built lazily: reuses the image/audio near-dup oracles verbatim as
+    subqueries (DuckDB allows a WITH inside a parenthesized subquery), so
+    the composition can never drift from its parts."""
+    from columnar_aware_dedup_spark.operators.audiofp import (
+        AUDIO_FP_NEAR_DUP_ORACLE,
+    )
+    from columnar_aware_dedup_spark.operators.phash import (
+        AHASH_NEAR_DUP_ORACLE,
+    )
+    from columnar_aware_dedup_spark.operators.text import _NORM_SQL
+
+    return f"""
+WITH txt AS (SELECT doc_id, md5({_NORM_SQL}) AS sig FROM documents),
+tkeep AS (SELECT sig, min(doc_id) AS keep_id FROM txt GROUP BY sig),
+tdup AS (SELECT t.doc_id, t.doc_id <> k.keep_id AS d
+         FROM txt t JOIN tkeep k USING (sig)),
+idup AS (SELECT DISTINCT doc_b AS doc_id
+         FROM ({AHASH_NEAR_DUP_ORACLE})),
+adup AS (SELECT DISTINCT doc_b AS doc_id
+         FROM ({AUDIO_FP_NEAR_DUP_ORACLE}))
+SELECT d.doc_id,
+       td.d AS drop_exact_text,
+       i.doc_id IS NOT NULL AS drop_image_near,
+       a.doc_id IS NOT NULL AS drop_audio_near,
+       CASE WHEN td.d THEN 'drop_exact_text'
+            WHEN i.doc_id IS NOT NULL THEN 'drop_image_near'
+            WHEN a.doc_id IS NOT NULL THEN 'drop_audio_near'
+            ELSE 'keep' END AS verdict
+FROM documents d
+JOIN tdup td USING (doc_id)
+LEFT JOIN idup i ON i.doc_id = d.doc_id
+LEFT JOIN adup a ON a.doc_id = d.doc_id
+"""
+
+
+@register("multimodal_dedup_report", oracle=_mm_dedup_oracle())
+def multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modality dedup decision table — ``pipeline_dedup_all``'s
+    multimodal big sibling: one verdict per document combining all three
+    duplicate detectors a training-data pipeline runs. A row is dropped as
+    ``drop_exact_text`` when a lower-id document carries the identical
+    normalized text (md5 keeper), as ``drop_image_near`` /
+    ``drop_audio_near`` when a lower-id document is a perceptual/acoustic
+    near-duplicate (the banded pair tables, min-id-survivor-per-pair rule:
+    the doc appears on the ``doc_b`` side of any pair) — precedence
+    text > image > audio, strongest-evidence-first. The point of the
+    composition: each modality catches duplicates the others are blind to
+    (the fixtures carry exact text twins at sf0.1, brightness-shifted
+    image classes, and gain-shifted audio classes — disjoint mechanisms;
+    the md5 key sees none of the perceptual copies), and the downstream
+    keep-set is the conjunction.
+
+    Plan shape: the text keeper is one signature-keyed aggregation; the
+    image/audio flags reduce the banded pair tables (never all-pairs) to
+    distinct ``doc_b`` sets that left-join back onto documents — every
+    stage is a bounded-key shuffle or a broadcast-sized flag join.
+    """
+    from columnar_aware_dedup_spark.operators.audiofp import (
+        audio_fingerprint_near_dup,
+    )
+    from columnar_aware_dedup_spark.operators.phash import (
+        image_ahash_near_dup,
+    )
+    from columnar_aware_dedup_spark.operators.text import normalized
+
+    txt = normalized(spark, sf_dir).select(
+        "doc_id", F.md5("norm").alias("sig")
+    )
+    keep = txt.groupBy("sig").agg(F.min("doc_id").alias("keep_id"))
+    tdup = txt.join(keep, "sig").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("tdup")
+    )
+    idup = (
+        image_ahash_near_dup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("idup", F.lit(True))
+    )
+    adup = (
+        audio_fingerprint_near_dup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("adup", F.lit(True))
+    )
+    return (
+        tdup.join(idup, "doc_id", "left")
+        .join(adup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("tdup").alias("drop_exact_text"),
+            F.coalesce("idup", F.lit(False)).alias("drop_image_near"),
+            F.coalesce("adup", F.lit(False)).alias("drop_audio_near"),
+            F.when(F.col("tdup"), F.lit("drop_exact_text"))
+            .when(F.col("idup"), F.lit("drop_image_near"))
+            .when(F.col("adup"), F.lit("drop_audio_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )

@@ -784,11 +784,9 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall-lossless prefix join, so the whole sweep stays scale-shaped
     even though it rates four index layouts at once.
     """
-    sigs = (
-        _fanned(spark, sf_dir)
-        .select("doc_id", *_minhash_slots_spark())
-        .localCheckpoint(eager=True)
-    )
+    # sigs feed exactly one consumer (the tagged band explode), so no
+    # checkpoint: the single scan computes signatures once.
+    sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
     sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
     cand = (
         _prefix_candidates(sh)
@@ -802,54 +800,70 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
         .localCheckpoint(eager=True)
     )
-    per_cfg = []
-    for b, r in _SWEEP_CONFIGS:
-        band_rows = F.array(
-            *[
-                F.struct(
-                    F.concat(
-                        *[F.col(f"mh{i * r + j}") for j in range(r)]
-                    ).alias("band_key"),
-                    F.lit(i).cast("int").alias("band"),
-                )
-                for i in range(b)
-            ]
+    # ALL four configs' band rows in ONE tagged table (15 rows/doc), so the
+    # whole sweep pays a single (cfg, band, key) self-join + one pair-keyed
+    # dedupe + one per-config rollup instead of 4x(join + distinct + agg).
+    band_structs = [
+        F.struct(
+            F.lit(b * 100 + r).cast("int").alias("cfg"),
+            F.lit(i).cast("int").alias("band"),
+            F.concat(*[F.col(f"mh{i * r + j}") for j in range(r)]).alias(
+                "band_key"
+            ),
         )
-        bands = sigs.select("doc_id", F.explode(band_rows).alias("s")).select(
-            "doc_id", "s.band_key", "s.band"
+        for b, r in _SWEEP_CONFIGS
+        for i in range(b)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("doc_id", "s.cfg", "s.band", "s.band_key")
+    prs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        prs = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        .groupBy(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        per_cfg.append(
-            prs.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.coalesce(
-                    F.sum(F.when(F.col("is_true"), 1).otherwise(0)), F.lit(0)
-                ).alias("n_caught"),
-            )
-            .select(
-                F.lit(b).cast("int").alias("n_bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_caught",
-            )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    allcfg = (
+        prs.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_true"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_caught"),
         )
-    allcfg = per_cfg[0]
-    for c in per_cfg[1:]:
-        allcfg = allcfg.unionAll(c)
+        .select(
+            (F.col("cfg") / 100).cast("int").alias("n_bands"),
+            (F.col("cfg") % 100).cast("int").alias("rows_per_band"),
+            "n_candidates",
+            "n_caught",
+        )
+    )
+    # a config with zero candidates vanishes from the groupBy; the report
+    # must still carry its row (n_candidates = 0), like the oracle does
+    cfgs = spark.createDataFrame(
+        _SWEEP_CONFIGS, "n_bands int, rows_per_band int"
+    )
+    allcfg = (
+        cfgs.join(allcfg, ["n_bands", "rows_per_band"], "left")
+        .select(
+            "n_bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_caught", F.lit(0)).alias("n_caught"),
+        )
+    )
     tr = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     return (
         allcfg.join(F.broadcast(tr))

@@ -406,6 +406,7 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "image_ahash_near_dup",
         "audio_fingerprint_signature",
         "audio_fingerprint_near_dup",
+        "multimodal_dedup_report",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (

@@ -901,3 +901,60 @@ def test_streaming_ivf_index_matches_batch_topk(spark, sf_dir, tmp_path):
         ann_ivf_topk_from_index(spark, sf_dir, idx),
         ann_ivf_topk(spark, sf_dir),
     )
+
+
+def test_streaming_pq_codes_match_batch_topk(spark, sf_dir, tmp_path):
+    """Incremental PQ code maintenance: stream the embedding collection in
+    two waves (first file REPLAYED in wave two) against FROZEN codebooks;
+    the maintained code table must hold each vector's batch-encoded codes
+    exactly once, and ``ann_pq_topk_from_index`` over it must equal the
+    batch ``ann_pq_topk`` corpus re-encode row-for-row."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.pq import (
+        ann_pq_topk,
+        ann_pq_topk_from_index,
+        encode_expr,
+        fixed_codebooks,
+    )
+    from columnar_aware_dedup_spark.streaming import pqcodes
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+    half = t.num_rows // 2
+    vec_dir = tmp_path / "vec_stream_pq"
+    vec_dir.mkdir()
+    ck = str(tmp_path / "ck_pq")
+    tbl = "test_streaming_pq_codes"
+    e_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = fixed_codebooks(e_full)
+
+    import shutil as _sh
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    empty = spark.createDataFrame([], "vec_id long, codes array<int>")
+    empty.write.format("parquet").mode("overwrite").saveAsTable(tbl)
+
+    pq_.write_table(t.slice(0, half), vec_dir / "wave1.parquet")
+    q = pqcodes.start_pq_indexer(spark, str(vec_dir), cbs, tbl, ck)
+    q.awaitTermination(120)
+    assert spark.table(tbl).count() == half
+
+    pq_.write_table(t.slice(half), vec_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), vec_dir / "wave1_replay.parquet")
+    q = pqcodes.start_pq_indexer(spark, str(vec_dir), cbs, tbl, ck)
+    q.awaitTermination(120)
+
+    got = spark.table(tbl)
+    want = e_full.join(F.broadcast(cbs)).select(
+        "vec_id", encode_expr().alias("codes")
+    )
+    assert got.count() == want.count(), "replay must not duplicate codes"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    assert rows_equal(
+        ann_pq_topk_from_index(spark, sf_dir, tbl),
+        ann_pq_topk(spark, sf_dir),
+    )

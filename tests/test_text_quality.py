@@ -114,3 +114,28 @@ def test_recall_report_verdicts_are_consistent(spark, sf_dir):
         for r in minhash_near_dup(spark, sf_dir).collect()
     }
     assert caught == lshp
+
+
+def test_sweep_configs_are_nested(spark, sf_dir):
+    """Structural property of banding the SAME signature: a (1x8) collision
+    (all 8 slots equal) implies each 4-block equal (2x4), which implies
+    each 2-block equal (4x2), which implies some slot equal (8x1) — so
+    candidate and caught counts must be non-increasing in rows-per-band,
+    and the loosest config must have full recall whenever any config
+    does."""
+    from columnar_aware_dedup_spark.operators.text import lsh_parameter_sweep
+
+    rows = {
+        r["rows_per_band"]: r
+        for r in lsh_parameter_sweep(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    for tight, loose in ((8, 4), (4, 2), (2, 1)):
+        assert rows[tight]["n_candidates"] <= rows[loose]["n_candidates"], (
+            tight,
+            loose,
+        )
+        assert rows[tight]["n_caught"] <= rows[loose]["n_caught"]
+    n_truth = {r["n_truth"] for r in rows.values()}
+    assert len(n_truth) == 1, "truth is config-independent"
+    assert rows[1]["recall"] == max(r["recall"] for r in rows.values())
