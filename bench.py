@@ -107,6 +107,11 @@ SCALING_QUERIES = [
     "token_topk",
     "q3_shipping_priority",
     "bigram_logprob_score",
+    # r06 late additions: the composed IVF+PQ index and the four-config
+    # banding sweep are the two heaviest new plans — both carry candidate
+    # stages whose growth rate is exactly what the ratio probe watches.
+    "ann_ivfpq_topk",
+    "lsh_parameter_sweep",
 ]
 
 
