@@ -412,3 +412,32 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         assert not explain.has_global_sort(df), (
             f"{name} re-grew a global Sort:\n{explain.plan_string(df)}"
         )
+
+
+def test_ivfpq_never_shuffles_the_collection(spark, sf_dir):
+    """The composed IVF+PQ index keeps its parts' zero-shuffle claims: IVF
+    assignment and PQ encoding are broadcast argmins, so NO exchange node
+    may carry the raw embedding column of the collection — the shuffled
+    rows are single-row codebook/centroid builds (constant-size metadata),
+    ADC pair rows (codes + distances), and the shortlist-sized re-rank
+    steps. The exchange COUNT varies with session config (partial-agg
+    splits), so the pin is on what moves, not how many times: an exchange
+    whose input includes the collection's ``embedding`` column means the
+    collection started shuffling. (The query-side ``qe`` vector DOES ride
+    the shortlist window — #queries x shortlist rows, bounded by the query
+    set, which is the asymmetric-ADC contract.)"""
+    import re
+
+    from columnar_aware_dedup_spark.operators.pq import ann_ivfpq_topk
+
+    df = ann_ivfpq_topk(spark, sf_dir)
+    plan = explain.plan_string(df)
+    offenders = []
+    for m in re.finditer(r"\(\d+\) Exchange\b[^\n]*\n([^\n]*)", plan):
+        if "embedding#" in m.group(1):
+            offenders.append(m.group(0))
+    assert not offenders, "collection vectors crossed an exchange:\n" + "\n".join(
+        offenders
+    )
+    # and the collection is never hash-partitioned by its id
+    assert "hashpartitioning(vec_id" not in plan, plan
