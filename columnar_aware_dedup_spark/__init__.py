@@ -539,6 +539,69 @@ ROTATION_R8: list[str] = [
     "minhash_signature",
 ]
 
+
+#: r09 rotation (PREPARED three ahead, derived in r06 from the PREDICTED
+#: archive state: r06/r07/r08 windows land as scheduled): the 25 queries
+#: whose newest driver row will be r05 once r08 runs — they hit the
+#: 3-round staleness wall at newest=8, so R9 ∪ R10 must hold them — plus
+#: the alphabetically-first r06-window rows as fill so freshness keeps
+#: cycling. Round 7+ should re-derive against the real archives before
+#: activating (a FAIL re-check or new registration shifts the sets), the
+#: same contract as ROTATION_R8.
+ROTATION_R9: list[str] = [
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "approx_distinct",
+    "bpe_segment_corpus",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "near_dup_clusters_labelprop",
+    "near_dup_pagerank",
+    "ngram_jaccard_pairs",
+    "pipeline_curate",
+    "pq_train_codebooks",
+    "q18_large_volume",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "salted_groupby",
+    "simhash_hamming_pairs",
+    "simhash_signature",
+    "small_chunk_policy",
+    "text_exact_dedup",
+    "text_normalize",
+    "token_count_bpe",
+    "token_topk",
+    "transfer_stats_rollup",
+    "transfer_stats_taxonomy",
+    # fills: oldest remaining (r06-window) rows, alphabetical
+    "ann_ivf_nprobe_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
+    "cohort_retention",
+    "corpus_report",
+    "corpus_shuffle",
+    "corpus_split",
+    "correlated_subquery",
+    "decontaminate_ngram_overlap",
+    "doc_repetition_score",
+    "domain_mix_sample",
+    "event_funnel",
+    "event_gapfill_locf",
+    "file_inventory",
+    "file_parse_overhead",
+    "inverted_index_search",
+    "ivf_train_kmeans",
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+    "multimodal_audio_features",
+    "multimodal_dedup_report",
+    "orc_file_chunks",
+    "orc_hierarchical_dedup",
+]
+
 # r06: the prepared window goes ACTIVE (VERDICT r05 brief #2).
 registry.reorder(ROTATION_R6)
 

@@ -253,3 +253,25 @@ def test_coverage_doc_counts_match_registry():
     assert total == len(_QUERIES), (total, len(_QUERIES))
     assert h == len(_ORACLES), (h, len(_ORACLES))
     assert r == len(_QUERIES) - len(_ORACLES), (r, len(_QUERIES) - len(_ORACLES))
+
+
+def test_rotation_r9_is_prepared_and_fresh():
+    """ROTATION_R9 (prepared three ahead) must be 50 unique registered
+    names; once CORRECTNESS_r08.json lands, it must also cover every query
+    still lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R9) == 50
+    assert len(set(pkg.ROTATION_R9)) == 50
+    assert set(pkg.ROTATION_R9) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r08.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R9)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r09 "
+            f"window: {sorted(missing)}"
+        )
