@@ -369,8 +369,11 @@ ROTATION_R6: list[str] = [
     "multimodal_dedup_report",
     "parquet_reconstruction",
     "pipeline_dedup_all",
-    "q11_important_stock",
-    "q12_priority_class",
+    # r06 late registrations (batch 3): the dedup reporting pair
+    # (never driver-checked, so mandatory here); q11_important_stock /
+    # q12_priority_class yield their slots and move to ROTATION_R7
+    "dedup_savings_by_source",
+    "near_dup_cluster_stats",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier_cnt",
@@ -436,9 +439,9 @@ ROTATION_R7: list[str] = [
     "dup_span_fraction",
     "except_all",
     "intersect_all",
-    "event_anomaly_zscore",
+    "q11_important_stock",
+    "q12_priority_class",
     "event_dedup_first",
-    "event_hypertable_rollup",
     "event_session_window",
     "event_tumbling_window",
     "filter_pred",
@@ -491,6 +494,8 @@ ROTATION_R8: list[str] = [
     "having_filter",
     "join_inner",
     "multimodal_decode",
+    "event_anomaly_zscore",
+    "event_hypertable_rollup",
     "ann_pq_recall",
     "ann_pq_topk",
     "asof_join",
@@ -516,10 +521,10 @@ ROTATION_R8: list[str] = [
     "window_lag_frame",
     "window_ntile_dist",
     "window_rank",
-    # fills: oldest remaining r05 rows, alphabetical
+    # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
+    # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
+    # needed their R8 slots)
     "bpe_train_merges",
-    "chunk_simulate",
-    "col_type_stats",
     "dedup_hierarchical",
     "dedup_ratio",
     "doc_fingerprint",
@@ -574,10 +579,10 @@ ROTATION_R9: list[str] = [
     "token_topk",
     "transfer_stats_rollup",
     "transfer_stats_taxonomy",
+    "chunk_simulate",
+    "col_type_stats",
     # fills: oldest remaining (r06-window) rows, alphabetical
     "ann_ivf_nprobe_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_report",
     "audio_fingerprint_near_dup",
     "audio_fingerprint_signature",
     "cohort_retention",

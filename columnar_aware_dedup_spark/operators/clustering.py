@@ -513,3 +513,47 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canon_is_max_ok"),
         )
     )
+
+
+NEAR_DUP_CLUSTER_STATS_ORACLE = f"""
+WITH cc AS (SELECT * FROM ({NEAR_DUP_CLUSTERS_ORACLE})),
+sz AS (SELECT cluster_id, count(*) AS s FROM cc GROUP BY cluster_id)
+SELECT CAST(s AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(s * count(*) AS BIGINT) AS n_docs,
+       CAST((s - 1) * count(*) AS BIGINT) AS n_droppable
+FROM sz GROUP BY s
+"""
+
+
+@register("near_dup_cluster_stats", oracle=NEAR_DUP_CLUSTER_STATS_ORACLE)
+def near_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup cluster SIZE histogram — the one-screen answer to "how
+    duplicated is this corpus": per component size, how many clusters
+    exist, how many documents they hold, and how many are droppable (all
+    but one keeper per cluster). A long tail of 2-clusters means scattered
+    mirrors; a few huge clusters mean template spam — the two call for
+    different curation responses, which is why the histogram (not just the
+    total) is the report a pipeline operator reads.
+
+    Composition: the star-contraction components (`near_dup_clusters`)
+    folded by two map-side-combined aggregations — cluster-keyed size,
+    then size-keyed histogram. Output is at most #distinct-sizes rows;
+    nothing corpus-global is sorted or collected. Oracle: the recursive-
+    closure cluster oracle wrapped as a subquery, so the histogram cannot
+    drift from the cluster table it summarizes.
+    """
+    cc = near_dup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("s"))
+    return sizes.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("s") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("s") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_droppable"),
+    ).select(
+        F.col("s").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_droppable",
+    )

@@ -1350,6 +1350,75 @@ def pipeline_dedup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_SAVINGS_BY_SOURCE_ORACLE = f"""
+WITH dec AS (SELECT * FROM ({PIPELINE_DEDUP_ALL_ORACLE}))
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN decision = 'drop_exact' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_drop_exact,
+       CAST(sum(CASE WHEN decision = 'drop_near' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_drop_near,
+       CAST(sum(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_keep,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN decision = 'keep' THEN d.n_chars ELSE 0 END)
+         AS BIGINT) AS chars_kept,
+       round(1.0 - CAST(sum(CASE WHEN decision = 'keep' THEN d.n_chars
+                                 ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(d.n_chars) AS DOUBLE), 6)
+         AS chars_saved_frac
+FROM documents d JOIN dec USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register("dedup_savings_by_source", oracle=DEDUP_SAVINGS_BY_SOURCE_ORACLE)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup win, reported the way a data team consumes it: per crawl
+    source, how many documents each verdict claims and what fraction of
+    the characters the keep-set drops — the table that decides which
+    sources are worth re-crawling and which are redundant mirrors of
+    others. (The reference's headline metric — % traffic eliminated — is
+    this table's corpus-level rollup; see ``dedup_ratio``.)
+
+    Composition: ``pipeline_dedup_all``'s per-doc decision joined back to
+    the documents' (source, n_chars) metadata and folded in ONE
+    source-keyed aggregation — #sources output rows, so the only new
+    shuffle over the decision table is map-side-combined and tiny.
+    """
+    dec = pipeline_dedup_all(spark, sf_dir).select("doc_id", "decision")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept_chars = F.sum(
+        F.when(F.col("decision") == "keep", F.col("n_chars")).otherwise(0)
+    )
+    total_chars = F.sum("n_chars")
+    return (
+        docs.join(dec, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("decision") == "drop_exact").cast("int"))
+            .cast("bigint")
+            .alias("n_drop_exact"),
+            F.sum((F.col("decision") == "drop_near").cast("int"))
+            .cast("bigint")
+            .alias("n_drop_near"),
+            F.sum((F.col("decision") == "keep").cast("int"))
+            .cast("bigint")
+            .alias("n_keep"),
+            total_chars.cast("bigint").alias("chars_total"),
+            kept_chars.cast("bigint").alias("chars_kept"),
+            F.round(
+                F.lit(1.0)
+                - kept_chars.cast("double") / total_chars.cast("double"),
+                6,
+            ).alias("chars_saved_frac"),
+        )
+    )
+
+
 # -- exact substring-span dedup signal ---------------------------------------
 
 #: span width for the substring-dedup signal. Lee et al. 2022 ("Deduplicating
