@@ -102,3 +102,62 @@ def start_ivf_indexer(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def probe_topk(
+    spark: SparkSession,
+    batch: DataFrame,
+    cent: DataFrame,
+    path: str,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Score INCOMING vectors against the indexed history WITHOUT indexing
+    them: (query_id, neighbor_id, cosine_sim) top-k per batch vector — the
+    admission/search gate of the maintained index, the vector twin of
+    ``lsh.probe_near_dups``.
+
+    Scale shape: the batch assigns its own ``nprobe`` nearest cells
+    against the broadcast centroid array (narrow map), then joins the
+    index ON THE PARTITION COLUMN — dynamic partition pruning restricts
+    the historical scan to the batch's probed cells (the
+    ``ann_ivf_topk_from_index`` layout payoff); the history is never
+    re-assigned, re-hashed, or scanned outside those cells."""
+    from pyspark.sql import Window
+
+    from columnar_aware_dedup_spark.operators.similarity import (
+        _cells_by_distance_spark,
+        _cosine_spark,
+        centroid_array,
+    )
+
+    qcells = (
+        batch.join(F.broadcast(centroid_array(cent)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({_cells_by_distance_spark('embedding')},"
+                    f" 1, {nprobe}), s -> s.cid)"
+                )
+            ).alias("qcid"),
+        )
+    )
+    idx = spark.read.parquet(path)
+    pairs = idx.join(
+        F.broadcast(qcells),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_spark("qe", "embedding").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -958,3 +958,28 @@ def test_streaming_pq_codes_match_batch_topk(spark, sf_dir, tmp_path):
         ann_pq_topk_from_index(spark, sf_dir, tbl),
         ann_pq_topk(spark, sf_dir),
     )
+
+
+def test_streaming_ivf_probe_matches_batch_nprobe_topk(spark, sf_dir, tmp_path):
+    """The index admission probe: scoring the query vectors against a fully
+    merged index must reproduce the batch ``ann_ivf_nprobe_topk`` ranking
+    (same nprobe/k), and probing must leave the index untouched."""
+    from columnar_aware_dedup_spark.operators.similarity import (
+        _NQ,
+        ann_ivf_nprobe_topk,
+    )
+    from columnar_aware_dedup_spark.streaming import ivf
+
+    idx = str(tmp_path / "ivf_probe_index")
+    cent = ivf.frozen_centroids(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf.merge_vectors(spark, e, cent, idx)
+    before = spark.read.parquet(idx).count()
+
+    queries = e.filter(F.col("vec_id") < _NQ)
+    got = ivf.probe_topk(spark, queries, cent, idx).drop("rn")
+    want = ann_ivf_nprobe_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+    assert rows_equal(got.select("query_id", "neighbor_id", "cosine_sim"), want)
+    assert spark.read.parquet(idx).count() == before, "probe must not write"
