@@ -983,3 +983,30 @@ def test_streaming_ivf_probe_matches_batch_nprobe_topk(spark, sf_dir, tmp_path):
     )
     assert rows_equal(got.select("query_id", "neighbor_id", "cosine_sim"), want)
     assert spark.read.parquet(idx).count() == before, "probe must not write"
+
+
+def test_streaming_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe's scale claim, plan-pinned: scoring a batch against the
+    maintained index must restrict the historical scan to the batch's
+    probed cells via dynamic partition pruning (the same property
+    `test_persisted_ivf_index_prunes_partitions` pins for the serving
+    path)."""
+    from columnar_aware_dedup_spark.operators.similarity import _NQ
+    from columnar_aware_dedup_spark.plans import explain
+    from columnar_aware_dedup_spark.streaming import ivf
+
+    idx = str(tmp_path / "ivf_probe_dpp_index")
+    cent = ivf.frozen_centroids(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf.merge_vectors(spark, e, cent, idx)
+
+    probe = ivf.probe_topk(
+        spark, e.filter(F.col("vec_id") < _NQ), cent, idx
+    )
+    plan = explain.plan_string(probe, "formatted")
+    pruned = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "dynamicpruning" in line.lower()
+    ]
+    assert pruned, f"index scan in the probe is not partition-pruned:\n{plan}"
