@@ -60,14 +60,17 @@ def merge_vectors(
     cell's membership exact. Only the batch assigns (broadcast argmin,
     zero shuffle); the history contributes one vec_id column scan for the
     anti-join, never a re-assignment."""
-    import os
+    from pyspark.errors import AnalysisException
 
     with store_lock(spark, "ivf_index_" + path.replace("/", "_")):
         assigned = ivf_assign(batch, cent)
-        if os.path.isdir(path) and any(
-            e.startswith("cid=") for e in os.listdir(path)
-        ):
+        try:
+            # filesystem-agnostic existence probe (the lock serializes
+            # writers, so a successful read is a consistent snapshot)
             seen = spark.read.parquet(path).select("vec_id").distinct()
+        except AnalysisException:  # first merge: no index directory yet
+            seen = None
+        if seen is not None:
             assigned = assigned.join(seen, "vec_id", "left_anti")
         fresh = assigned.persist()
         try:
