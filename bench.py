@@ -89,6 +89,12 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "audio_fingerprint_near_dup",
     "lsh_parameter_sweep",
+    # r06 batch 4: the curation-decision trio (admission gate, per-cell
+    # prototypicality prune, perplexity-bucket partition) — new families,
+    # so they need a perf signal from their first round.
+    "crawl_admission_report",
+    "embedding_prototypicality",
+    "perplexity_bucket_report",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
@@ -112,6 +118,9 @@ SCALING_QUERIES = [
     # stages whose growth rate is exactly what the ratio probe watches.
     "ann_ivfpq_topk",
     "lsh_parameter_sweep",
+    # r06 batch 4: the admission gate's banded probe volume grows with the
+    # corpus side — exactly the growth the ratio probe watches.
+    "crawl_admission_report",
 ]
 
 

@@ -386,10 +386,15 @@ ROTATION_R6: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "semantic_dedup",
-    "sequence_pack",
-    "stratified_sample",
     "tfidf_top_terms",
-    "union_all_counts",
+    # r06 late registrations (batch 4): the crawl-delta admission gate, the
+    # prototypicality prune, and the perplexity-bucket partition (never
+    # driver-checked, so mandatory here); sequence_pack /
+    # stratified_sample / union_all_counts yield their slots and move to
+    # ROTATION_R7 (r03 rows; the local oracle gate runs them every session)
+    "crawl_admission_report",
+    "embedding_prototypicality",
+    "perplexity_bucket_report",
     # displaced from the r05 window (keep r02 rows; local gate every
     # session); transfer_stats_rollup_approx / grouped_percentile_approx /
     # apply_in_pandas_group wait for r07 — R-only sketches and a UDF demo
@@ -425,14 +430,18 @@ ROTATION_R7: list[str] = [
     "set_union",
     "pandas_udf_grouped_agg",
     "apply_in_pandas_group",
+    # displaced from r06 by the batch-4 registrations (r03 rows — overdue
+    # once r06 lands, so R7 membership keeps them scheduled); they take the
+    # slots of cluster_quality_keeper / dedup_exact_rows / distinct_count
+    # (r04 rows, not overdue until r07 lands — re-seated in ROTATION_R9)
+    "sequence_pack",
+    "stratified_sample",
+    "union_all_counts",
     "argminmax_agg",
     "array_fns",
-    "cluster_quality_keeper",
     "date_fns",
     "dedup_bloom_prefilter",
-    "dedup_exact_rows",
     "dedup_hit_miss",
-    "distinct_count",
     "doc_hash_embedding",
     "dsir_gumbel_resample",
     "dsir_importance_weights",
@@ -585,9 +594,12 @@ ROTATION_R9: list[str] = [
     "ann_ivf_nprobe_topk",
     "audio_fingerprint_near_dup",
     "audio_fingerprint_signature",
-    "cohort_retention",
-    "corpus_report",
-    "corpus_shuffle",
+    # r04-row trio re-seated here after yielding their ROTATION_R7 slots
+    # to the batch-4 displacements (overdue once r07 lands, so R9
+    # membership keeps the staleness invariant green at that point)
+    "cluster_quality_keeper",
+    "dedup_exact_rows",
+    "distinct_count",
     "corpus_split",
     "correlated_subquery",
     "decontaminate_ngram_overlap",

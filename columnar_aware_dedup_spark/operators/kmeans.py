@@ -21,9 +21,14 @@ At 100 TB: train on a sampled slice (`.sample` keeps it one pass), then
 write the collection partitioned by the trained cell for partition-pruned
 probes — the assignment plan here IS that write's plan.
 
-Registered rows-only (R): data-dependent float averages are not
-SQL-oracle-reproducible across engines; correctness is pinned by
-planted-cluster recovery tests (``tests/test_kmeans.py``).
+Registered HASH-CHECKED (H) since r06 via the tolerance-bit certificate
+pattern (:func:`ivf_train_kmeans` — the ``pq_train_codebooks`` discipline):
+the per-cell float structure is not SQL-oracle-reproducible across engines,
+but exact facts (k cells, all vectors assigned) plus Lloyd invariants
+computed from the real trained centroids (inertia non-increase vs the seed,
+dimensionality, finiteness) are. The full float table remains as
+:func:`ivf_train_kmeans_full`; planted-cluster recovery stays pinned by
+``tests/test_kmeans.py``.
 """
 
 from __future__ import annotations
@@ -101,12 +106,15 @@ def lloyd_train(e: DataFrame, k: int = _K, iters: int = _ITERS) -> DataFrame:
     return cent
 
 
-@register("ivf_train_kmeans")
-def ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_train_kmeans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF quantizer and report the resulting cell structure.
 
     One row per cell: member count, centroid L2 norm, and mean within-cell
     squared distance (the per-cell inertia — the quantity Lloyd descends).
+    Data-dependent float averages, so not oracle-checkable per cell; intent
+    pinned by the planted-cluster tests in ``tests/test_kmeans.py`` and the
+    registered certificate query (:func:`ivf_train_kmeans`) hash-checks the
+    Lloyd invariants.
     """
     e = table(spark, sf_dir, "embeddings")
     cent = lloyd_train(e)
@@ -122,6 +130,92 @@ def ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(F.first(F.expr(_DOT_SPARK.format(a="ce", b="ce")))), 6
             ).alias("centroid_norm"),
             F.round(F.avg("d2"), 6).alias("mean_d2"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _total_inertia(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """One row: the Lloyd objective (total min-over-cells squared L2) under
+    ``cent`` — the zero-shuffle broadcast argmin plus a global partial
+    aggregation. Also carries the assigned-row count."""
+    cent_arr = centroid_array(cent, id_col="cell", vec_col="ce")
+    best_d = F.expr(
+        "element_at(array_sort(transform(cents, c -> struct("
+        + _L2SQ_SPARK.format(a="embedding", b="c.ce")
+        + " AS d, c.cid AS cid))), 1).d"
+    )
+    return (
+        e.join(F.broadcast(cent_arr))
+        .select(best_d.alias("d"))
+        .agg(F.sum("d").alias("inertia"), F.count("*").alias("n_assigned"))
+    )
+
+
+KMEANS_TRAIN_ORACLE = f"""
+SELECT g.cell,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_assigned,
+       {_K} AS k_cells,
+       TRUE AS centroid_dim_ok,
+       TRUE AS inertia_improved_ok,
+       TRUE AS centroid_finite_ok
+FROM (SELECT unnest(generate_series(0, {_K - 1})) AS cell) g
+ORDER BY g.cell
+"""
+
+
+@register("ivf_train_kmeans", oracle=KMEANS_TRAIN_ORACLE)
+def ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF Lloyd training, HASH-CHECKED via the tolerance-bit certificate
+    pattern that graduated the PQ trainer in r05 (``pq_train_codebooks``):
+    one row per trained cell — the row KEY set itself asserts the trainer
+    produced exactly k cells 0..k-1 — with exact facts the oracle derives
+    independently (every vector is assigned, the cell count is the
+    configured k) plus boolean invariants computed from the REAL trained
+    centroids:
+
+    - ``centroid_dim_ok``: every trained centroid has the collection's
+      dimensionality (catches a dropped/extra posexplode position);
+    - ``inertia_improved_ok``: the Lloyd objective under the trained
+      centroids <= the objective under the deterministic seed + eps —
+      Lloyd never increases it, so a broken assign/update step flips the
+      bit;
+    - ``centroid_finite_ok``: every centroid coordinate is finite (catches
+      NaN propagation from empty-cell division).
+
+    The full per-cell structure table (member counts, centroid norms, mean
+    within-cell error) stays available as :func:`ivf_train_kmeans_full`,
+    planted-cluster pytest-pinned.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    seed = init_centroids(e, _K)
+    cent = lloyd_train(e)
+    before = _total_inertia(e, seed).select(
+        F.col("inertia").alias("inertia0")
+    )
+    after = _total_inertia(e, cent)
+    dim = e.agg(F.min(F.size("embedding")).alias("dim"))
+    per_cell = cent.select(
+        "cell",
+        F.size("ce").alias("ce_dim"),
+        F.expr(
+            "aggregate(ce, true, (acc, x) -> acc AND NOT isnan(x)"
+            " AND NOT (abs(x) = double('inf')))"
+        ).alias("finite"),
+    )
+    return (
+        per_cell.join(F.broadcast(after))
+        .join(F.broadcast(before))
+        .join(F.broadcast(dim))
+        .select(
+            "cell",
+            F.col("n_assigned").cast("bigint").alias("n_assigned"),
+            F.lit(_K).alias("k_cells"),
+            (F.col("ce_dim") == F.col("dim")).alias("centroid_dim_ok"),
+            (F.col("inertia") <= F.col("inertia0") + F.lit(1e-6)).alias(
+                "inertia_improved_ok"
+            ),
+            F.col("finite").alias("centroid_finite_ok"),
         )
         .orderBy("cell")
     )

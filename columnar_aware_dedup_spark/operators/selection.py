@@ -754,3 +754,124 @@ def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_levels"),
         F.round((W * Sxy - Sx * Sy) / (W * Sxx - Sx * Sx), 6).alias("zipf_slope"),
     )
+
+
+# -- perplexity bucketing (CCNet-style head/middle/tail) ----------------------
+
+#: number of quantile buckets for the perplexity partition (CCNet splits
+#: into 3; deciles give the same mechanism at reporting granularity).
+_PPL_BUCKETS = 10
+
+PERPLEXITY_BUCKET_ORACLE = """
+WITH lpdoc AS (
+  SELECT doc_id, avg_logprob, keep FROM ({lm})
+), h AS (
+  SELECT round(avg_logprob, 2) AS s2, count(*) AS c FROM lpdoc GROUP BY s2
+), cum AS (
+  SELECT s2, sum(c) OVER (ORDER BY s2) AS cc,
+         sum(c) OVER () AS tot
+  FROM h
+), cuts AS (
+  SELECT d, min(s2) AS cut
+  FROM generate_series(1, {nb}) g(d) CROSS JOIN cum
+  WHERE cc >= (d * tot + {nb} - 1) // {nb}
+  GROUP BY d
+), b AS (
+  SELECT doc_id, avg_logprob, keep,
+         (SELECT min(d) FROM cuts
+          WHERE round(avg_logprob, 2) <= cut) AS bucket
+  FROM lpdoc
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_logprob) AS lo_logprob,
+       max(avg_logprob) AS hi_logprob,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM b GROUP BY bucket
+""".format(lm="{lm}", nb=_PPL_BUCKETS)
+
+
+def _perplexity_bucket_oracle() -> str:
+    from columnar_aware_dedup_spark.operators.text import BIGRAM_LM_ORACLE
+
+    return PERPLEXITY_BUCKET_ORACLE.format(lm=BIGRAM_LM_ORACLE)
+
+
+@register("perplexity_bucket_report", oracle=_perplexity_bucket_oracle())
+def perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020, arXiv:1911.00359):
+    split the corpus into quantile buckets of the language-model score (the
+    self-trained bigram LM of ``bigram_logprob_score``) and report each
+    bucket's population, score range, and quality-filter agreement — the
+    table behind keep-the-head / resample-the-middle / drop-the-tail
+    curation decisions.
+
+    Exact corpus quantiles without a corpus sort: scores round to a 2-dp
+    grid (logprobs live in a few units, so the grid is a few hundred cells
+    regardless of corpus size), ONE map-side-combined aggregation builds the
+    grid histogram, a window over the histogram (bounded rows, never the
+    data) derives cumulative counts, and the ``_PPL_BUCKETS`` cutoffs fold
+    into one broadcast row — bucket assignment is then a zero-shuffle
+    narrow map, the same broadcast-fold shape as the IVF centroid argmin.
+    Integer-exact thresholds (``ceil(d*N/nb)`` via ``(d*N + nb-1) div nb``)
+    keep both engines' cutoffs bit-identical; ties share a grid cell, so
+    bucket membership is value-determined and reproducible.
+    """
+    from columnar_aware_dedup_spark.operators.text import bigram_logprob_score
+
+    scores = (
+        bigram_logprob_score(spark, sf_dir)
+        .select("doc_id", "avg_logprob", "keep")
+        .withColumn("s2", F.round("avg_logprob", 2))
+        # feeds the histogram AND the assignment join: the lazy checkpoint
+        # materializes the LM-score pass once. At 100 TB this table is the
+        # pipeline's persisted product (per-doc quality scores), not a
+        # data-sized cache of raw text — the crawl_admission_report rationale.
+        .localCheckpoint(eager=False)
+    )
+    hist = scores.groupBy("s2").agg(F.count("*").alias("c"))
+    # windows over the bounded score grid (a few hundred rows), NOT the data
+    cum = hist.select(
+        "s2",
+        F.sum("c").over(Window.orderBy("s2")).alias("cc"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    cuts = (
+        cum.select(
+            F.explode(F.sequence(F.lit(1), F.lit(_PPL_BUCKETS))).alias("d"),
+            "s2",
+            "cc",
+            "tot",
+        )
+        # ceil(d*N/nb) as exact integer division (matches DuckDB's `//`)
+        .filter(
+            F.expr(
+                f"cc >= (CAST(d AS BIGINT) * tot + {_PPL_BUCKETS} - 1)"
+                f" div {_PPL_BUCKETS}"
+            )
+        )
+        .groupBy("d")
+        .agg(F.min("s2").alias("cut"))
+    )
+    cuts_row = cuts.agg(
+        F.expr("array_sort(collect_list(struct(cut, d)))").alias("cuts")
+    )
+    bucketed = (
+        scores.join(F.broadcast(cuts_row))
+        .withColumn(
+            "bucket",
+            F.expr("element_at(filter(cuts, c -> s2 <= c.cut), 1).d").cast(
+                "int"
+            ),
+        )
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("avg_logprob").alias("lo_logprob"),
+        F.max("avg_logprob").alias("hi_logprob"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+    )

@@ -683,6 +683,76 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- prototypicality pruning (SSL-prototypes, the SemDeDup sibling) ----------
+
+#: fraction of each cell kept by the prototypicality prune (the hardest /
+#: least prototypical examples survive; the most redundant quarter is cut).
+_PROTO_KEEP_FRAC = 0.75
+
+EMBEDDING_PROTOTYPICALITY_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN {_CENTROID_LO} AND {_CENTROID_HI}
+), assign AS (
+  SELECT e.vec_id, c.cid, round({_l2sq_sql('e.embedding', 'c.ce')}, 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round({_l2sq_sql('e.embedding', 'c.ce')}, 6), c.cid) = 1
+)
+SELECT vec_id, cid, d2,
+       CAST(row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id)
+            AS INTEGER) AS cell_rank,
+       (row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id)
+        <= CEIL({_PROTO_KEEP_FRAC} * count(*) OVER (PARTITION BY cid)))
+         AS keep
+FROM assign
+"""
+
+
+@register("embedding_prototypicality", oracle=EMBEDDING_PROTOTYPICALITY_ORACLE)
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): a vector's prototypicality is
+    its distance to its cluster centroid — examples CLOSEST to the
+    prototype are the most redundant and are pruned first, keeping the
+    hardest ``_PROTO_KEEP_FRAC`` of every cell. The dedup complement to
+    ``semantic_dedup``: that removes pairwise near-identical meanings, this
+    thins uniformly over-represented regions even when no pair crosses a
+    similarity threshold.
+
+    Scale shape: cell assignment is the shared zero-shuffle
+    broadcast-centroid argmin (the squared-L2 distance to the winning cell
+    falls out of the SAME fold — no second pass); ranking shuffles once on
+    ``cid`` and each window partition is one cell, never the corpus (k
+    scales with N in production, the SemDeDup sizing rule). The rank and
+    the cell count come from one window spec, so Spark computes both in a
+    single sort.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(_CENTROID_LO, _CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    nearest = F.expr(
+        f"element_at({_cells_by_distance_spark('embedding')}, 1)"
+    )
+    assign = (
+        e.join(F.broadcast(centroid_array(cent)))
+        .select("vec_id", nearest.alias("nc"))
+        .select("vec_id", F.col("nc.cid").alias("cid"), F.col("nc.d").alias("d2"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("d2").desc(), "vec_id")
+    n_cell = F.count("*").over(Window.partitionBy("cid"))
+    rank = F.row_number().over(w)
+    return assign.select(
+        "vec_id",
+        "cid",
+        "d2",
+        rank.alias("cell_rank"),
+        (rank <= F.ceil(F.lit(_PROTO_KEEP_FRAC) * n_cell)).alias("keep"),
+    )
+
+
 # -- persisted cell-partitioned collection (the IVF deployment artifact) -----
 
 

@@ -1419,6 +1419,139 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- incremental crawl admission ----------------------------------------------
+
+#: the "new crawl" slice of the fixture: src6 is the best-connected source
+#: in the planted near-dup graph (8 of the 35 banded pairs touch it), so the
+#: admission report exercises both near_duplicate and admit verdicts; the
+#: exact branch is exercised by the planted pytest fixture (the public
+#: corpus contains no byte-exact normalized duplicates by construction).
+_INCOMING_SOURCE = "src6"
+
+CRAWL_ADMISSION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS sig,
+         string_split({_NORM_SQL}, ' ') AS toks
+  FROM documents
+), sigs AS (
+  SELECT doc_id, source, sig, {_minhash_slots_sql()} FROM t
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, source, {b} AS band_key, {i} AS band FROM sigs"
+      for i, b in enumerate(_band_exprs())
+  )}
+), exact AS (
+  SELECT DISTINCT i.doc_id
+  FROM sigs i JOIN sigs c
+    ON c.sig = i.sig AND c.source <> '{_INCOMING_SOURCE}'
+  WHERE i.source = '{_INCOMING_SOURCE}'
+), near AS (
+  SELECT a.doc_id, CAST(count(DISTINCT a.band) AS BIGINT) AS n_band_hits
+  FROM bands a JOIN bands b
+    ON b.band_key = a.band_key AND b.band = a.band
+       AND b.source <> '{_INCOMING_SOURCE}'
+  WHERE a.source = '{_INCOMING_SOURCE}'
+  GROUP BY a.doc_id
+)
+SELECT i.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       COALESCE(n.n_band_hits, 0) AS n_band_hits,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'duplicate'
+            WHEN n.doc_id IS NOT NULL THEN 'near_duplicate'
+            ELSE 'admit' END AS verdict
+FROM sigs i
+LEFT JOIN exact e ON e.doc_id = i.doc_id
+LEFT JOIN near n ON n.doc_id = i.doc_id
+WHERE i.source = '{_INCOMING_SOURCE}'
+"""
+
+
+@register("crawl_admission_report", oracle=CRAWL_ADMISSION_ORACLE)
+def crawl_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric admission gate: one verdict per INCOMING document against
+    the established corpus — duplicate (its exact md5 signature already
+    exists outside the crawl), near_duplicate (any MinHash LSH band lands
+    in a corpus bucket, with the hit count as evidence strength), or admit.
+    Unlike ``pipeline_dedup_all`` (symmetric, intra-corpus, earlier-id
+    wins), this is the daily-delta question: the corpus is immutable and
+    only the new crawl is on trial.
+
+    Scale shape: this is the batch statement of the maintained-index path —
+    ``streaming/lsh.py::probe_near_dups`` answers the same question against
+    the PERSISTED bucket-keyed band table, where only the delta's keys
+    shuffle. Here both sides derive in-plan from the corpus scan: the
+    signature/band pass is linear, the two probe joins key on content
+    hashes (sig; band_key), and per-verdict evidence folds in one
+    delta-keyed aggregation — nothing is ever all-pairs, and the incoming
+    side is crawl-sized, not corpus-sized.
+    """
+    sigs = (
+        _fanned(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.md5("norm").alias("sig"),
+            *_minhash_slots_spark(),
+        )
+        # one materialization feeds four consumers (incoming/corpus x
+        # exact/band); the signature table IS the production index artifact
+        # (streaming/lsh.py persists exactly this), so the lazy checkpoint
+        # is the batch stand-in for reading it back, not a data-sized cache
+        # of the raw text.
+        .localCheckpoint(eager=False)
+    )
+    incoming = sigs.filter(F.col("source") == _INCOMING_SOURCE)
+    corpus = sigs.filter(F.col("source") != _INCOMING_SOURCE)
+    exact = (
+        incoming.alias("i")
+        .join(corpus.select("sig").alias("c"), "sig", "left_semi")
+        .select("doc_id")
+        .withColumn("ex", F.lit(True))
+    )
+
+    def _bands(df: DataFrame) -> DataFrame:
+        band_rows = F.array(
+            *[
+                F.struct(
+                    F.expr(b).alias("band_key"),
+                    F.lit(i).cast("int").alias("band"),
+                )
+                for i, b in enumerate(_band_exprs())
+            ]
+        )
+        return df.select("doc_id", F.explode(band_rows).alias("b")).select(
+            "doc_id", "b.band_key", "b.band"
+        )
+
+    near = (
+        _bands(incoming)
+        .alias("a")
+        .join(
+            _bands(corpus).alias("b"),
+            (F.col("b.band_key") == F.col("a.band_key"))
+            & (F.col("b.band") == F.col("a.band")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct("a.band").alias("n_band_hits"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ex", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n_band_hits", F.lit(0).cast("bigint")).alias(
+                "n_band_hits"
+            ),
+            F.when(F.coalesce("ex", F.lit(False)), F.lit("duplicate"))
+            .when(F.col("n_band_hits").isNotNull(), F.lit("near_duplicate"))
+            .otherwise(F.lit("admit"))
+            .alias("verdict"),
+        )
+    )
+
+
 # -- exact substring-span dedup signal ---------------------------------------
 
 #: span width for the substring-dedup signal. Lee et al. 2022 ("Deduplicating

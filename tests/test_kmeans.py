@@ -72,3 +72,38 @@ def test_init_centroids_deterministic(spark):
     e = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = {r["cell"]: r["ce"] for r in init_centroids(e, 2).collect()}
     assert got == {0: [1.0, 0.0], 1: [3.0, 0.0]}
+
+
+def test_certificate_inertia_bit_can_flip(spark):
+    """The r06 H-certificate's load-bearing bit is falsifiable: on the
+    planted clusters, total inertia under the TRAINED centroids beats the
+    seed, while a deliberately bad centroid set (everything at the origin)
+    scores strictly worse than the seed — so a broken update step that
+    regressed the objective would flip ``inertia_improved_ok``."""
+    from columnar_aware_dedup_spark.operators.kmeans import _total_inertia
+
+    e = _planted(spark).select("vec_id", "embedding")
+    seed = init_centroids(e, 3)
+    trained = lloyd_train(e, k=3, iters=3)
+    bad = spark.createDataFrame(
+        [(c, [0.0, 0.0, 0.0, 0.0]) for c in range(3)], ["cell", "ce"]
+    )
+    i_seed = _total_inertia(e, seed).collect()[0]["inertia"]
+    i_trained = _total_inertia(e, trained).collect()[0]["inertia"]
+    i_bad = _total_inertia(e, bad).collect()[0]["inertia"]
+    assert i_trained <= i_seed + 1e-6
+    assert i_bad > i_seed, "the bad centroids must regress the objective"
+
+
+def test_full_structure_table_partitions_the_collection(spark, sf_dir):
+    """ivf_train_kmeans_full (the unregistered float twin): one row per
+    trained cell, member counts partition the collection exactly."""
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators.kmeans import (
+        ivf_train_kmeans_full,
+    )
+
+    rows = ivf_train_kmeans_full(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(r["mean_d2"] >= 0.0 for r in rows)

@@ -407,6 +407,9 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "audio_fingerprint_signature",
         "audio_fingerprint_near_dup",
         "multimodal_dedup_report",
+        # r06 batch 4: row-per-vector / row-per-incoming-doc outputs
+        "embedding_prototypicality",
+        "crawl_admission_report",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (
@@ -441,3 +444,57 @@ def test_ivfpq_never_shuffles_the_collection(spark, sf_dir):
     )
     # and the collection is never hash-partitioned by its id
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_prototypicality_single_cell_exchange(spark, sf_dir):
+    """embedding_prototypicality: assignment is the shared zero-shuffle
+    broadcast-centroid argmin, so the collection crosses exactly ONE
+    exchange (hashpartitioning by cid) and both window specs — rank and
+    cell count — are keyed by cid, never corpus-global."""
+    from columnar_aware_dedup_spark.operators import similarity
+
+    df = similarity.embedding_prototypicality(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    ext = explain.plan_string(df, mode="extended")
+    specs = ext.split("windowspecdefinition(")[1:]
+    assert specs, "expected keyed windows in the plan"
+    for frag in specs:
+        # the parsed-plan section prints unresolved attrs as 'cid
+        key = frag.split(",")[0].strip().lstrip("'")
+        assert key.startswith("cid"), frag[:120]
+
+
+def test_crawl_admission_never_goes_quadratic(spark, sf_dir):
+    """crawl_admission_report: both probes key on content hashes (sig;
+    band_key+band) — no cartesian product, no window, and a bounded
+    shuffle budget (the band-hit distinct agg plus the final verdict
+    join)."""
+    from columnar_aware_dedup_spark.operators import text
+
+    df = text.crawl_admission_report(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 5, f"crawl_admission_report grew to {n} shuffles:\n{plan}"
+
+
+def test_perplexity_windows_run_on_the_histogram_only(spark, sf_dir):
+    """perplexity_bucket_report: the unkeyed cumulative windows are legal
+    ONLY because they run over the bounded 2-dp score histogram on the
+    broadcast build side — the doc-sized probe side must stay a narrow
+    broadcast-fold (one BroadcastNestedLoopJoin, no Window above the doc
+    scan). In the simple-mode tree every Window line must therefore appear
+    INSIDE the BroadcastExchange subtree (printed after it)."""
+    from columnar_aware_dedup_spark.operators import selection
+
+    df = selection.perplexity_bucket_report(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastExchange" in plan and "Window" in plan, plan
+    assert plan.index("Window") > plan.index("BroadcastExchange"), plan
+    # the windows' input is the s2 histogram aggregate, not the corpus
+    below_last_window = plan.rsplit("Window", 1)[1]
+    assert "HashAggregate(keys=[s2" in below_last_window, below_last_window

@@ -71,7 +71,6 @@ def test_driver_window_holds_rotation_queries():
 R_ALLOWLIST = {
     "transfer_stats_rollup_approx": "sketch percentiles are engine-specific",
     "grouped_percentile_approx": "sketch percentiles are engine-specific",
-    "ivf_train_kmeans": "iterative float averages; recovery pytest-verified",
     "file_inventory": "no DuckDB directory scan",
     "file_parse_overhead": "wall-clock measurement",
     # r05: pq_train_codebooks, bpe_train_merges, bpe_segment_corpus,
@@ -85,6 +84,10 @@ R_ALLOWLIST = {
     # binary files, but it CAN re-state the constant fixture layout with
     # the in-plan cover/reconstruction/hierarchy booleans all TRUE; the
     # raw censuses stay as unregistered *_full twins.
+    # r06 (late): ivf_train_kmeans graduated to H via the same
+    # tolerance-bit certificate as pq_train_codebooks (k-cell row keys +
+    # inertia non-increase / dimensionality / finiteness bits); the float
+    # structure table stays as the unregistered ivf_train_kmeans_full.
 }
 
 
