@@ -800,6 +800,59 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
     )
 
 
+def test_crawl_admission_agrees_with_streaming_probe(spark, sf_dir):
+    """The batch admission gate (``crawl_admission_report``) and the
+    maintained-index probe (``probe_near_dups``) are the SAME question in
+    two deployment shapes — score the incoming crawl against the immutable
+    corpus. With the index holding exactly the corpus side (every source
+    but the incoming one), the set of near-flagged incoming docs must
+    match doc-for-doc, and so must the keep/drop admission decision."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.text import (
+        _INCOMING_SOURCE,
+        crawl_admission_report,
+    )
+    from columnar_aware_dedup_spark.streaming import lsh
+
+    tbl = "test_admission_parity_lsh"
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = full.filter(F.col("source") != _INCOMING_SOURCE)
+    incoming = full.filter(F.col("source") == _INCOMING_SOURCE)
+    lsh.merge_bands(spark, corpus, tbl)
+
+    flagged_stream = {
+        r["new_doc_id"]
+        for r in lsh.probe_near_dups(spark, incoming, tbl).collect()
+    }
+    batch = {
+        r["doc_id"]: r for r in crawl_admission_report(spark, sf_dir).collect()
+    }
+    flagged_batch = {d for d, r in batch.items() if r["n_band_hits"] > 0}
+    assert flagged_batch == flagged_stream
+    assert flagged_stream, "fixture must flag at least one incoming doc"
+    for d, r in batch.items():
+        admitted = r["verdict"] == "admit"
+        assert admitted == (d not in flagged_stream and not r["exact_dup"]), (
+            d,
+            r,
+        )
+
+
 def test_lsh_index_compaction_preserves_layout_and_pairs(spark, sf_dir, tmp_path):
     """`compact_store(key='bucket', dedupe=False)` is the LSH index's
     maintenance path: after two merge waves it must collapse the accreted
