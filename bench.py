@@ -95,6 +95,7 @@ HEADLINE = [
     "crawl_admission_report",
     "embedding_prototypicality",
     "perplexity_bucket_report",
+    "doc_length_outliers",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -334,7 +334,10 @@ ROTATION_R6: list[str] = [
     "correlated_subquery",
     "decontaminate_ngram_overlap",
     "doc_repetition_score",
-    "domain_mix_sample",
+    # r06 batch 5: the MAD length-outlier monitor (never
+    # driver-checked, so mandatory here); domain_mix_sample yields its
+    # slot and moves to ROTATION_R7 (r03 row; local gate every session)
+    "doc_length_outliers",
     "event_funnel",
     "event_gapfill_locf",
     "file_inventory",
@@ -443,7 +446,10 @@ ROTATION_R7: list[str] = [
     "dedup_bloom_prefilter",
     "dedup_hit_miss",
     "doc_hash_embedding",
-    "dsir_gumbel_resample",
+    # displaced from r06 by doc_length_outliers (r03 row — overdue once
+    # r06 lands); takes the slot of dsir_gumbel_resample (r04 row,
+    # re-seated in ROTATION_R9)
+    "domain_mix_sample",
     "dsir_importance_weights",
     "dup_span_fraction",
     "except_all",
@@ -600,7 +606,7 @@ ROTATION_R9: list[str] = [
     "cluster_quality_keeper",
     "dedup_exact_rows",
     "distinct_count",
-    "corpus_split",
+    "dsir_gumbel_resample",
     "correlated_subquery",
     "decontaminate_ngram_overlap",
     "doc_repetition_score",

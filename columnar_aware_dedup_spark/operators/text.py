@@ -263,6 +263,86 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: modified-z-score cutoff for the MAD length-outlier flag. Iglewicz &
+#: Hoaglin's canonical 3.5 flags nothing on the fixture's tame length
+#: distribution; 2.5 (their stricter small-sample variant) exercises both
+#: branches publicly (5 docs at sf0.01), and the planted test pins the
+#: extreme case.
+_MAD_Z_CUTOFF = 2.5
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT source, {pdisc_med} AS med
+  FROM documents GROUP BY source
+), mad AS (
+  SELECT d.source, {pdisc_mad} AS mad
+  FROM documents d JOIN med m ON m.source = d.source
+  GROUP BY d.source
+)
+SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad,
+       CASE WHEN a.mad = 0 THEN NULL
+            ELSE floor(0.6745 * (d.n_chars - m.med) * 1000000 / a.mad)
+                 / 1000000.0 END
+         AS robust_z,
+       CASE WHEN a.mad = 0 THEN d.n_chars <> m.med
+            ELSE abs(0.6745 * (d.n_chars - m.med) / a.mad) > {cutoff} END
+         AS is_outlier
+FROM documents d
+JOIN med m ON m.source = d.source
+JOIN mad a ON a.source = d.source
+"""
+
+
+@register(
+    "doc_length_outliers",
+    oracle=DOC_LENGTH_OUTLIERS_SQL.format(
+        pdisc_med="quantile_disc(n_chars, 0.5)",
+        pdisc_mad="quantile_disc(abs(d.n_chars - m.med), 0.5)",
+        cutoff=_MAD_Z_CUTOFF,
+    ),
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier detection (Iglewicz & Hoaglin
+    modified z-score): median and MAD of ``n_chars`` per source, then flag
+    docs with ``|0.6745·(x − med)/MAD| > 2.5`` — the truncation/boilerplate
+    monitor that mean/stddev z-scores get wrong, because a single giant
+    page drags the mean while the median ignores it. MAD = 0 (a source
+    where over half the lengths are identical) degrades to exact-length
+    inequality, the standard fallback.
+
+    Engine parity: ``percentile_disc`` == DuckDB ``quantile_disc`` (the
+    ``percentile_disc_median`` precedent — DISCRETE quantiles pick real
+    values, so integer medians stay integers and the z-score is one
+    deterministic float expression). The z-score quantizes to 6 dp via
+    ``floor`` rather than ``round``: the rational ``0.6745·Δ/MAD`` lands on
+    EXACT decimal halves (e.g. −1.7705625 on this very fixture), where
+    Spark rounds half-up and DuckDB half-to-even — floor of the
+    bit-identical double is mode-free. Scale contract: exact per-source
+    percentiles buffer each group's values, the ``grouped_percentile``
+    caveat — at 100 TB swap ``approx_percentile`` in (the
+    ``grouped_percentile_approx`` path); the rest of the plan is two
+    source-keyed aggregations plus broadcast-sized joins back (#sources
+    rows), nothing corpus-global.
+    """
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        DOC_LENGTH_OUTLIERS_SQL.format(
+            # Spark's percentile_disc returns DOUBLE even over BIGINT input
+            # (DuckDB's quantile_disc keeps BIGINT); discrete quantiles
+            # pick real values, so the cast back is exact.
+            pdisc_med=(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)"
+                " AS BIGINT)"
+            ),
+            pdisc_mad=(
+                "CAST(percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY abs(d.n_chars - m.med)) AS BIGINT)"
+            ),
+            cutoff=_MAD_Z_CUTOFF,
+        )
+    )
+
+
 # -- repetition scoring (Gopher-style) ----------------------------------------
 
 #: n-gram lists WITH multiplicity (unlike ``_SHINGLES_*``, which dedups —

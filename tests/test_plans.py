@@ -407,9 +407,10 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "audio_fingerprint_signature",
         "audio_fingerprint_near_dup",
         "multimodal_dedup_report",
-        # r06 batch 4: row-per-vector / row-per-incoming-doc outputs
+        # r06 batch 4/5: row-per-vector / row-per-incoming-doc / row-per-doc
         "embedding_prototypicality",
         "crawl_admission_report",
+        "doc_length_outliers",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (

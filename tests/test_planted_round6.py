@@ -219,3 +219,46 @@ def test_perplexity_buckets_partition_the_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_scored
     for a, b in zip(rows, rows[1:]):
         assert a["hi_logprob"] < b["lo_logprob"], "bucket ranges must be ordered"
+
+
+# -- doc_length_outliers --------------------------------------------------------
+
+
+def test_length_outlier_flags_planted_extreme(spark, tmp_path):
+    """Source A: nine ~100-char docs and one 5000-char monster. med = 100,
+    MAD is small, the monster's modified z-score is enormous -> flagged;
+    the nine stay unflagged. Source B: identical lengths -> MAD = 0 ->
+    robust_z NULL and the equal-length fallback flags nothing."""
+    from columnar_aware_dedup_spark.operators.text import doc_length_outliers
+
+    rows = []
+    for i in range(9):
+        rows.append((i, "x" * (98 + i), "A"))  # lengths 98..106
+    rows.append((9, "x" * 5000, "A"))
+    for i in range(10, 14):
+        rows.append((i, "y" * 200, "B"))  # MAD = 0 source
+    sf_dir = _write_documents(tmp_path, rows)
+    got = {r["doc_id"]: r for r in doc_length_outliers(spark, sf_dir).collect()}
+    assert len(got) == 14
+    assert got[9]["is_outlier"] is True
+    assert got[9]["robust_z"] > 100, "5000 chars vs med ~102 is an extreme z"
+    for i in range(9):
+        assert got[i]["is_outlier"] is False
+    for i in range(10, 14):
+        assert got[i]["mad"] == 0
+        assert got[i]["robust_z"] is None
+        assert got[i]["is_outlier"] is False, "equal lengths are not outliers"
+
+
+def test_length_outlier_mad_zero_fallback_flags_inequality(spark, tmp_path):
+    """MAD = 0 with a lone deviant length: >half the source at one length
+    forces MAD 0, and the fallback flags exactly the docs whose length
+    differs from the median."""
+    from columnar_aware_dedup_spark.operators.text import doc_length_outliers
+
+    rows = [(i, "z" * 300, "C") for i in range(5)] + [(5, "z" * 310, "C")]
+    sf_dir = _write_documents(tmp_path, rows)
+    got = {r["doc_id"]: r for r in doc_length_outliers(spark, sf_dir).collect()}
+    assert all(r["mad"] == 0 for r in got.values())
+    assert got[5]["is_outlier"] is True
+    assert all(got[i]["is_outlier"] is False for i in range(5))
