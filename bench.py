@@ -96,6 +96,7 @@ HEADLINE = [
     "embedding_prototypicality",
     "perplexity_bucket_report",
     "doc_length_outliers",
+    "edit_distance_verify",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

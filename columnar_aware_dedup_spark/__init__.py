@@ -328,7 +328,10 @@ ROTATION_R6: list[str] = [
     "ann_ivf_nprobe_topk",
     "ann_recall_report",
     "cohort_retention",
-    "corpus_report",
+    # r06 batch 5: the Levenshtein candidate verifier (never
+    # driver-checked, so mandatory here); corpus_report yields its
+    # slot and moves to ROTATION_R7 (r03 row; local gate every session)
+    "edit_distance_verify",
     "corpus_shuffle",
     "corpus_split",
     "correlated_subquery",
@@ -456,7 +459,10 @@ ROTATION_R7: list[str] = [
     "intersect_all",
     "q11_important_stock",
     "q12_priority_class",
-    "event_dedup_first",
+    # displaced from r06 by edit_distance_verify (r03 row — overdue
+    # once r06 lands); takes the slot of event_dedup_first (r04 row,
+    # re-seated in ROTATION_R9)
+    "corpus_report",
     "event_session_window",
     "event_tumbling_window",
     "filter_pred",
@@ -608,7 +614,7 @@ ROTATION_R9: list[str] = [
     "distinct_count",
     "dsir_gumbel_resample",
     "correlated_subquery",
-    "decontaminate_ngram_overlap",
+    "event_dedup_first",
     "doc_repetition_score",
     "domain_mix_sample",
     "event_funnel",

@@ -1336,6 +1336,82 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- edit-distance verification of LSH candidates -----------------------------
+
+#: relative-edit-distance threshold for confirming a banded candidate pair.
+_EDIT_REL_MAX = 0.2
+
+EDIT_DISTANCE_VERIFY_ORACLE = f"""
+WITH cand AS ({MINHASH_NEAR_DUP_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+v AS (
+  SELECT c.doc_a, c.doc_b, c.shared_bands,
+         CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
+         greatest(length(a.norm), length(b.norm)) AS max_len
+  FROM cand c JOIN n a ON a.doc_id = c.doc_a JOIN n b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, shared_bands, edit_dist,
+       floor(CAST(edit_dist AS DOUBLE) * 1000000 / max_len) / 1000000.0
+         AS rel_edit,
+       (CAST(edit_dist AS DOUBLE) / max_len <= {_EDIT_REL_MAX}) AS confirmed
+FROM v
+"""
+
+
+@register("edit_distance_verify", oracle=EDIT_DISTANCE_VERIFY_ORACLE)
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the banded MinHash candidates — the
+    fourth member of the near-dup verification family (shingle Jaccard,
+    asymmetric containment, SimHash Hamming, and now Levenshtein): each
+    candidate pair gets its exact edit distance, the length-relative score,
+    and a confirmed verdict at ``_EDIT_REL_MAX``. Character-level edits
+    catch what token shingles blur (dense single-char typo noise keeps
+    most shingles intact but racks up edit distance — and vice versa for
+    token reorderings).
+
+    Scale shape: Levenshtein is O(len^2) per pair — the expensive exact
+    verifier you run ONLY on the LSH candidate set (bounded by banding,
+    never all-pairs); texts join back onto the candidate pairs by doc id
+    (two content-keyed joins), and the whole verification is one narrow
+    map over candidate-count rows. The relative score floor-quantizes to
+    6 dp (the ``doc_length_outliers`` tie lesson: rationals land on exact
+    decimal halves where the engines' rounding modes diverge).
+    """
+    cand = minhash_near_dup(spark, sf_dir)
+    n = normalized(spark, sf_dir).select("doc_id", "norm")
+    v = (
+        cand.join(
+            n.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na")),
+            "doc_a",
+        )
+        .join(
+            n.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_bands",
+            F.levenshtein("na", "nb").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("na"), F.length("nb")).alias("max_len"),
+        )
+    )
+    # same float op ORDER as the oracle: (e * 1e6) / m, not (e / m) * 1e6 —
+    # the two differ in the last ulp and floor would amplify the flip
+    quant = F.floor(
+        F.col("edit_dist").cast("double") * F.lit(1000000) / F.col("max_len")
+    ) / F.lit(1000000.0)
+    rel = F.col("edit_dist").cast("double") / F.col("max_len")
+    return v.select(
+        "doc_a",
+        "doc_b",
+        "shared_bands",
+        "edit_dist",
+        quant.alias("rel_edit"),
+        (rel <= F.lit(_EDIT_REL_MAX)).alias("confirmed"),
+    )
+
+
 # -- end-to-end dedup decision table ----------------------------------------
 
 PIPELINE_DEDUP_ALL_ORACLE = f"""

@@ -411,6 +411,7 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "embedding_prototypicality",
         "crawl_admission_report",
         "doc_length_outliers",
+        "edit_distance_verify",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (

@@ -262,3 +262,37 @@ def test_length_outlier_mad_zero_fallback_flags_inequality(spark, tmp_path):
     assert all(r["mad"] == 0 for r in got.values())
     assert got[5]["is_outlier"] is True
     assert all(got[i]["is_outlier"] is False for i in range(5))
+
+
+# -- edit_distance_verify -------------------------------------------------------
+
+
+def test_edit_distance_verify_confirms_and_rejects(spark, tmp_path):
+    """Three docs built on the same repeated base sentence so all pairs are
+    banded candidates: doc 1 differs from doc 0 by ONE character
+    (edit_dist == 1 -> confirmed); doc 2 replaces ONE 'dog' with a
+    150-char token — only ~3 of ~63 shingles churn, so bands survive, but
+    edit distance is at least the 147-char length gap against a ~472-char
+    max length: relative edit >= 0.31 > 0.2 -> rejected."""
+    from columnar_aware_dedup_spark.operators.text import edit_distance_verify
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    long_word = "x" * 150
+    rows = [
+        (0, base * 5, "w"),
+        (1, (base * 5).replace("quick", "quirk", 1), "w"),
+        (2, (base * 5).replace("dog", long_word, 1), "w"),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_distance_verify(spark, sf_dir).collect()
+    }
+    assert (0, 1) in got, "one-char edit must stay a banded candidate"
+    r01 = got[(0, 1)]
+    assert r01["edit_dist"] == 1 and r01["confirmed"] is True
+    assert (0, 2) in got, "token-preserving bloat must stay a candidate"
+    r02 = got[(0, 2)]
+    assert r02["edit_dist"] >= 147, "at least the length difference"
+    assert r02["confirmed"] is False
+    assert r02["rel_edit"] > 0.2
