@@ -632,6 +632,70 @@ ROTATION_R9: list[str] = [
 ]
 
 # r06: the prepared window goes ACTIVE (VERDICT r05 brief #2).
+
+#: r10 rotation (PREPARED, not active — four ahead): derived from the
+#: PREDICTED archive state after r06..r09 check their windows. The 33
+#: queries below would then hold r06 rows and be 3+ rounds stale by r10
+#: (the max-staleness invariant consults R10 once CORRECTNESS_r08 lands);
+#: the fills are the oldest predicted (r07) rows, alphabetical. The
+#: conditional freshness test (tests/test_registry_oracles.py::
+#: test_rotation_r10_is_prepared_and_fresh) re-derives the requirement
+#: from the real archives as they land, so drift in this prediction is a
+#: test failure, not a silent gap.
+ROTATION_R10: list[str] = [
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+    "cohort_retention",
+    "corpus_shuffle",
+    "corpus_split",
+    "crawl_admission_report",
+    "decontaminate_ngram_overlap",
+    "dedup_savings_by_source",
+    "doc_length_outliers",
+    "edit_distance_verify",
+    "embedding_prototypicality",
+    "near_dup_cluster_stats",
+    "orc_linked_reconstruction",
+    "orc_reconstruction",
+    "parquet_file_chunks",
+    "parquet_reconstruction",
+    "perplexity_bucket_report",
+    "pipeline_dedup_all",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "semantic_dedup",
+    "simhash64_signature",
+    "simhash_band_near_dup",
+    "tfidf_top_terms",
+    # fills: oldest predicted (r07) rows, alphabetical
+    "apply_in_pandas_group",
+    "argminmax_agg",
+    "array_fns",
+    "corpus_report",
+    "date_fns",
+    "dedup_bloom_prefilter",
+    "dedup_hit_miss",
+    "doc_hash_embedding",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "event_session_window",
+    "event_tumbling_window",
+    "except_all",
+    "filter_pred",
+    "groupby_sum_count",
+    "grouped_percentile_approx",
+    "grouping_sets_agg",
+]
+
 registry.reorder(ROTATION_R6)
 
 __all__ = ["registry"]

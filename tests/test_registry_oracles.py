@@ -278,3 +278,25 @@ def test_rotation_r9_is_prepared_and_fresh():
             "queries with no driver row must be in the prepared r09 "
             f"window: {sorted(missing)}"
         )
+
+
+def test_rotation_r10_is_prepared_and_fresh():
+    """ROTATION_R10 (prepared four ahead) must be 50 unique registered
+    names; once CORRECTNESS_r09.json lands, it must also cover every query
+    still lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R10) == 50
+    assert len(set(pkg.ROTATION_R10)) == 50
+    assert set(pkg.ROTATION_R10) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r09.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R10)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r10 "
+            f"window: {sorted(missing)}"
+        )
