@@ -253,11 +253,12 @@ def grouped_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("grouped_percentile_approx")  # rows-only: sketch values are engine-specific
-def grouped_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via ``approx_percentile`` (Greenwald-Khanna):
-    the 100 TB path — bounded-size mergeable sketch per group instead of
-    buffering every value in one aggregation buffer."""
+def grouped_percentile_approx_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The raw sketch-value percentiles (engine-specific floats, so
+    unregistered; the registered :func:`grouped_percentile_approx`
+    hash-checks the rank guarantee instead)."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -267,6 +268,38 @@ def grouped_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile(F.col("l_quantity").cast("double"), F.lit(0.75), F.lit(10000)).alias("p75_qty"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "grouped_percentile_approx",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS p25_rank_ok,
+       TRUE AS p50_rank_ok,
+       TRUE AS p75_rank_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def grouped_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``approx_percentile`` (Greenwald-Khanna),
+    HASH-CHECKED since r06 via the rank-space tolerance-bit certificate
+    (``stats.approx_rank_certificate`` — the ``approx_distinct`` discipline
+    generalized to percentiles): per group, the exact row count plus a
+    tie-safe boolean per sketch output asserting its rank lands within
+    tolerance of p·n. The 100 TB contract is unchanged — bounded mergeable
+    sketch per group instead of value buffering; the raw sketch values stay
+    as the unregistered :func:`grouped_percentile_approx_full`."""
+    from columnar_aware_dedup_spark.operators.stats import (
+        approx_rank_certificate,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("v")
+    )
+    return approx_rank_certificate(li, "l_returnflag", "v").orderBy(
+        "l_returnflag"
     )
 
 

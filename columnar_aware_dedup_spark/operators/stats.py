@@ -55,6 +55,77 @@ def per_file_stats(classified: DataFrame) -> DataFrame:
     )
 
 
+def approx_rank_certificate(
+    long_df: DataFrame,
+    key: str,
+    value_col: str,
+    ps: tuple[float, ...] = (0.25, 0.50, 0.75),
+    accuracy: int = 10000,
+    slack_eps: float = 1e-3,
+) -> DataFrame:
+    """Tolerance-bit certificate for ``approx_percentile``: judge each
+    sketch output in RANK space against the group's own values.
+
+    The sketch VALUE is engine-specific (so no direct hash check), but its
+    rank guarantee is testable in-plan: for target rank p·n, the group's
+    value interval ``[count(v < a), count(v <= a)]`` must intersect
+    ``p·n ± (slack_eps·n + 1)``. The two-sided count formulation is what
+    makes the bit TIE-SAFE — with heavy ties (e.g. integer quantities)
+    ``count(v <= a)`` jumps in tie-run-sized steps, so a naive single-count
+    bound would false-fail on any tied dataset. ``slack_eps`` is 10x the
+    sketch's configured rank error (1/accuracy): immune to boundary noise,
+    still flipped by a real sketch regression.
+
+    Returns one row per key: ``n_rows`` (an exact fact the oracle re-states)
+    plus one ``p{{P}}_rank_ok`` boolean per requested percentile.
+    """
+    aggs = [
+        F.approx_percentile(F.col(value_col), F.lit(p), F.lit(accuracy)).alias(
+            f"_a{i}"
+        )
+        for i, p in enumerate(ps)
+    ]
+    ap = long_df.groupBy(key).agg(F.count("*").alias("n_rows"), *aggs)
+    return rank_bits(long_df, ap, key, value_col, ps, slack_eps)
+
+
+def rank_bits(
+    long_df: DataFrame,
+    ap: DataFrame,
+    key: str,
+    value_col: str,
+    ps: tuple[float, ...],
+    slack_eps: float,
+) -> DataFrame:
+    """The judging half of :func:`approx_rank_certificate`, split out so
+    tests can feed DELIBERATELY WRONG candidate values (``_a{i}`` columns in
+    ``ap``) and prove the bits flip — a certificate that cannot fail proves
+    nothing."""
+    j = long_df.join(F.broadcast(ap), key)
+    cnt_aggs = []
+    for i, _ in enumerate(ps):
+        cnt_aggs.append(
+            F.sum((F.col(value_col) < F.col(f"_a{i}")).cast("long")).alias(
+                f"_lt{i}"
+            )
+        )
+        cnt_aggs.append(
+            F.sum((F.col(value_col) <= F.col(f"_a{i}")).cast("long")).alias(
+                f"_le{i}"
+            )
+        )
+    counts = j.groupBy(key).agg(F.first("n_rows").alias("n_rows"), *cnt_aggs)
+    out = [F.col(key), F.col("n_rows")]
+    for i, p in enumerate(ps):
+        slack = F.col("n_rows") * F.lit(slack_eps) + F.lit(1.0)
+        target = F.col("n_rows") * F.lit(p)
+        ok = (F.col(f"_lt{i}") <= target + slack) & (
+            F.col(f"_le{i}") >= target - slack
+        )
+        out.append(ok.alias(f"p{int(p * 100)}_rank_ok"))
+    return counts.select(*out)
+
+
 TRANSFER_STATS_ORACLE = f"""
 WITH li_a AS ({_SNAPSHOT_A_SQL}),
 long_a AS ({_long_sql('li_a')}),
@@ -123,12 +194,12 @@ def transfer_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("transfer_stats_rollup_approx")  # rows-only: sketch values are engine-specific
-def transfer_stats_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB twin of ``transfer_stats_rollup``: ``approx_percentile``
-    replaces the exact value-buffering percentile, so per-group aggregation
-    state is a bounded mergeable sketch (accuracy 1/10000) regardless of how
-    many files feed a group."""
+def transfer_stats_rollup_approx_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The raw sketch-value rollup (engine-specific floats, so unregistered;
+    the registered :func:`transfer_stats_rollup_approx` hash-checks its rank
+    guarantee instead)."""
     stats = per_file_stats(classified_chunks(spark, sf_dir))
     return (
         stats.groupBy("stat_type")
@@ -140,6 +211,57 @@ def transfer_stats_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile("value", F.lit(0.50), F.lit(10000)).alias("p50"),
             F.approx_percentile("value", F.lit(0.75), F.lit(10000)).alias("p75"),
             F.max("value").alias("max_value"),
+        )
+        .orderBy("stat_type")
+    )
+
+
+TRANSFER_STATS_APPROX_ORACLE = (
+    TRANSFER_STATS_ORACLE.rsplit("SELECT stat_type,", 1)[0]
+    + """SELECT stat_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       TRUE AS p25_rank_ok,
+       TRUE AS p50_rank_ok,
+       TRUE AS p75_rank_ok
+FROM long_stats
+GROUP BY stat_type
+ORDER BY stat_type
+"""
+)
+
+
+@register("transfer_stats_rollup_approx", oracle=TRANSFER_STATS_APPROX_ORACLE)
+def transfer_stats_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``transfer_stats_rollup`` (``approx_percentile``:
+    bounded mergeable sketch per group instead of value buffering),
+    HASH-CHECKED since r06 via the rank-space tolerance-bit certificate
+    (:func:`approx_rank_certificate` — the ``approx_distinct`` discipline
+    generalized to percentiles): exact facts (decimal-exact total,
+    occurrences, min, max) plus one tie-safe rank bit per sketch output.
+    The raw sketch values stay as the unregistered
+    :func:`transfer_stats_rollup_approx_full`."""
+    stats = per_file_stats(classified_chunks(spark, sf_dir))
+    facts = stats.groupBy("stat_type").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        F.count("*").alias("occurrences"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    bits = approx_rank_certificate(stats, "stat_type", "value").drop("n_rows")
+    return (
+        facts.join(bits, "stat_type")
+        .select(
+            "stat_type",
+            "total",
+            "occurrences",
+            "min_value",
+            "max_value",
+            "p25_rank_ok",
+            "p50_rank_ok",
+            "p75_rank_ok",
         )
         .orderBy("stat_type")
     )

@@ -296,3 +296,36 @@ def test_edit_distance_verify_confirms_and_rejects(spark, tmp_path):
     assert r02["edit_dist"] >= 147, "at least the length difference"
     assert r02["confirmed"] is False
     assert r02["rel_edit"] > 0.2
+
+
+# -- approx_rank_certificate ----------------------------------------------------
+
+
+def test_rank_certificate_bits_flip_on_wrong_values(spark):
+    """The rank-window certificate is falsifiable: feeding the TRUE
+    discrete percentiles as candidates passes every bit (even with heavy
+    ties), while feeding the group's max as the p25 candidate fails its
+    bit — so a sketch regression cannot hide behind the tolerance."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.stats import rank_bits
+
+    # 1000 rows, heavy ties: values 1..10 each repeated 100x
+    rows = [(i, float(1 + (i % 10))) for i in range(1000)]
+    long_df = spark.createDataFrame(rows, ["i", "v"]).select(
+        F.lit("g").alias("k"), "v"
+    )
+    good = spark.createDataFrame(
+        [("g", 1000, 3.0, 5.0, 8.0)], ["k", "n_rows", "_a0", "_a1", "_a2"]
+    )
+    ps = (0.25, 0.50, 0.75)
+    ok = rank_bits(long_df, good, "k", "v", ps, 1e-3).collect()[0]
+    assert ok["p25_rank_ok"] and ok["p50_rank_ok"] and ok["p75_rank_ok"]
+
+    bad = spark.createDataFrame(
+        [("g", 1000, 10.0, 5.0, 1.0)], ["k", "n_rows", "_a0", "_a1", "_a2"]
+    )
+    flip = rank_bits(long_df, bad, "k", "v", ps, 1e-3).collect()[0]
+    assert flip["p25_rank_ok"] is False, "max as p25 must fail"
+    assert flip["p50_rank_ok"] is True
+    assert flip["p75_rank_ok"] is False, "min as p75 must fail"

@@ -69,8 +69,6 @@ def test_driver_window_holds_rotation_queries():
 #: every rows-only (no-oracle) query must be on this list with its reason —
 #: a new registration without an oracle is a test failure, not a silent skip.
 R_ALLOWLIST = {
-    "transfer_stats_rollup_approx": "sketch percentiles are engine-specific",
-    "grouped_percentile_approx": "sketch percentiles are engine-specific",
     "file_inventory": "no DuckDB directory scan",
     "file_parse_overhead": "wall-clock measurement",
     # r05: pq_train_codebooks, bpe_train_merges, bpe_segment_corpus,
@@ -88,6 +86,13 @@ R_ALLOWLIST = {
     # tolerance-bit certificate as pq_train_codebooks (k-cell row keys +
     # inertia non-increase / dimensionality / finiteness bits); the float
     # structure table stays as the unregistered ivf_train_kmeans_full.
+    # r06 (late): grouped_percentile_approx and transfer_stats_rollup_approx
+    # graduated to H via the rank-space certificate
+    # (stats.approx_rank_certificate — the approx_distinct tolerance-bit
+    # generalized to percentiles, tie-safe two-sided rank counts); the raw
+    # sketch values stay as unregistered *_full twins. The two queries left
+    # here are the genuinely non-oracle-able residue: DuckDB has no
+    # directory scan and no wall clock.
 }
 
 
