@@ -1,0 +1,200 @@
+"""Incremental near-duplicate CLUSTER maintenance: crawl deltas stream in,
+and the min-id component labels that ``operators.clustering.
+near_dup_clusters`` computes over the whole corpus are kept current without
+ever re-clustering the corpus — the final missing delta path (postings,
+spans, sketches, LSH bands, IVF cells, and PQ codes already have theirs).
+
+Why it is sound: the maintained label table IS a compressed edge set. A
+label row ``doc -> cluster_id`` is an edge to the component's minimum
+member (the keeper), so re-running connected components over
+``label-edges UNION new-pairs`` yields exactly the components of
+``old-pairs UNION new-pairs`` — min-id labels are associative under union,
+which is what makes incremental folding equal batch recomputation (proven
+by the two-waves-plus-replay test in ``tests/test_streaming.py``).
+
+Why it scales: each merge touches ONLY the delta and the components it
+collides with. New pairs come from probing the delta's 4·|delta| bucket
+keys against the maintained band index (zero exchanges on the index side —
+the ``probe_near_dups`` discipline); the relabel input is those pairs plus
+the label edges of AFFECTED clusters only (a semi-join on the pair
+endpoints), and the log-round star contraction runs on that
+delta-plus-affected subgraph, never the corpus. The label table rewrite is
+the one whole-table cost; at 100 TB it becomes a dynamic-partition
+overwrite keyed on ``cluster_id % nparts`` (same upgrade the chunk store's
+compaction documents).
+
+Crash discipline (the sketches/spans lesson): band rows append first
+(idempotent per ``lsh.merge_bands``); the label fold derives its work list
+from ``bands-docs MINUS done-docs``, so a crash between the band append
+and the label write leaves debris that the NEXT merge folds — replays are
+no-ops because a doc's band rows and pair contributions are pure functions
+of its text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.clustering import (
+    connected_components_star,
+)
+from columnar_aware_dedup_spark.sources.store import store_lock
+from columnar_aware_dedup_spark.streaming import lsh
+
+
+def init_cluster_tables(
+    spark: SparkSession, label_table: str, done_table: str
+) -> None:
+    """Create the empty label table (doc_id, cluster_id) and the done-marker
+    table (doc_id) — the marker records docs whose pair contribution has
+    been FOLDED into labels, which is strictly later than being indexed."""
+    import shutil as _sh
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl, schema in (
+        (label_table, "doc_id long, cluster_id long"),
+        (done_table, "doc_id long"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+        spark.createDataFrame([], schema).write.format("parquet").mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+
+
+def merge_clusters(
+    spark: SparkSession,
+    docs: DataFrame,
+    band_table: str,
+    label_table: str,
+    done_table: str,
+) -> int:
+    """Fold one batch of documents-schema rows into the maintained labels;
+    returns the number of docs folded (0 on pure replays)."""
+    lsh.merge_bands(spark, docs, band_table)
+    with store_lock(spark, label_table):
+        for t in (band_table, label_table, done_table):
+            spark.catalog.refreshTable(t)
+        bands = spark.table(band_table)
+        done = spark.table(done_table)
+        todo_ids = (
+            bands.select("doc_id")
+            .distinct()
+            .join(done, "doc_id", "left_anti")
+            .persist()
+        )
+        n_todo = todo_ids.count()
+        if n_todo == 0:
+            todo_ids.unpersist()
+            return 0
+
+        # pairs touching the work list: probe its band rows against the
+        # whole (bucketed) index — covers delta-vs-history AND
+        # delta-internal pairs in one join; a < b dedupes direction.
+        probe = bands.join(todo_ids, "doc_id").alias("p")
+        hist = bands.alias("h")
+        new_pairs = (
+            probe.join(
+                hist,
+                (F.col("p.bucket") == F.col("h.bucket"))
+                & (F.col("p.doc_id") != F.col("h.doc_id")),
+            )
+            .select(
+                F.least("p.doc_id", "h.doc_id").alias("doc_a"),
+                F.greatest("p.doc_id", "h.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        labels = spark.table(label_table)
+        endpoints = new_pairs.select(
+            F.col("doc_a").alias("doc_id")
+        ).unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        affected = (
+            labels.join(endpoints.distinct(), "doc_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        sub = labels.join(affected, "cluster_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        edges = new_pairs.unionByName(
+            sub.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_id").alias("doc_b"),
+            )
+        )
+        if edges.isEmpty():
+            relabeled = spark.createDataFrame([], "doc_id long, cluster_id long")
+        else:
+            relabeled = connected_components_star(edges)
+        keep = labels.join(affected, "cluster_id", "left_anti")
+        new_labels = keep.unionByName(
+            relabeled.select("doc_id", "cluster_id")
+        ).localCheckpoint(eager=True)
+
+        # swap labels with compact_store's rename-aside discipline (a crash
+        # between the renames leaves both versions intact on disk), THEN
+        # append markers: a crash before the markers means the next merge
+        # re-folds the same docs onto already-correct labels — idempotent,
+        # same pairs, same components, same minima.
+        import shutil as _sh
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        for suffix in ("__next", "__prev"):
+            spark.sql(f"DROP TABLE IF EXISTS {label_table}{suffix}")
+            _sh.rmtree(
+                f"{warehouse}/{label_table.lower()}{suffix}",
+                ignore_errors=True,
+            )
+        new_labels.write.format("parquet").mode("overwrite").saveAsTable(
+            f"{label_table}__next"
+        )
+        spark.sql(f"ALTER TABLE {label_table} RENAME TO {label_table}__prev")
+        spark.sql(f"ALTER TABLE {label_table}__next RENAME TO {label_table}")
+        spark.sql(f"DROP TABLE {label_table}__prev")
+        todo_ids.write.format("parquet").mode("append").insertInto(done_table)
+        todo_ids.unpersist()
+        return n_todo
+
+
+def clusters_from_index(spark: SparkSession, label_table: str) -> DataFrame:
+    """The ``near_dup_clusters`` verdict table served from the maintained
+    labels: (doc_id, cluster_id, is_keeper) — no pair recomputation, no CC
+    rounds; result-identical to the batch query over the same corpus
+    (asserted in tests)."""
+    return spark.table(label_table).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def start_cluster_indexer(
+    spark: SparkSession,
+    docs_dir: str,
+    band_table: str,
+    label_table: str,
+    done_table: str,
+    checkpoint: str,
+) -> "object":
+    """File-source stream over documents-schema parquet -> label merges.
+    ``availableNow`` drains then stops (test/backfill trigger); drop it for
+    continuous tailing."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(docs_dir)
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        merge_clusters(spark, batch, band_table, label_table, done_table)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1063,3 +1063,85 @@ def test_streaming_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
         if "PartitionFilters" in line and "dynamicpruning" in line.lower()
     ]
     assert pruned, f"index scan in the probe is not partition-pruned:\n{plan}"
+
+
+def test_streaming_cluster_index_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental near-dup CLUSTER maintenance: stream the corpus in two
+    waves (first file replayed in wave two); the maintained label table
+    must equal the batch ``near_dup_clusters`` verdict table row-for-row —
+    min-id labels are associative under edge union, so folding deltas
+    against label-edges equals re-clustering the corpus."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.clustering import (
+        near_dup_clusters,
+    )
+    from columnar_aware_dedup_spark.streaming import clusters, lsh
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "docs_cluster_stream"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_cluster")
+    band_tbl = "test_cluster_bands"
+    label_tbl = "test_cluster_labels"
+    done_tbl = "test_cluster_done"
+
+    import shutil as _sh
+
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{band_tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .saveAsTable(band_tbl)
+    )
+    clusters.init_cluster_tables(spark, label_tbl, done_tbl)
+
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
+    q = clusters.start_cluster_indexer(
+        spark, str(docs_dir), band_tbl, label_tbl, done_tbl, ck
+    )
+    q.awaitTermination(180)
+    n1 = spark.table(label_tbl).count()
+
+    pq_.write_table(t.slice(half), docs_dir / "wave2.parquet")
+    pq_.write_table(t.slice(0, half), docs_dir / "wave1_replay.parquet")
+    q = clusters.start_cluster_indexer(
+        spark, str(docs_dir), band_tbl, label_tbl, done_tbl, ck
+    )
+    q.awaitTermination(180)
+
+    got = clusters.clusters_from_index(spark, label_tbl)
+    want = near_dup_clusters(spark, sf_dir)
+    assert rows_equal(got, want)
+    assert got.count() >= n1, "labels only ever gain or merge members"
+
+    # a pure replay folds nothing and leaves the table untouched
+    wave1 = spark.read.parquet(str(docs_dir / "wave1.parquet"))
+    before = sorted(tuple(r) for r in spark.table(label_tbl).collect())
+    n = clusters.merge_clusters(spark, wave1, band_tbl, label_tbl, done_tbl)
+    assert n == 0
+    after = sorted(tuple(r) for r in spark.table(label_tbl).collect())
+    assert before == after
+
+    # crash-debris recovery: band rows appended (simulating a crash after
+    # merge_bands, before the label fold) are picked up by the NEXT merge
+    # even when that merge's own batch is empty
+    extra = spark.createDataFrame(
+        [(999999, "the quick brown fox jumps over the lazy dog today", "en",
+          "crash", 49)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lsh.merge_bands(spark, extra, band_tbl)  # indexed but never folded
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    n = clusters.merge_clusters(
+        spark, empty_docs, band_tbl, label_tbl, done_tbl
+    )
+    assert n == 1, "the debris doc must be folded by the empty merge"
