@@ -97,6 +97,7 @@ HEADLINE = [
     "perplexity_bucket_report",
     "doc_length_outliers",
     "edit_distance_verify",
+    "doc_ngram_novelty",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

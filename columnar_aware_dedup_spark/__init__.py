@@ -335,7 +335,10 @@ ROTATION_R6: list[str] = [
     "corpus_shuffle",
     "corpus_split",
     "correlated_subquery",
-    "decontaminate_ngram_overlap",
+    # r06 batch 5: the shingle-novelty score (never driver-checked, so
+    # mandatory here); decontaminate_ngram_overlap yields its slot and
+    # moves to ROTATION_R7 (r03 row; local gate every session)
+    "doc_ngram_novelty",
     "doc_repetition_score",
     # r06 batch 5: the MAD length-outlier monitor (never
     # driver-checked, so mandatory here); domain_mix_sample yields its
@@ -446,7 +449,10 @@ ROTATION_R7: list[str] = [
     "argminmax_agg",
     "array_fns",
     "date_fns",
-    "dedup_bloom_prefilter",
+    # displaced from r06 by doc_ngram_novelty (r03 row — overdue once
+    # r06 lands); takes the slot of dedup_bloom_prefilter (r04 row,
+    # re-seated in ROTATION_R9)
+    "decontaminate_ngram_overlap",
     "dedup_hit_miss",
     "doc_hash_embedding",
     # displaced from r06 by doc_length_outliers (r03 row — overdue once
@@ -613,7 +619,7 @@ ROTATION_R9: list[str] = [
     "dedup_exact_rows",
     "distinct_count",
     "dsir_gumbel_resample",
-    "correlated_subquery",
+    "dedup_bloom_prefilter",
     "event_dedup_first",
     "doc_repetition_score",
     "domain_mix_sample",

@@ -1737,6 +1737,65 @@ _SPANS_SQL = (
     " ELSE [md5(array_to_string(toks, ' '))] END"
 )
 
+#: novelty floor below which a doc is flagged boilerplate-heavy (the
+#: fixture's 10th percentile sits at ~0.17, so 0.1 flags a real tail and
+#: both branches are exercised publicly).
+_NOVELTY_MIN = 0.1
+
+DOC_NGRAM_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM t),
+c AS (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       floor(CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 1000000 / count(*)) / 1000000.0 AS novel_frac,
+       (CAST(sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) < {_NOVELTY_MIN}) AS is_boilerplate
+FROM s JOIN c USING (sh)
+GROUP BY s.doc_id
+"""
+
+
+@register("doc_ngram_novelty", oracle=DOC_NGRAM_NOVELTY_ORACLE)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-novelty score: the fraction of a document's DISTINCT 3-token
+    shingles that occur in NO other document — the inverse lens of
+    ``dup_span_fraction`` (that measures how much of a doc is duplicated;
+    this measures how much is unique). Boilerplate-heavy docs (templates,
+    mirrors, navigation chrome) sink toward zero novelty even when no
+    single near-dup partner exists, which is exactly the case pairwise
+    dedup misses.
+
+    Plan shape is the ``dup_span_fraction`` twin: one shingle-keyed shuffle
+    builds document frequencies with map-side partials, the df joins back
+    on the content key, and one doc-keyed aggregation folds the fraction
+    (floor-quantized — count ratios land on exact decimal halves where the
+    engines' rounding modes disagree).
+    """
+    s = (
+        _fanned(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+    )
+    c = s.groupBy("sh").agg(F.count("*").alias("df"))
+    novel = (F.col("df") == 1).cast("int")
+    frac = F.sum(novel).cast("double") / F.count("*")
+    return (
+        s.join(c, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (
+                F.floor(F.sum(novel).cast("double") * F.lit(1000000) / F.count("*"))
+                / F.lit(1000000.0)
+            ).alias("novel_frac"),
+            (frac < F.lit(_NOVELTY_MIN)).alias("is_boilerplate"),
+        )
+    )
+
+
 DUP_SPAN_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, unnest({_SPANS_SQL}) AS span FROM t),

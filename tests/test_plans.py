@@ -412,6 +412,7 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "crawl_admission_report",
         "doc_length_outliers",
         "edit_distance_verify",
+        "doc_ngram_novelty",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (

@@ -329,3 +329,28 @@ def test_rank_certificate_bits_flip_on_wrong_values(spark):
     assert flip["p25_rank_ok"] is False, "max as p25 must fail"
     assert flip["p50_rank_ok"] is True
     assert flip["p75_rank_ok"] is False, "min as p75 must fail"
+
+
+# -- doc_ngram_novelty ----------------------------------------------------------
+
+
+def test_ngram_novelty_planted_extremes(spark, tmp_path):
+    """Two identical docs share every shingle (novelty 0 -> boilerplate);
+    an unrelated doc shares none (novelty 1.0 -> kept). Pairwise dedup
+    would catch the identical pair — the point is the SCORE shape."""
+    from columnar_aware_dedup_spark.operators.text import doc_ngram_novelty
+
+    rows = [
+        (0, _BASE, "w"),
+        (1, _BASE, "w"),
+        (2, _OTHER, "w"),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+    got = {r["doc_id"]: r for r in doc_ngram_novelty(spark, sf_dir).collect()}
+    for d in (0, 1):
+        assert got[d]["n_novel"] == 0
+        assert got[d]["novel_frac"] == 0.0
+        assert got[d]["is_boilerplate"] is True
+    assert got[2]["n_novel"] == got[2]["n_shingles"]
+    assert got[2]["novel_frac"] == 1.0
+    assert got[2]["is_boilerplate"] is False
