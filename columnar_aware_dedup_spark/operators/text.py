@@ -281,8 +281,8 @@ WITH med AS (
 )
 SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad,
        CASE WHEN a.mad = 0 THEN NULL
-            ELSE floor(0.6745 * (d.n_chars - m.med) * 1000000 / a.mad)
-                 / 1000000.0 END
+            ELSE CAST(floor(0.6745 * (d.n_chars - m.med) * 1000000 / a.mad)
+                      / 1000000.0 AS DOUBLE) END
          AS robust_z,
        CASE WHEN a.mad = 0 THEN d.n_chars <> m.med
             ELSE abs(0.6745 * (d.n_chars - m.med) / a.mad) > {cutoff} END
