@@ -332,7 +332,10 @@ ROTATION_R6: list[str] = [
     # driver-checked, so mandatory here); corpus_report yields its
     # slot and moves to ROTATION_R7 (r03 row; local gate every session)
     "edit_distance_verify",
-    "corpus_shuffle",
+    # r06 batch 5: the near-dup-leakproof split (never driver-checked,
+    # so mandatory here); corpus_shuffle yields its slot and moves to
+    # ROTATION_R7 (r03 row; local gate every session)
+    "cluster_aware_split",
     "corpus_split",
     "correlated_subquery",
     # r06 batch 5: the shingle-novelty score (never driver-checked, so
@@ -454,7 +457,10 @@ ROTATION_R7: list[str] = [
     # re-seated in ROTATION_R9)
     "decontaminate_ngram_overlap",
     "dedup_hit_miss",
-    "doc_hash_embedding",
+    # displaced from r06 by cluster_aware_split (r03 row — overdue once
+    # r06 lands); takes the slot of doc_hash_embedding (r04 row,
+    # re-seated in ROTATION_R9)
+    "corpus_shuffle",
     # displaced from r06 by doc_length_outliers (r03 row — overdue once
     # r06 lands); takes the slot of dsir_gumbel_resample (r04 row,
     # re-seated in ROTATION_R9)
@@ -621,7 +627,7 @@ ROTATION_R9: list[str] = [
     "dsir_gumbel_resample",
     "dedup_bloom_prefilter",
     "event_dedup_first",
-    "doc_repetition_score",
+    "doc_hash_embedding",
     "domain_mix_sample",
     "event_funnel",
     "event_gapfill_locf",

@@ -517,6 +517,86 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_split_oracle() -> str:
+    from columnar_aware_dedup_spark.operators.clustering import _pairs_sql
+
+    return f"""
+WITH RECURSIVE {_pairs_sql()},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+j AS (
+  SELECT d.doc_id, lab.cluster_id,
+         COALESCE(lab.cluster_id, d.doc_id) AS k
+  FROM documents d LEFT JOIN lab USING (doc_id)
+),
+h AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':{_SHUFFLE_SALT}'),
+                              1, 4)) AS INTEGER) AS b
+  FROM j
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < {_VAL_LO} THEN 'train'
+            WHEN b < {_TEST_LO} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+@register("cluster_aware_split", oracle=_cluster_split_oracle())
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT leak across:
+    every doc hashes its near-dup CLUSTER id (min member — the keeper)
+    instead of its own id, so a whole component lands in one split;
+    singletons hash their own id, reproducing ``corpus_split`` exactly.
+    This is the split ``corpus_split`` cannot give you — a doc and its
+    one-word-edited mirror hash to independent buckets there, and a
+    near-dup of a test doc sitting in train is exactly the eval
+    contamination Lee et al. 2022 measure.
+
+    Plan shape: the near-dup labels cost one banded LSH pass + the
+    log-round star contraction (shared machinery with
+    ``near_dup_clusters``; at 100 TB the labels are the MAINTAINED table
+    from ``streaming/clusters.py``, so the split pass reads them instead
+    of recomputing); the assignment itself is a left join on doc_id plus a
+    narrow md5 map — the same pure-function-of-identity discipline as
+    ``corpus_split``, with the identity coarsened to the cluster.
+    """
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators.clustering import (
+        near_dup_clusters,
+    )
+
+    labels = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    j = d.join(labels, "doc_id", "left")
+    key = F.coalesce("cluster_id", "doc_id")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", key.cast("string"), F.lit(_SHUFFLE_SALT))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(bucket < _VAL_LO, "train")
+        .when(bucket < _TEST_LO, "val")
+        .otherwise("test")
+    )
+    return j.select("doc_id", "cluster_id", split.alias("split"))
+
+
 # -- partitioned curated-corpus sink -----------------------------------------
 
 

@@ -413,6 +413,7 @@ def test_data_sized_outputs_carry_no_global_sort(spark, sf_dir):
         "doc_length_outliers",
         "edit_distance_verify",
         "doc_ngram_novelty",
+        "cluster_aware_split",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert not explain.has_global_sort(df), (

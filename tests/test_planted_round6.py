@@ -354,3 +354,64 @@ def test_ngram_novelty_planted_extremes(spark, tmp_path):
     assert got[2]["n_novel"] == got[2]["n_shingles"]
     assert got[2]["novel_frac"] == 1.0
     assert got[2]["is_boilerplate"] is False
+
+
+# -- cluster_aware_split --------------------------------------------------------
+
+
+def test_cluster_aware_split_keeps_near_dups_together(spark, tmp_path):
+    """Doc ids 0 and 47 hash to DIFFERENT splits under plain doc_id hashing
+    (train vs test — verified below with the same md5 rule), so a one-word
+    edit pair planted at those ids is exactly the eval-leak corpus_split
+    permits. cluster_aware_split must give both the KEEPER's split, and
+    singletons must keep their own-id split."""
+    import hashlib
+
+    from columnar_aware_dedup_spark.operators.curation import (
+        _SHUFFLE_SALT,
+        _TEST_LO,
+        _VAL_LO,
+        cluster_aware_split,
+    )
+
+    def own_split(i):
+        b = int(
+            hashlib.md5(f"{i}:{_SHUFFLE_SALT}".encode()).hexdigest()[:4], 16
+        )
+        return "train" if b < _VAL_LO else ("val" if b < _TEST_LO else "test")
+
+    assert own_split(0) == "train" and own_split(47) == "test", (
+        "the planted ids must straddle splits under plain doc_id hashing"
+    )
+
+    rows = [
+        (0, _BASE, "w"),
+        (47, _BASE + " tonight", "w"),  # near-dup of doc 0
+        (5, _OTHER, "w"),  # singleton
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+    got = {r["doc_id"]: r for r in cluster_aware_split(spark, sf_dir).collect()}
+    assert got[0]["cluster_id"] == got[47]["cluster_id"] == 0
+    assert got[0]["split"] == got[47]["split"] == own_split(0), (
+        "the pair must land together, in the keeper's split"
+    )
+    assert got[5]["cluster_id"] is None
+    assert got[5]["split"] == own_split(5)
+
+
+def test_cluster_aware_split_is_leakproof_on_fixture(spark, sf_dir):
+    """On the real fixture: every near-dup cluster's members share one
+    split — the property corpus_split cannot offer."""
+    from collections import defaultdict
+
+    from columnar_aware_dedup_spark.operators.curation import (
+        cluster_aware_split,
+    )
+
+    by_cluster = defaultdict(set)
+    for r in cluster_aware_split(spark, sf_dir).collect():
+        if r["cluster_id"] is not None:
+            by_cluster[r["cluster_id"]].add(r["split"])
+    assert by_cluster, "fixture has near-dup clusters"
+    leaks = {c: s for c, s in by_cluster.items() if len(s) > 1}
+    assert not leaks, f"clusters straddling splits: {leaks}"
