@@ -648,7 +648,9 @@ ROTATION_R9: list[str] = [
 #: r10 rotation (PREPARED, not active — four ahead): derived from the
 #: PREDICTED archive state after r06..r09 check their windows. The 33
 #: queries below would then hold r06 rows and be 3+ rounds stale by r10
-#: (the max-staleness invariant consults R10 once CORRECTNESS_r08 lands);
+#: (the freshness test arms once CORRECTNESS_r09 lands, matching the R9
+#: pattern; the rolling staleness invariant consults R10 as R_{newest+2}
+#: once the r08 archive exists);
 #: the fills are the oldest predicted (r07) rows, alphabetical. The
 #: conditional freshness test (tests/test_registry_oracles.py::
 #: test_rotation_r10_is_prepared_and_fresh) re-derives the requirement

@@ -229,9 +229,13 @@ pairs AS (
 )"""
 
 
-NEAR_DUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_pairs_sql()},
-sym AS (
+def _closure_sql() -> str:
+    """``sym`` (symmetric edges) + ``reach`` (recursive transitive closure)
+    CTEs over the ``pairs`` CTE from :func:`_pairs_sql` — the one
+    authoritative copy of the closure derivation (four oracles compose it;
+    a fix here propagates to all of them instead of needing four edits).
+    Callers must open with ``WITH RECURSIVE``."""
+    return """sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs
@@ -240,7 +244,18 @@ reach(src, dst) AS (
   SELECT src, src FROM sym
   UNION
   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-)
+)"""
+
+
+#: the min-label table over the closure — compose after _closure_sql().
+_LABELS_SQL = """labels AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)"""
+
+
+NEAR_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_pairs_sql()},
+{_closure_sql()}
 SELECT src AS doc_id,
        MIN(dst) AS cluster_id,
        (MIN(dst) = src) AS is_keeper
@@ -274,19 +289,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_QUALITY_KEEPER_ORACLE = f"""
 WITH RECURSIVE {_pairs_sql()},
-sym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT src, src FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-labels AS (
-  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-)
+{_closure_sql()},
+{_LABELS_SQL}
 SELECT l.doc_id, l.cluster_id, d.n_chars,
        (row_number() OVER (PARTITION BY l.cluster_id
                            ORDER BY d.n_chars DESC, l.doc_id) = 1) AS is_keeper
@@ -427,19 +431,8 @@ def near_dup_pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_PAGERANK_ORACLE = f"""
 WITH RECURSIVE {_pairs_sql()},
-sym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT src, src FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-labels AS (
-  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-),
+{_closure_sql()},
+{_LABELS_SQL},
 deg AS (
   SELECT src AS doc_id, CAST(COUNT(DISTINCT dst) AS BIGINT) AS degree
   FROM sym WHERE src <> dst GROUP BY src

@@ -518,25 +518,20 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_split_oracle() -> str:
-    from columnar_aware_dedup_spark.operators.clustering import _pairs_sql
+    from columnar_aware_dedup_spark.operators.clustering import (
+        _LABELS_SQL,
+        _closure_sql,
+        _pairs_sql,
+    )
 
     return f"""
 WITH RECURSIVE {_pairs_sql()},
-sym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT src, src FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+{_closure_sql()},
+{_LABELS_SQL},
 j AS (
-  SELECT d.doc_id, lab.cluster_id,
-         COALESCE(lab.cluster_id, d.doc_id) AS k
-  FROM documents d LEFT JOIN lab USING (doc_id)
+  SELECT d.doc_id, labels.cluster_id,
+         COALESCE(labels.cluster_id, d.doc_id) AS k
+  FROM documents d LEFT JOIN labels USING (doc_id)
 ),
 h AS (
   SELECT doc_id, cluster_id,

@@ -527,6 +527,25 @@ def _band_exprs(prefix: str = "") -> list[str]:
     ]
 
 
+def _band_rows(df: DataFrame, *carry: str) -> DataFrame:
+    """(carry..., band_key, band) rows — one per band per input row, from a
+    frame holding the mh0..mh{k-1} signature columns. The ONE copy of the
+    band-explode construction (three queries and the streaming index build
+    on the same geometry; a banding change must not be able to desynchronize
+    them)."""
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.expr(b).alias("band_key"), F.lit(i).cast("int").alias("band")
+            )
+            for i, b in enumerate(_band_exprs())
+        ]
+    )
+    return df.select(*carry, F.explode(band_struct).alias("b")).select(
+        *carry, "b.band_key", "b.band"
+    )
+
+
 def _fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``normalized`` spread across all cores before heavy per-doc hashing.
 
@@ -585,17 +604,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically explodes the way naive all-pairs Jaccard would at 100 TB.
     """
     sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
-    band_rows = F.array(
-        *[
-            F.struct(
-                F.expr(b).alias("band_key"), F.lit(i).cast("int").alias("band")
-            )
-            for i, b in enumerate(_band_exprs())
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_rows).alias("b")).select(
-        "doc_id", "b.band_key", "b.band"
-    )
+    bands = _band_rows(sigs, "doc_id")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1347,7 +1356,7 @@ n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
 v AS (
   SELECT c.doc_a, c.doc_b, c.shared_bands,
          CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
-         greatest(length(a.norm), length(b.norm)) AS max_len
+         greatest(length(a.norm), length(b.norm), 1) AS max_len
   FROM cand c JOIN n a ON a.doc_id = c.doc_a JOIN n b ON b.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, shared_bands, edit_dist,
@@ -1393,7 +1402,15 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "shared_bands",
             F.levenshtein("na", "nb").cast("bigint").alias("edit_dist"),
-            F.greatest(F.length("na"), F.length("nb")).alias("max_len"),
+            # floor at 1: two all-punctuation docs normalize to "" and (via
+            # the short-doc shingle fallback) are GUARANTEED banded
+            # candidates with max_len 0 — 0/0 would make rel_edit NaN and
+            # un-confirm a byte-identical pair (and the engines' floor(NaN)
+            # behaviors diverge); with the floor, edit_dist 0 / 1 = 0.0 and
+            # the pair confirms, which is the right verdict for equal docs.
+            F.greatest(F.length("na"), F.length("nb"), F.lit(1)).alias(
+                "max_len"
+            ),
         )
     )
     # same float op ORDER as the oracle: (e * 1e6) / m, not (e / m) * 1e6 —
@@ -1468,17 +1485,7 @@ def pipeline_dedup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
-    band_rows = F.array(
-        *[
-            F.struct(
-                F.expr(b).alias("band_key"), F.lit(i).cast("int").alias("band")
-            )
-            for i, b in enumerate(_band_exprs())
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_rows).alias("b")).select(
-        "doc_id", "b.band_key", "b.band"
-    )
+    bands = _band_rows(sigs, "doc_id")
     near = (
         bands.alias("a")
         .join(
@@ -1665,25 +1672,11 @@ def crawl_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ex", F.lit(True))
     )
 
-    def _bands(df: DataFrame) -> DataFrame:
-        band_rows = F.array(
-            *[
-                F.struct(
-                    F.expr(b).alias("band_key"),
-                    F.lit(i).cast("int").alias("band"),
-                )
-                for i, b in enumerate(_band_exprs())
-            ]
-        )
-        return df.select("doc_id", F.explode(band_rows).alias("b")).select(
-            "doc_id", "b.band_key", "b.band"
-        )
-
     near = (
-        _bands(incoming)
+        _band_rows(incoming, "doc_id")
         .alias("a")
         .join(
-            _bands(corpus).alias("b"),
+            _band_rows(corpus, "doc_id").alias("b"),
             (F.col("b.band_key") == F.col("a.band_key"))
             & (F.col("b.band") == F.col("a.band")),
         )

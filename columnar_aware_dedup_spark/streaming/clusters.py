@@ -28,7 +28,12 @@ Crash discipline (the sketches/spans lesson): band rows append first
 from ``bands-docs MINUS done-docs``, so a crash between the band append
 and the label write leaves debris that the NEXT merge folds — replays are
 no-ops because a doc's band rows and pair contributions are pure functions
-of its text.
+of its text. The one window the anti-join cannot heal is a crash BETWEEN
+the label swap's two renames (canonical name briefly unbound, both
+versions intact on disk) — :func:`recover_labels` is the executable
+rebind for it, mirroring ``store.recover_compaction``, and binding the
+OLD labels is always safe because the crashed merge's docs were never
+marked done.
 """
 
 from __future__ import annotations
@@ -43,21 +48,31 @@ from columnar_aware_dedup_spark.sources.store import store_lock
 from columnar_aware_dedup_spark.streaming import lsh
 
 
+def _drop_table_and_dir(spark: SparkSession, tbl: str) -> None:
+    """DROP the catalog entry AND delete its warehouse directory through
+    the Hadoop FileSystem API — a crash can leave an orphaned managed-table
+    directory with no catalog entry, which a bare DROP cannot clean and a
+    local ``shutil.rmtree`` cannot reach on hdfs:// / s3a:// warehouses
+    (the ``streaming/ivf.py`` filesystem-agnostic lesson)."""
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+
+
 def init_cluster_tables(
     spark: SparkSession, label_table: str, done_table: str
 ) -> None:
     """Create the empty label table (doc_id, cluster_id) and the done-marker
     table (doc_id) — the marker records docs whose pair contribution has
     been FOLDED into labels, which is strictly later than being indexed."""
-    import shutil as _sh
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for tbl, schema in (
         (label_table, "doc_id long, cluster_id long"),
         (done_table, "doc_id long"),
     ):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
+        _drop_table_and_dir(spark, tbl)
         spark.createDataFrame([], schema).write.format("parquet").mode(
             "overwrite"
         ).saveAsTable(tbl)
@@ -108,65 +123,108 @@ def merge_clusters(
             .join(done, "doc_id", "left_anti")
             .persist()
         )
-        n_todo = todo_ids.count()
-        if n_todo == 0:
+        try:
+            n_todo = todo_ids.count()
+            if n_todo == 0:
+                return 0
+
+            new_pairs = delta_pairs(bands, todo_ids).localCheckpoint(
+                eager=True
+            )
+
+            labels = spark.table(label_table)
+            endpoints = new_pairs.select(
+                F.col("doc_a").alias("doc_id")
+            ).unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+            affected = (
+                labels.join(endpoints.distinct(), "doc_id", "left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            sub = labels.join(
+                affected, "cluster_id", "left_semi"
+            ).localCheckpoint(eager=True)
+            edges = new_pairs.unionByName(
+                sub.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("cluster_id").alias("doc_b"),
+                )
+            )
+            if edges.isEmpty():
+                relabeled = spark.createDataFrame(
+                    [], "doc_id long, cluster_id long"
+                )
+            else:
+                relabeled = connected_components_star(edges)
+            keep = labels.join(affected, "cluster_id", "left_anti")
+            new_labels = keep.unionByName(
+                relabeled.select("doc_id", "cluster_id")
+            ).localCheckpoint(eager=True)
+
+            # swap labels with compact_store's rename-aside discipline (a
+            # crash between the renames leaves both versions intact on disk;
+            # :func:`recover_labels` rebinds — the executable recovery path,
+            # like store.recover_compaction), THEN append markers: a crash
+            # before the markers means the next merge re-folds the same docs
+            # onto already-correct labels — idempotent, same pairs, same
+            # components, same minima.
+            for suffix in ("__next", "__prev"):
+                _drop_table_and_dir(spark, f"{label_table}{suffix}")
+            new_labels.write.format("parquet").mode("overwrite").saveAsTable(
+                f"{label_table}__next"
+            )
+            spark.sql(
+                f"ALTER TABLE {label_table} RENAME TO {label_table}__prev"
+            )
+            spark.sql(
+                f"ALTER TABLE {label_table}__next RENAME TO {label_table}"
+            )
+            spark.sql(f"DROP TABLE {label_table}__prev")
+            todo_ids.write.format("parquet").mode("append").insertInto(
+                done_table
+            )
+            return n_todo
+        finally:
             todo_ids.unpersist()
-            return 0
 
-        new_pairs = delta_pairs(bands, todo_ids).localCheckpoint(eager=True)
 
-        labels = spark.table(label_table)
-        endpoints = new_pairs.select(
-            F.col("doc_a").alias("doc_id")
-        ).unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
-        affected = (
-            labels.join(endpoints.distinct(), "doc_id", "left_semi")
-            .select("cluster_id")
-            .distinct()
-        )
-        sub = labels.join(affected, "cluster_id", "left_semi").localCheckpoint(
-            eager=True
-        )
-        edges = new_pairs.unionByName(
-            sub.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("cluster_id").alias("doc_b"),
+def recover_labels(
+    spark: SparkSession, label_table: str, prefer: str = "new"
+) -> str | None:
+    """Recover from a label swap crashed between the two renames — the
+    ``store.recover_compaction`` procedure for the cluster maintainer's
+    ``__next`` / ``__prev`` suffixes. Under the same writer lock:
+
+    - canonical table bound -> nothing to recover; drop stray swap debris
+      and return None;
+    - canonical unbound (the crash window): rebind ``prefer`` ("new" = the
+      fully-written relabeled table, "old" = the pre-merge labels — both
+      intact by construction, because rename-aside happens only after the
+      relabeled table is completely materialized), drop the other, return
+      which was bound. Binding "old" is always SAFE, not just available:
+      the done markers append after the swap, so a crashed merge left its
+      docs unmarked and the next merge re-folds them onto the old labels.
+    """
+    if prefer not in ("new", "old"):
+        raise ValueError(f"prefer must be 'new' or 'old', got {prefer!r}")
+    candidates = {"new": f"{label_table}__next", "old": f"{label_table}__prev"}
+    with store_lock(spark, label_table):
+        if spark.catalog.tableExists(label_table):
+            for tbl in candidates.values():
+                _drop_table_and_dir(spark, tbl)
+            return None
+        pick = candidates[prefer]
+        if not spark.catalog.tableExists(pick):
+            pick = candidates["old" if prefer == "new" else "new"]
+        if not spark.catalog.tableExists(pick):
+            raise RuntimeError(
+                f"neither swap candidate of {label_table} exists — nothing "
+                "to rebind (was init_cluster_tables ever run?)"
             )
-        )
-        if edges.isEmpty():
-            relabeled = spark.createDataFrame([], "doc_id long, cluster_id long")
-        else:
-            relabeled = connected_components_star(edges)
-        keep = labels.join(affected, "cluster_id", "left_anti")
-        new_labels = keep.unionByName(
-            relabeled.select("doc_id", "cluster_id")
-        ).localCheckpoint(eager=True)
-
-        # swap labels with compact_store's rename-aside discipline (a crash
-        # between the renames leaves both versions intact on disk), THEN
-        # append markers: a crash before the markers means the next merge
-        # re-folds the same docs onto already-correct labels — idempotent,
-        # same pairs, same components, same minima.
-        import shutil as _sh
-
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-            "file:"
-        )
-        for suffix in ("__next", "__prev"):
-            spark.sql(f"DROP TABLE IF EXISTS {label_table}{suffix}")
-            _sh.rmtree(
-                f"{warehouse}/{label_table.lower()}{suffix}",
-                ignore_errors=True,
-            )
-        new_labels.write.format("parquet").mode("overwrite").saveAsTable(
-            f"{label_table}__next"
-        )
-        spark.sql(f"ALTER TABLE {label_table} RENAME TO {label_table}__prev")
-        spark.sql(f"ALTER TABLE {label_table}__next RENAME TO {label_table}")
-        spark.sql(f"DROP TABLE {label_table}__prev")
-        todo_ids.write.format("parquet").mode("append").insertInto(done_table)
-        todo_ids.unpersist()
-        return n_todo
+        spark.sql(f"ALTER TABLE {pick} RENAME TO {label_table}")
+        other = [t for t in candidates.values() if t != pick][0]
+        _drop_table_and_dir(spark, other)
+        return pick
 
 
 def clusters_from_index(spark: SparkSession, label_table: str) -> DataFrame:

@@ -1186,3 +1186,69 @@ def test_cluster_delta_pairs_probe_discipline(spark, sf_dir, tmp_path):
     assert n <= 4, f"delta_pairs grew to {n} exchanges:\n{plan}"
     # and the probe actually finds the planted near-dup pairs
     assert df.count() > 0
+
+
+def test_cluster_label_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """Kill the label swap in its unbound window (canonical renamed aside,
+    replacement not yet renamed in) and drive recover_labels through both
+    branches: rebinding the OLD labels must leave the maintainer fully
+    functional — the crashed merge's docs were never marked done, so the
+    next merge re-folds them and converges to the batch answer anyway."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.streaming import clusters, lsh
+
+    band_tbl = "test_cluster_crash_bands"
+    label_tbl = "test_cluster_crash_labels"
+    done_tbl = "test_cluster_crash_done"
+
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
+    spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _sh.rmtree(f"{warehouse}/{band_tbl.lower()}", ignore_errors=True)
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .saveAsTable(band_tbl)
+    )
+    clusters.init_cluster_tables(spark, label_tbl, done_tbl)
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wave1 = full.filter(F.col("doc_id") % 2 == 0)
+    clusters.merge_clusters(spark, wave1, band_tbl, label_tbl, done_tbl)
+    want = sorted(tuple(r) for r in spark.table(label_tbl).collect())
+
+    # bound-canonical branch: nothing to recover, debris swept
+    spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long").write.mode(
+        "overwrite"
+    ).saveAsTable(f"{label_tbl}__next")
+    assert clusters.recover_labels(spark, label_tbl) is None
+    assert not spark.catalog.tableExists(f"{label_tbl}__next")
+
+    # crash window: canonical unbound, old labels sitting aside
+    spark.sql(f"ALTER TABLE {label_tbl} RENAME TO {label_tbl}__prev")
+    assert not spark.catalog.tableExists(label_tbl)
+    bound = clusters.recover_labels(spark, label_tbl, prefer="new")
+    # prefer="new" falls back to the only candidate present — the old one
+    assert bound == f"{label_tbl}__prev"
+    got = sorted(tuple(r) for r in spark.table(label_tbl).collect())
+    assert got == want, "recovered labels must be the pre-crash table"
+
+    # and the maintainer keeps working after recovery
+    n = clusters.merge_clusters(
+        spark, full.filter(F.col("doc_id") % 2 == 1), band_tbl, label_tbl,
+        done_tbl,
+    )
+    assert n > 0
+    from columnar_aware_dedup_spark.operators.clustering import (
+        near_dup_clusters,
+    )
+
+    assert rows_equal(
+        clusters.clusters_from_index(spark, label_tbl),
+        near_dup_clusters(spark, sf_dir),
+    )
