@@ -766,7 +766,8 @@ PERPLEXITY_BUCKET_ORACLE = """
 WITH lpdoc AS (
   SELECT doc_id, avg_logprob, keep FROM ({lm})
 ), h AS (
-  SELECT round(avg_logprob, 2) AS s2, count(*) AS c FROM lpdoc GROUP BY s2
+  SELECT floor(avg_logprob * 100) / 100 AS s2, count(*) AS c
+  FROM lpdoc GROUP BY s2
 ), cum AS (
   SELECT s2, sum(c) OVER (ORDER BY s2) AS cc,
          sum(c) OVER () AS tot
@@ -779,7 +780,7 @@ WITH lpdoc AS (
 ), b AS (
   SELECT doc_id, avg_logprob, keep,
          (SELECT min(d) FROM cuts
-          WHERE round(avg_logprob, 2) <= cut) AS bucket
+          WHERE floor(avg_logprob * 100) / 100 <= cut) AS bucket
   FROM lpdoc
 )
 SELECT CAST(bucket AS INTEGER) AS bucket,
@@ -806,9 +807,13 @@ def perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     table behind keep-the-head / resample-the-middle / drop-the-tail
     curation decisions.
 
-    Exact corpus quantiles without a corpus sort: scores round to a 2-dp
-    grid (logprobs live in a few units, so the grid is a few hundred cells
-    regardless of corpus size), ONE map-side-combined aggregation builds the
+    Exact corpus quantiles without a corpus sort: scores quantize to a 2-dp
+    grid via ``floor(x*100)/100`` — mode-free on both engines, unlike
+    ``round(x, 2)`` whose HALF_UP (Spark, decimal-string) vs scaled-binary
+    (DuckDB) semantics diverge on exact decimal halves, which the 6-dp
+    pre-quantized avg_logprob can land on (ADVICE r06). Logprobs live in a
+    few units, so the grid is a few hundred cells
+    regardless of corpus size, ONE map-side-combined aggregation builds the
     grid histogram, a window over the histogram (bounded rows, never the
     data) derives cumulative counts, and the ``_PPL_BUCKETS`` cutoffs fold
     into one broadcast row — bucket assignment is then a zero-shuffle
@@ -822,7 +827,7 @@ def perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         bigram_logprob_score(spark, sf_dir)
         .select("doc_id", "avg_logprob", "keep")
-        .withColumn("s2", F.round("avg_logprob", 2))
+        .withColumn("s2", F.floor(F.col("avg_logprob") * 100) / 100)
         # feeds the histogram AND the assignment join: the lazy checkpoint
         # materializes the LM-score pass once. At 100 TB this table is the
         # pipeline's persisted product (per-doc quality scores), not a

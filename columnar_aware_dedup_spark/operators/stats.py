@@ -126,7 +126,13 @@ def rank_bits(
     return counts.select(*out)
 
 
-TRANSFER_STATS_ORACLE = f"""
+#: shared CTE prefix of the transfer-stats oracles — both the exact and the
+#: approx-certificate oracle project from the same ``long_stats`` relation,
+#: so the prefix is a named constant and each oracle appends only its own
+#: final SELECT (ADVICE r06: the approx oracle was previously built by rsplit
+#: string surgery on the exact oracle's tail, so any edit to the base
+#: projection silently produced a malformed or stale approx oracle).
+_TRANSFER_STATS_CTE = f"""
 WITH li_a AS ({_SNAPSHOT_A_SQL}),
 long_a AS ({_long_sql('li_a')}),
 long_b AS ({_long_sql('lineitem')}),
@@ -150,7 +156,11 @@ long_stats AS (
   UNION ALL SELECT file_id, 'ChunkHit', ChunkHit FROM per_file
   UNION ALL SELECT file_id, 'ChunkMiss', ChunkMiss FROM per_file
 )
-SELECT stat_type,
+"""
+
+TRANSFER_STATS_ORACLE = (
+    _TRANSFER_STATS_CTE
+    + """SELECT stat_type,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
        CAST(COUNT(*) AS BIGINT) AS occurrences,
        MIN(value) AS min_value,
@@ -162,6 +172,7 @@ FROM long_stats
 GROUP BY stat_type
 ORDER BY stat_type
 """
+)
 
 
 @register("transfer_stats_rollup", oracle=TRANSFER_STATS_ORACLE)
@@ -217,7 +228,7 @@ def transfer_stats_rollup_approx_full(
 
 
 TRANSFER_STATS_APPROX_ORACLE = (
-    TRANSFER_STATS_ORACLE.rsplit("SELECT stat_type,", 1)[0]
+    _TRANSFER_STATS_CTE
     + """SELECT stat_type,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
        CAST(COUNT(*) AS BIGINT) AS occurrences,

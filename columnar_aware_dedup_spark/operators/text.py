@@ -803,6 +803,17 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: setting (`minhash_near_dup`).
 _SWEEP_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
 
+#: per-(cfg, band, band_key) population cap for the sweep's candidate
+#: generation (VERDICT r06 "What's wrong" #1): the loose configs bucket on
+#: as little as a SINGLE minhash value, so corpus-hot shingles make those
+#: buckets O(corpus) and the self-join O(corpus^2). Buckets above the cap
+#: are excluded from pair generation ON BOTH ENGINES (the oracle applies the
+#: same rule, so the H check holds whether or not the cap binds) and the
+#: report carries ``n_buckets_capped`` per config so a binding cap is
+#: visible in the output, not silent. 256 keeps the worst per-bucket join
+#: at 64k rows while leaving the fixture's production configs untouched.
+_SWEEP_BUCKET_CAP = 256
+
 
 def _sweep_oracle() -> str:
     truth_ctes = f"""
@@ -828,13 +839,23 @@ truth AS (
             + " AS band_key FROM sigs"
             for i in range(b)
         )
+        # same bucket-population cap as the Spark plan: oversized buckets
+        # are censused (n_buckets_capped) and excluded from pair generation
         cfg_ctes.append(f"""
 b{b}_{r} AS ({bands_union}),
+s{b}_{r} AS (SELECT band, band_key, count(*) AS n
+             FROM b{b}_{r} GROUP BY band, band_key),
+ok{b}_{r} AS (SELECT x.doc_id, x.band, x.band_key
+              FROM b{b}_{r} x JOIN s{b}_{r} s
+                ON x.band = s.band AND x.band_key = s.band_key
+              WHERE s.n <= {_SWEEP_BUCKET_CAP}),
 p{b}_{r} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM b{b}_{r} a JOIN b{b}_{r} b
+             FROM ok{b}_{r} a JOIN ok{b}_{r} b
                ON a.band = b.band AND a.band_key = b.band_key
                   AND a.doc_id < b.doc_id),
 c{b}_{r} AS (SELECT {b} AS n_bands, {r} AS rows_per_band,
+                    (SELECT count(*) FROM s{b}_{r}
+                     WHERE n > {_SWEEP_BUCKET_CAP}) AS n_buckets_capped,
                     count(*) AS n_candidates,
                     coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
                                       THEN 1 ELSE 0 END), 0) AS n_caught
@@ -845,6 +866,7 @@ WITH {truth_ctes},{",".join(cfg_ctes)},
 allcfg AS ({" UNION ALL ".join(cfg_rows)})
 SELECT CAST(n_bands AS INTEGER) AS n_bands,
        CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       CAST(n_buckets_capped AS BIGINT) AS n_buckets_capped,
        CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
        CAST(n_candidates AS BIGINT) AS n_candidates,
        CAST(n_caught AS BIGINT) AS n_caught,
@@ -872,6 +894,16 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is never all-pairs for any setting, and the truth side is
     the recall-lossless prefix join, so the whole sweep stays scale-shaped
     even though it rates four index layouts at once.
+
+    Scale hardening (VERDICT r06 "What's wrong" #1): (a) bucket populations
+    are capped at ``_SWEEP_BUCKET_CAP`` before the self-join — the loose
+    configs key on a single minhash value, so corpus-hot shingles would
+    otherwise make their buckets O(corpus); the cap is applied identically
+    in the oracle and surfaced as ``n_buckets_capped``, so a binding cap is
+    reported, never silent. (b) the truth relation joins UNHINTED — its size
+    grows with corpus duplication, so forcing ``F.broadcast(truth)`` was a
+    driver-OOM at 100x; AQE still broadcasts it at runtime when it fits
+    (the tfidf df-join lesson, plan-pinned in ``tests/test_plans.py``).
     """
     # sigs feed exactly one consumer (the tagged band explode), so no
     # checkpoint: the single scan computes signatures once.
@@ -903,13 +935,33 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b, r in _SWEEP_CONFIGS
         for i in range(b)
     ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("s")
-    ).select("doc_id", "s.cfg", "s.band", "s.band_key")
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("s"))
+        .select("doc_id", "s.cfg", "s.band", "s.band_key")
+        # bucket-population census in ONE window over the bucket key — the
+        # same hash partitioning the self-join below requires, so the cap
+        # costs no extra exchange (the window's shuffle is the join's)
+        .withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("cfg", "band", "band_key")
+            ),
+        )
+        # one materialization feeds the capped join (twice) and the census
+        .localCheckpoint(eager=False)
+    )
+    bands_ok = bands.filter(F.col("bucket_n") <= _SWEEP_BUCKET_CAP)
+    capped = (
+        bands.filter(F.col("bucket_n") > _SWEEP_BUCKET_CAP)
+        .groupBy("cfg")
+        .agg(
+            F.countDistinct("band", "band_key").alias("n_buckets_capped")
+        )
+    )
     prs = (
-        bands.alias("a")
+        bands_ok.alias("a")
         .join(
-            bands.alias("b"),
+            bands_ok.alias("b"),
             (F.col("a.cfg") == F.col("b.cfg"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -923,8 +975,10 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .drop("_n")
     )
+    # truth is data-dependent-sized (grows with corpus duplication): no
+    # broadcast hint — AQE broadcasts at runtime only when it actually fits
     allcfg = (
-        prs.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        prs.join(truth, ["doc_a", "doc_b"], "left")
         .groupBy("cfg")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
@@ -946,9 +1000,21 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allcfg = (
         cfgs.join(allcfg, ["n_bands", "rows_per_band"], "left")
+        .join(
+            capped.select(
+                (F.col("cfg") / 100).cast("int").alias("n_bands"),
+                (F.col("cfg") % 100).cast("int").alias("rows_per_band"),
+                "n_buckets_capped",
+            ),
+            ["n_bands", "rows_per_band"],
+            "left",
+        )
         .select(
             "n_bands",
             "rows_per_band",
+            F.coalesce("n_buckets_capped", F.lit(0)).alias(
+                "n_buckets_capped"
+            ),
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
             F.coalesce("n_caught", F.lit(0)).alias("n_caught"),
         )
@@ -959,6 +1025,9 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_bands",
             "rows_per_band",
+            F.col("n_buckets_capped").cast("bigint").alias(
+                "n_buckets_capped"
+            ),
             F.col("n_truth").cast("bigint").alias("n_truth"),
             F.col("n_candidates").cast("bigint").alias("n_candidates"),
             F.col("n_caught").cast("bigint").alias("n_caught"),
@@ -1683,18 +1752,24 @@ def crawl_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_id"))
         .agg(F.countDistinct("a.band").alias("n_band_hits"))
     )
+    # Coalesce the nullable join columns ONCE under distinct intermediate
+    # names, then derive every output from the coalesced values (ADVICE r06:
+    # aliasing the coalesce to `n_band_hits` while also testing
+    # `F.col("n_band_hits").isNotNull()` in the same select was correct only
+    # because both resolved against the pre-coalesce join input — a refactor
+    # into chained withColumn calls would have made isNotNull always true).
+    is_exact = F.coalesce("ex", F.lit(False))
+    band_hits = F.coalesce("n_band_hits", F.lit(0).cast("bigint"))
     return (
         incoming.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("ex", F.lit(False)).alias("exact_dup"),
-            F.coalesce("n_band_hits", F.lit(0).cast("bigint")).alias(
-                "n_band_hits"
-            ),
-            F.when(F.coalesce("ex", F.lit(False)), F.lit("duplicate"))
-            .when(F.col("n_band_hits").isNotNull(), F.lit("near_duplicate"))
+            is_exact.alias("exact_dup"),
+            band_hits.alias("n_band_hits"),
+            F.when(is_exact, F.lit("duplicate"))
+            .when(band_hits > 0, F.lit("near_duplicate"))
             .otherwise(F.lit("admit"))
             .alias("verdict"),
         )

@@ -139,3 +139,49 @@ def test_sweep_configs_are_nested(spark, sf_dir):
     n_truth = {r["n_truth"] for r in rows.values()}
     assert len(n_truth) == 1, "truth is config-independent"
     assert rows[1]["recall"] == max(r["recall"] for r in rows.values())
+
+def test_sweep_truth_join_unhinted(spark, sf_dir):
+    """VERDICT r06 "What's wrong" #1: `truth` is the exact near-dup pair
+    set — data-dependent-sized (grows with corpus duplication), so a forced
+    `F.broadcast(truth)` is a driver-OOM at 100x. The only broadcast hint
+    the sweep may carry is the one-row n_truth aggregate `tr`; the truth
+    JOIN itself is left to AQE (the tfidf df-join discipline)."""
+    import ast
+    import inspect
+    import textwrap
+
+    from columnar_aware_dedup_spark.operators.text import lsh_parameter_sweep
+
+    # code only — the docstring documents the forbidden pattern by name
+    tree = ast.parse(textwrap.dedent(inspect.getsource(lsh_parameter_sweep)))
+    src = "\n".join(ast.unparse(s) for s in tree.body[0].body[1:])
+    assert "F.broadcast(truth" not in src, "data-dependent broadcast hint"
+    hints = [ln for ln in src.splitlines() if "F.broadcast(" in ln]
+    assert all("F.broadcast(tr)" in ln for ln in hints), hints
+
+
+def test_sweep_bucket_cap_binds(spark, sf_dir, monkeypatch):
+    """The per-(cfg, band, band_key) population cap must be load-bearing: a
+    tiny cap on the real fixture must census capped buckets AND shrink
+    candidate counts versus the production cap (a cap that cannot bind
+    proves nothing — the certificate-falsifiability discipline)."""
+    from columnar_aware_dedup_spark.operators import text
+
+    base = {
+        r["rows_per_band"]: r
+        for r in text.lsh_parameter_sweep(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(text, "_SWEEP_BUCKET_CAP", 2)
+    capped = {
+        r["rows_per_band"]: r
+        for r in text.lsh_parameter_sweep(spark, sf_dir).collect()
+    }
+    assert any(r["n_buckets_capped"] > 0 for r in capped.values()), (
+        "a cap of 2 must bind somewhere on the fixture"
+    )
+    # the loosest config (8x1, single-minhash buckets) is the corpus-hot
+    # hazard the cap exists for: it must lose candidates under the tiny cap
+    assert capped[1]["n_candidates"] < base[1]["n_candidates"]
+    # uncapped buckets (population <= 2) still contribute: pair generation
+    # is capped, not disabled
+    assert all(r["n_truth"] == base[1]["n_truth"] for r in capped.values())
