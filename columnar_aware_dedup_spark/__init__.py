@@ -32,6 +32,7 @@ from columnar_aware_dedup_spark.operators import sq  # noqa: F401
 from columnar_aware_dedup_spark.operators import phash  # noqa: F401
 from columnar_aware_dedup_spark.operators import audiofp  # noqa: F401
 from columnar_aware_dedup_spark.operators import pca  # noqa: F401
+from columnar_aware_dedup_spark.operators import streaming_parity  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
@@ -423,7 +424,7 @@ ROTATION_R6: list[str] = [
     "parquet_file_chunks",
 ]
 
-#: r07 rotation (PREPARED, not active): the 23-query r01/r02 tail — the
+#: r07 rotation (ACTIVE): the 23-query r01/r02 tail — the
 #: whole simple relational/scalar surface whose newest driver row predates
 #: r04 once r06 lands (VERDICT r05 "What's missing" #2) — plus
 #: except_all/intersect_all (displaced from r06 by the new SimHash family)
@@ -465,8 +466,16 @@ ROTATION_R7: list[str] = [
     # r06 lands); takes the slot of dsir_gumbel_resample (r04 row,
     # re-seated in ROTATION_R9)
     "domain_mix_sample",
-    "dsir_importance_weights",
-    "dup_span_fraction",
+    # r07 new registrations (never driver-checked, so mandatory in the
+    # active window): the exact substring-duplicate removal pair (VERDICT
+    # r06 brief #6) and the streaming-index parity certificates (brief #7).
+    # They take the slots of dsir_importance_weights / dup_span_fraction /
+    # groupby_sum_count / event_session_window (r04 rows — overdue once
+    # r07 lands, so all four re-seat in ROTATION_R9)
+    "substring_dedup_ranges",
+    "substring_dedup_apply",
+    "streaming_lsh_parity",
+    "streaming_cluster_parity",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -475,10 +484,8 @@ ROTATION_R7: list[str] = [
     # once r06 lands); takes the slot of event_dedup_first (r04 row,
     # re-seated in ROTATION_R9)
     "corpus_report",
-    "event_session_window",
     "event_tumbling_window",
     "filter_pred",
-    "groupby_sum_count",
     "grouped_percentile_approx",
     "grouping_sets_agg",
     "join_full_outer",
@@ -629,10 +636,18 @@ ROTATION_R9: list[str] = [
     "event_dedup_first",
     "doc_hash_embedding",
     "domain_mix_sample",
-    "event_funnel",
-    "event_gapfill_locf",
-    "file_inventory",
-    "file_parse_overhead",
+    # r04-row quartet displaced from ROTATION_R7 by the r07 registrations
+    # (substring dedup pair + streaming parity certificates) — overdue once
+    # r07 lands, so R9 membership keeps the staleness invariant green; the
+    # four r06-row fills they displace (event_funnel, event_gapfill_locf,
+    # file_inventory, file_parse_overhead) hit their next deadline at
+    # newest=9 and belong to the R10/R11 re-derivation (R10's conditional
+    # test arms on CORRECTNESS_r09, so the drift is a test failure then,
+    # not a silent gap)
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "groupby_sum_count",
+    "event_session_window",
     "inverted_index_search",
     "ivf_train_kmeans",
     "lsh_parameter_sweep",
@@ -710,6 +725,8 @@ ROTATION_R10: list[str] = [
     "grouping_sets_agg",
 ]
 
-registry.reorder(ROTATION_R6)
+# r07: the prepared window goes ACTIVE (VERDICT r06 brief #3) — the 45
+# r03-stale rows plus this round's four new registrations.
+registry.reorder(ROTATION_R7)
 
 __all__ = ["registry"]

@@ -1922,6 +1922,186 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact substring-duplicate REMOVAL (cut ranges) ---------------------------
+
+#: positioned (not distinct) 5-token spans with their 0-based start offset —
+#: the cutter needs WHERE each span sits, unlike the dup_span_fraction
+#: signal, which only needs whether it repeats. Docs shorter than the span
+#: width contribute no spans: whole-short-doc duplication is exact dedup's
+#: job (`text_exact_dedup`), not the substring cutter's.
+_POS_SPANS_SPARK = (
+    f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+    " i -> struct(i - 1 AS strt,"
+    " md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+    " element_at(toks, i + 2), element_at(toks, i + 3),"
+    " element_at(toks, i + 4))) AS h))"
+)
+
+#: shared oracle CTE chain: positioned spans -> non-first occurrences ->
+#: merged per-doc cut ranges (gaps-and-islands). Both registered queries
+#: compose from this prefix (the transfer-stats named-constant discipline).
+_SUBSTRING_CUT_CTE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g0 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - {_SPAN_N - 1}),
+                     i -> {{'strt': i - 1,
+                           'h': md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                    toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                    toks[i+4])}})) AS sp
+       FROM t WHERE len(toks) >= {_SPAN_N}),
+g AS (SELECT doc_id, sp.strt AS strt, sp.h AS h FROM g0),
+cuts AS (SELECT doc_id, strt FROM (
+           SELECT doc_id, strt,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, strt) AS rn
+           FROM g) WHERE rn > 1),
+m AS (SELECT doc_id, strt, strt + {_SPAN_N} AS e,
+             CASE WHEN strt > coalesce(max(strt + {_SPAN_N}) OVER (
+                  PARTITION BY doc_id ORDER BY strt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM cuts),
+isl AS (SELECT doc_id, strt, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY strt) AS island
+        FROM m),
+r AS (SELECT doc_id,
+             CAST(min(strt) AS INTEGER) AS range_start,
+             CAST(max(e) AS INTEGER) AS range_end
+      FROM isl GROUP BY doc_id, island)
+"""
+
+SUBSTRING_DEDUP_RANGES_ORACLE = _SUBSTRING_CUT_CTE + """
+SELECT doc_id, range_start, range_end FROM r
+"""
+
+SUBSTRING_DEDUP_APPLY_ORACLE = _SUBSTRING_CUT_CTE + """
+, rl AS (SELECT doc_id,
+                list(struct_pack(s := range_start, e := range_end)) AS rs
+         FROM r GROUP BY doc_id),
+sel AS (SELECT t.doc_id, t.toks, coalesce(rl.rs, []) AS rs
+        FROM t LEFT JOIN rl USING (doc_id)),
+k AS (SELECT doc_id, toks,
+             list_filter(toks, (x, i) -> len(list_filter(rs,
+                 rr -> i - 1 >= rr.s AND i - 1 < rr.e)) = 0) AS kept
+      FROM sel)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(toks) - len(kept) AS INTEGER) AS n_tokens_cut,
+       coalesce(array_to_string(kept, ' '), '') AS kept_text
+FROM k
+"""
+
+
+def _positioned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, strt, h): every 5-token span with its 0-based token offset,
+    hashed BEFORE the shuffle (the ``_SPANS_SPARK`` wire-size discipline)."""
+    return (
+        _fanned(spark, sf_dir)
+        .filter(F.size("toks") >= _SPAN_N)
+        .select("doc_id", F.explode(F.expr(_POS_SPANS_SPARK)).alias("s"))
+        .select("doc_id", "s.strt", "s.h")
+    )
+
+
+@register("substring_dedup_ranges", oracle=SUBSTRING_DEDUP_RANGES_ORACLE)
+def substring_dedup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplicate REMOVAL, stage 1 (Lee et al. 2022,
+    arXiv:2107.06499): per-document token ranges to CUT so that every
+    5-token span survives exactly once corpus-wide. ``dup_span_fraction``
+    only MEASURES duplication; this emits the edit list — the k-gram-
+    anchored distributed equivalent of the paper's suffix-array pass (at
+    100 TB nobody builds a corpus-wide suffix array; hashed k-gram
+    first-occurrence gives the same cut set for duplicates >= k tokens).
+
+    Semantics: the global first occurrence of a span (ordered by
+    (doc_id, start) — deterministic, tie-free) is the keeper; every other
+    occurrence, INCLUDING later repeats inside the keeper document itself,
+    becomes a cut span [start, start+5); overlapping/adjacent cut spans
+    merge per document (gaps-and-islands over a doc-keyed window).
+
+    Plan shape — two shuffles, both content/doc-keyed, nothing pairwise:
+    the positioned-span table shuffles once on the 16-byte span hash for a
+    map-side-combined min() (corpus-hot spans — boilerplate — collapse to
+    one row per mapper BEFORE the wire, the skew defense a rank-window
+    over the hash key would not have: a window cannot partial-aggregate
+    and puts the whole hot key on one task), the keeper joins back on the
+    hash (AQE splits a skewed probe side), and the island merge runs in
+    doc-keyed windows whose partitions are bounded by document length.
+    """
+    g = _positioned_spans(spark, sf_dir).localCheckpoint(eager=False)
+    keep = g.groupBy("h").agg(F.min(F.struct("doc_id", "strt")).alias("k"))
+    cuts = (
+        g.join(keep, "h")
+        .filter(
+            (F.col("doc_id") != F.col("k.doc_id"))
+            | (F.col("strt") != F.col("k.strt"))
+        )
+        .select("doc_id", "strt")
+    )
+    w = Window.partitionBy("doc_id").orderBy("strt")
+    prev_end = F.max(F.col("strt") + _SPAN_N).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        cuts.withColumn(
+            "ni",
+            F.when(F.col("strt") > F.coalesce(prev_end, F.lit(-1)), 1)
+            .otherwise(0),
+        )
+        .withColumn("island", F.sum("ni").over(w))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("strt").cast("int").alias("range_start"),
+        (F.max("strt") + _SPAN_N).cast("int").alias("range_end"),
+    ).select("doc_id", "range_start", "range_end")
+
+
+@register("substring_dedup_apply", oracle=SUBSTRING_DEDUP_APPLY_ORACLE)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplicate removal, stage 2: apply the cut ranges —
+    per document, the surviving token stream plus before/after accounting.
+    Split from stage 1 because at 100 TB the range table is the persisted
+    product (tiny: ranges, not text) and the rewrite streams the corpus
+    once against it.
+
+    Plan shape: the ranges fold to ONE array row per affected document
+    (bounded by doc length / span width), join doc-keyed to the corpus
+    (no hint — AQE broadcasts the range side when it fits), and the token
+    filter is a zero-shuffle narrow map over the indexed-lambda built-in —
+    no Python, no explode of the token stream.
+    """
+    rl = (
+        substring_dedup_ranges(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("range_start").alias("s"),
+                    F.col("range_end").alias("e"),
+                )
+            ).alias("rs")
+        )
+    )
+    d = normalized(spark, sf_dir).select("doc_id", "toks")
+    kept = F.expr(
+        "CASE WHEN rs IS NULL THEN toks"
+        " ELSE filter(toks, (x, i) ->"
+        " size(filter(rs, rr -> i >= rr.s AND i < rr.e)) = 0) END"
+    )
+    return (
+        d.join(rl, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("toks").cast("int").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).cast("int").alias(
+                "n_tokens_cut"
+            ),
+            F.concat_ws(" ", "kept").alias("kept_text"),
+        )
+    )
+
+
 # -- bigram language-model quality score -------------------------------------
 
 BIGRAM_LM_ORACLE = f"""

@@ -63,15 +63,13 @@ def _drop_table_and_dir(spark: SparkSession, tbl: str) -> None:
     warehouse-join fallback remains only for never-created tables, whose
     debris — if any — can only live at the default-database location."""
     location = None
-    try:
+    if spark.catalog.tableExists(tbl):
         rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
         location = next(
             (r["data_type"] for r in rows if r["col_name"] == "Location"),
             None,
         )
-    except Exception:
-        pass  # table not in the catalog: fall back to the default layout
-    if location is None:
+    if location is None:  # not in the catalog: only default-layout debris
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         location = f"{warehouse}/{tbl.lower()}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -57,13 +57,13 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r06 rotation (the r03-stale surface + displaced re-checks) must
-    be exactly that window."""
+    active r07 rotation (the r03-stale surface + the r07 registrations)
+    must be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R6)] == pkg.ROTATION_R6
+    assert names[: len(pkg.ROTATION_R7)] == pkg.ROTATION_R7
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -128,27 +128,16 @@ def test_rotation_r5_is_a_valid_window():
     assert set(pkg.ROTATION_R5) <= set(_QUERIES)
 
 
-def test_rotation_r6_is_prepared_and_fresh():
-    """ROTATION_R6 (prepared for next round) must be 50 unique registered
-    names; once this round's CORRECTNESS_r05.json exists, it must also cover
-    every query still lacking a driver row — the conditional keeps the
-    prepared list from rotting between rounds (the r02->r03 staleness)."""
-    from pathlib import Path
-
+def test_rotation_r6_is_a_valid_window():
+    """Historical record: ROTATION_R6 (the r06 active window) stays a
+    well-formed 50-name window. Never-checked coverage moved to the ACTIVE
+    window's test (r07) when R7 took over — r07 registrations are not
+    R6's job."""
     import columnar_aware_dedup_spark as pkg
 
     assert len(pkg.ROTATION_R6) == 50
     assert len(set(pkg.ROTATION_R6)) == 50
     assert set(pkg.ROTATION_R6) <= set(_QUERIES)
-
-    root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r05.json").exists():
-        never_checked = set(_QUERIES) - _driver_checked_queries()
-        missing = never_checked - set(pkg.ROTATION_R6)
-        assert not missing, (
-            "queries with no driver row must be in the prepared r06 "
-            f"window: {sorted(missing)}"
-        )
 
 
 def _latest_driver_round() -> tuple[dict[str, int], int]:
