@@ -194,6 +194,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     merges = bpe_train_merges_full(spark, sf_dir).localCheckpoint(eager=True)
     words = word_counts(spark, sf_dir)
+    return train_certificate(spark, merges, words)
+
+
+def train_certificate(
+    spark: SparkSession, merges: DataFrame, words: DataFrame
+) -> DataFrame:
+    """The bit derivation of :func:`bpe_train_merges`, split out so the
+    falsifiability test (``tests/test_certificates.py``) can feed a
+    DELIBERATELY CORRUPTED merge table and prove each bit flips — the
+    ``stats.rank_bits`` discipline."""
     # total weighted adjacent-pair budget of the RAW corpus: sum over words
     # of n * len(word) (chars + </w> give len(word) pairs per occurrence)
     budget = words.agg(
@@ -346,7 +356,13 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`bpe_segment_corpus_full`, pytest-pinned against an independent
     pure-Python BPE tokenizer.
     """
-    seg = bpe_segment_corpus_full(spark, sf_dir)
+    return segment_certificate(bpe_segment_corpus_full(spark, sf_dir))
+
+
+def segment_certificate(seg: DataFrame) -> DataFrame:
+    """The bit projection of :func:`bpe_segment_corpus`, split out so the
+    falsifiability test can feed a corrupted segmentation row and prove the
+    roundtrip/bounds bits flip."""
     return seg.select(
         "word",
         "n",

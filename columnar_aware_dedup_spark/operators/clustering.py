@@ -471,6 +471,16 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components_star(edges)
     ranks = pagerank(edges)
+    return pagerank_certificate(edges, labels, ranks)
+
+
+def pagerank_certificate(
+    edges: DataFrame, labels: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """The bit derivation of :func:`near_dup_pagerank`, split out so the
+    falsifiability test (``tests/test_certificates.py``) can feed a
+    DOCTORED rank vector (lost mass, negative rank) and prove the floor
+    and mass-conservation bits flip."""
     sym = edges.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("peer")
     ).unionAll(

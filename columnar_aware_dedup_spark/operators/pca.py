@@ -200,6 +200,37 @@ def embedding_pca_project_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def model_bits(model: DataFrame, tvar: DataFrame) -> DataFrame:
+    """The model-level bit derivation of :func:`embedding_pca_project`
+    (one row: the five model invariants plus the axes/mean needed for the
+    per-row projection bits), split out so the falsifiability test
+    (``tests/test_certificates.py``) can feed a DOCTORED model — non-unit
+    axis, swapped eigenvalues, inflated lam1 — and prove each bit flips."""
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return model.join(tvar).select(
+        F.col("ragged_ok").alias("input_rect_ok"),
+        (
+            (F.abs(F.expr(dot.format(a="v1", b="v1")) - 1.0) < 1e-9)
+            & (F.abs(F.expr(dot.format(a="v2", b="v2")) - 1.0) < 1e-9)
+        ).alias("axes_unit_ok"),
+        (F.abs(F.expr(dot.format(a="v1", b="v2"))) < 1e-6).alias(
+            "axes_orthogonal_ok"
+        ),
+        ((F.col("lam1") >= F.col("lam2")) & (F.col("lam2") > 0)).alias(
+            "eigval_order_ok"
+        ),
+        (F.col("lam1") <= F.col("total_var") + F.lit(1e-6)).alias(
+            "eigval_bounded_ok"
+        ),
+        "v1",
+        "v2",
+        "mu",
+    )
+
+
 PCA_PROJECT_ORACLE = """
 SELECT vec_id, label,
        TRUE AS input_rect_ok,
@@ -235,10 +266,6 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     model = fit_pca2(e)
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " cast(0 as double), (acc, v) -> acc + v)"
-    )
     # total variance = (1/n) sum ||x - mu||^2, one dim-bounded partial agg
     centered = _CENTERED.format(dim=_DIM)
     tvar = (
@@ -251,28 +278,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum("ss") / F.count("*")).alias("total_var"))
     )
-    checks = (
-        model.join(tvar)
-        .select(
-            F.col("ragged_ok").alias("input_rect_ok"),
-            (
-                (F.abs(F.expr(dot.format(a="v1", b="v1")) - 1.0) < 1e-9)
-                & (F.abs(F.expr(dot.format(a="v2", b="v2")) - 1.0) < 1e-9)
-            ).alias("axes_unit_ok"),
-            (F.abs(F.expr(dot.format(a="v1", b="v2"))) < 1e-6).alias(
-                "axes_orthogonal_ok"
-            ),
-            ((F.col("lam1") >= F.col("lam2")) & (F.col("lam2") > 0)).alias(
-                "eigval_order_ok"
-            ),
-            (F.col("lam1") <= F.col("total_var") + F.lit(1e-6)).alias(
-                "eigval_bounded_ok"
-            ),
-            "v1",
-            "v2",
-            "mu",
-        )
-    )
+    checks = model_bits(model, tvar)
     proj = (
         "aggregate(sequence(1, {d}), cast(0 as double),"
         " (acc, j) -> acc + element_at(c, j) * element_at({v}, j))"

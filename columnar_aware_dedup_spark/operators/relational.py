@@ -352,12 +352,21 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_parts",
-            (
-                F.abs(F.col("_approx") - F.col("exact_parts"))
-                <= 0.10 * F.col("exact_parts")
-            ).alias("approx_within_10pct"),
+            within_pct_bit("_approx", "exact_parts", 0.10).alias(
+                "approx_within_10pct"
+            ),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def within_pct_bit(approx_col: str, exact_col: str, pct: float):
+    """|approx - exact| <= pct * exact as a Column — the tolerance bit of
+    :func:`approx_distinct`, split out so the falsifiability test
+    (``tests/test_certificates.py``) can prove the bit flips on a sketch
+    value outside the band."""
+    return F.abs(F.col(approx_col) - F.col(exact_col)) <= pct * F.col(
+        exact_col
     )
 
 
