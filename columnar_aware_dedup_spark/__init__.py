@@ -725,6 +725,70 @@ ROTATION_R10: list[str] = [
     "grouping_sets_agg",
 ]
 
+#: r11 rotation (PREPARED four ahead, derived in r07 from the PREDICTED
+#: archive state after r07..r10 check their windows): the 8 queries that
+#: would be 3+ rounds stale once CORRECTNESS_r09 lands and sit in neither
+#: R10 nor any later window (the r06-row set displaced from R9 by the r07
+#: re-seats, plus the two r06 rows R10 never picked up), then the full
+#: post-r10 overdue set (r07-window rows — the simple relational/scalar
+#: tail plus this round's four registrations), then the alphabetically
+#: first r08-window rows as fill. The conditional freshness test arms on
+#: CORRECTNESS_r10; rounds 8+ re-derive against the real archives before
+#: activating, the same contract as ROTATION_R8..R10.
+ROTATION_R11: list[str] = [
+    "cluster_aware_split",
+    "correlated_subquery",
+    "doc_ngram_novelty",
+    "doc_repetition_score",
+    "event_funnel",
+    "event_gapfill_locf",
+    "file_inventory",
+    "file_parse_overhead",
+    "intersect_all",
+    "join_full_outer",
+    "join_left",
+    "json_extract",
+    "like_rlike_pred",
+    "limit_offset",
+    "math_fns",
+    "null_fns",
+    "orderby_limit_topk",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "percentile_disc_median",
+    "pii_redaction",
+    "pivot_agg",
+    "posexplode_tokens",
+    "q10_returned_item",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q14_promo_effect",
+    "q19_bracketed_or",
+    "rollup_agg",
+    "row_signature",
+    "scan_project",
+    "sequence_pack",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "stratified_sample",
+    "streaming_cluster_parity",
+    "streaming_lsh_parity",
+    "string_fns",
+    "substring_dedup_apply",
+    "substring_dedup_ranges",
+    "transfer_stats_rollup_approx",
+    "union_all_counts",
+    "window_first_last",
+    # fills: alphabetically-first r08-window rows so freshness keeps cycling
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "cube_agg",
+]
+
 # r07: the prepared window goes ACTIVE (VERDICT r06 brief #3) — the 45
 # r03-stale rows plus this round's four new registrations.
 registry.reorder(ROTATION_R7)
