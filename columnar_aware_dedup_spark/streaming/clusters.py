@@ -44,39 +44,16 @@ from pyspark.sql import functions as F
 from columnar_aware_dedup_spark.operators.clustering import (
     connected_components_star,
 )
-from columnar_aware_dedup_spark.sources.store import store_lock
+from columnar_aware_dedup_spark.sources.store import (
+    drop_table_and_dir,
+    store_lock,
+)
 from columnar_aware_dedup_spark.streaming import lsh
 
 
-def _drop_table_and_dir(spark: SparkSession, tbl: str) -> None:
-    """DROP the catalog entry AND delete its warehouse directory through
-    the Hadoop FileSystem API — a crash can leave an orphaned managed-table
-    directory with no catalog entry, which a bare DROP cannot clean and a
-    local ``shutil.rmtree`` cannot reach on hdfs:// / s3a:// warehouses
-    (the ``streaming/ivf.py`` filesystem-agnostic lesson).
-
-    The directory is resolved from the CATALOG while the entry still
-    exists (ADVICE r06: deriving it as ``{warehouse}/{tbl.lower()}`` only
-    matches the default database's layout — a qualified or
-    non-default-database table would drop its catalog entry but orphan its
-    ``{db}.db/{tbl}`` directory, defeating the crash-debris cleanup). The
-    warehouse-join fallback remains only for never-created tables, whose
-    debris — if any — can only live at the default-database location."""
-    location = None
-    if spark.catalog.tableExists(tbl):
-        rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
-        location = next(
-            (r["data_type"] for r in rows if r["col_name"] == "Location"),
-            None,
-        )
-    if location is None:  # not in the catalog: only default-layout debris
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        location = f"{warehouse}/{tbl.lower()}"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(location)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(path, True)
+# catalog-resolving table+directory cleanup, shared with the LSH band-table
+# init (the implementation and its ADVICE r06 rationale live in store.py)
+_drop_table_and_dir = drop_table_and_dir
 
 
 def init_cluster_tables(

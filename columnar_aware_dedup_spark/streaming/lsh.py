@@ -45,6 +45,29 @@ from columnar_aware_dedup_spark.sources.store import store_lock
 _BAND_COLS = ["bucket", "band", "doc_id"]
 
 
+def init_band_table(spark: SparkSession, table_name: str) -> str:
+    """(Re-)create the empty bucketed band table — the ONE place the band
+    index's physical layout is written down (previously copy-pasted across
+    the parity operator and five streaming tests, which could silently
+    diverge from a schema or bucketing change). ``bucketBy(8, 'bucket')``
+    is the layout contract: the serve/probe joins run on exactly that key,
+    so the index side joins with zero exchange (plan-pinned in
+    ``tests/test_streaming.py``). Crash debris is cleaned through the
+    catalog-resolving ``store.drop_table_and_dir``."""
+    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
+
+    drop_table_and_dir(spark, table_name)
+    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
 def batch_bands(docs: DataFrame) -> DataFrame:
     """(bucket, band, doc_id) rows — each doc's 4 LSH bucket keys under the
     shared k=8-slot / 4-band MinHash — for one batch of documents-schema

@@ -657,19 +657,7 @@ def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
     ck = str(tmp_path / "ck_lsh")
     tbl = "test_streaming_lsh"
 
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    import shutil as _sh
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    lsh.init_band_table(spark, tbl)
 
     pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
     q = lsh.start_lsh_indexer(spark, str(docs_dir), tbl, ck)
@@ -736,19 +724,7 @@ def test_streaming_lsh_probe_scores_only_against_history(spark, sf_dir, tmp_path
     ck = str(tmp_path / "ck_probe_lsh")
     tbl = "test_streaming_lsh_probe"
 
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    import shutil as _sh
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    lsh.init_band_table(spark, tbl)
 
     pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
     q = lsh.start_lsh_indexer(spark, str(docs_dir), tbl, ck)
@@ -807,7 +783,6 @@ def test_crawl_admission_agrees_with_streaming_probe(spark, sf_dir):
     corpus. With the index holding exactly the corpus side (every source
     but the incoming one), the set of near-flagged incoming docs must
     match doc-for-doc, and so must the keep/drop admission decision."""
-    import shutil as _sh
 
     from pyspark.sql import functions as F
 
@@ -818,17 +793,7 @@ def test_crawl_admission_agrees_with_streaming_probe(spark, sf_dir):
     from columnar_aware_dedup_spark.streaming import lsh
 
     tbl = "test_admission_parity_lsh"
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    lsh.init_band_table(spark, tbl)
 
     full = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = full.filter(F.col("source") != _INCOMING_SOURCE)
@@ -868,19 +833,7 @@ def test_lsh_index_compaction_preserves_layout_and_pairs(spark, sf_dir, tmp_path
     half = t.num_rows // 2
     tbl = "test_lsh_compact"
 
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    import shutil as _sh
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    lsh.init_band_table(spark, tbl)
 
     full = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = [spark.createDataFrame(t.slice(0, half).to_pandas()),
@@ -1087,19 +1040,8 @@ def test_streaming_cluster_index_matches_batch(spark, sf_dir, tmp_path):
     label_tbl = "test_cluster_labels"
     done_tbl = "test_cluster_done"
 
-    import shutil as _sh
 
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{band_tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(band_tbl)
-    )
+    lsh.init_band_table(spark, band_tbl)
     clusters.init_cluster_tables(spark, label_tbl, done_tbl)
 
     pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
@@ -1152,7 +1094,6 @@ def test_cluster_delta_pairs_probe_discipline(spark, sf_dir, tmp_path):
     broadcasts (the index is never shuffled to find the probe rows), and
     the plan carries no cartesian product; exchange count stays bounded by
     the probe side + the pair dedupe."""
-    import shutil as _sh
 
     from pyspark.sql import functions as F
 
@@ -1160,17 +1101,7 @@ def test_cluster_delta_pairs_probe_discipline(spark, sf_dir, tmp_path):
     from columnar_aware_dedup_spark.streaming import clusters, lsh
 
     tbl = "test_delta_pairs_bands"
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    lsh.init_band_table(spark, tbl)
     full = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lsh.merge_bands(spark, full, tbl)
 
@@ -1194,7 +1125,6 @@ def test_cluster_label_swap_crash_recovery(spark, sf_dir, tmp_path):
     branches: rebinding the OLD labels must leave the maintainer fully
     functional — the crashed merge's docs were never marked done, so the
     next merge re-folds them and converges to the batch answer anyway."""
-    import shutil as _sh
 
     from pyspark.sql import functions as F
 
@@ -1204,17 +1134,7 @@ def test_cluster_label_swap_crash_recovery(spark, sf_dir, tmp_path):
     label_tbl = "test_cluster_crash_labels"
     done_tbl = "test_cluster_crash_done"
 
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {band_tbl}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{band_tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(band_tbl)
-    )
+    lsh.init_band_table(spark, band_tbl)
     clusters.init_cluster_tables(spark, label_tbl, done_tbl)
 
     full = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -183,5 +183,8 @@ def test_sweep_bucket_cap_binds(spark, sf_dir, monkeypatch):
     # hazard the cap exists for: it must lose candidates under the tiny cap
     assert capped[1]["n_candidates"] < base[1]["n_candidates"]
     # uncapped buckets (population <= 2) still contribute: pair generation
-    # is capped, not disabled
+    # is capped, not disabled (an inverted filter that dropped small
+    # buckets too would zero this out)
+    assert capped[1]["n_candidates"] > 0
+    # and the truth side is cap-independent by construction
     assert all(r["n_truth"] == base[1]["n_truth"] for r in capped.values())
