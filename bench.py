@@ -121,9 +121,10 @@ HEADLINE = [
     "edit_distance_verify",
     "doc_ngram_novelty",
     # r07 additions: the exact substring-duplicate REMOVAL operator (cut
-    # ranges + applied corpus) and the streaming-cluster parity certificate.
+    # ranges + applied corpus) and its crawl-delta twin.
     "substring_dedup_ranges",
     "substring_dedup_apply",
+    "substring_dedup_delta",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

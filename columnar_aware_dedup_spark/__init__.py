@@ -457,7 +457,6 @@ ROTATION_R7: list[str] = [
     # r06 lands); takes the slot of dedup_bloom_prefilter (r04 row,
     # re-seated in ROTATION_R9)
     "decontaminate_ngram_overlap",
-    "dedup_hit_miss",
     # displaced from r06 by cluster_aware_split (r03 row — overdue once
     # r06 lands); takes the slot of doc_hash_embedding (r04 row,
     # re-seated in ROTATION_R9)
@@ -476,6 +475,11 @@ ROTATION_R7: list[str] = [
     "substring_dedup_apply",
     "streaming_lsh_parity",
     "streaming_cluster_parity",
+    # late-r07 registration (never driver-checked, so mandatory here): the
+    # crawl-delta substring cutter; the flagship dedup_hit_miss yields its
+    # re-check slot (r04 row; entry() smoke-checks it every driver run
+    # regardless) and re-seats in ROTATION_R9
+    "substring_dedup_delta",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -648,7 +652,11 @@ ROTATION_R9: list[str] = [
     "dup_span_fraction",
     "groupby_sum_count",
     "event_session_window",
-    "inverted_index_search",
+    # the flagship, displaced from ROTATION_R7 by the late-r07
+    # substring_dedup_delta registration (r04 row — overdue once r07
+    # lands); takes the slot of inverted_index_search (r06 row, re-seated
+    # in ROTATION_R11)
+    "dedup_hit_miss",
     "ivf_train_kmeans",
     "lsh_parameter_sweep",
     "minhash_recall_report",
@@ -776,17 +784,20 @@ ROTATION_R11: list[str] = [
     "streaming_lsh_parity",
     "string_fns",
     "substring_dedup_apply",
+    "substring_dedup_delta",
     "substring_dedup_ranges",
     "transfer_stats_rollup_approx",
     "union_all_counts",
     "window_first_last",
-    # fills: alphabetically-first r08-window rows so freshness keeps cycling
-    "ann_pq_recall",
+    # fills: alphabetically-first r08-window rows so freshness keeps
+    # cycling, plus inverted_index_search (r06 row, displaced from R9 by
+    # the flagship's re-seat — due again once CORRECTNESS_r09 lands, which
+    # is exactly when this window's freshness test arms)
+    "inverted_index_search",
     "ann_pq_topk",
     "asof_join",
     "bigram_logprob_score",
     "cast_fns",
-    "cube_agg",
 ]
 
 # r07: the prepared window goes ACTIVE (VERDICT r06 brief #3) — the 45

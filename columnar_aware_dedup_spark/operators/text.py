@@ -1937,25 +1937,23 @@ _POS_SPANS_SPARK = (
     " element_at(toks, i + 4))) AS h))"
 )
 
-#: shared oracle CTE chain: positioned spans -> non-first occurrences ->
-#: merged per-doc cut ranges (gaps-and-islands). Both registered queries
-#: compose from this prefix (the transfer-stats named-constant discipline).
-_SUBSTRING_CUT_CTE = f"""
-WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
-g0 AS (SELECT doc_id,
+#: shared oracle CTE parts, composed by all three registered cut queries
+#: (the transfer-stats named-constant discipline): positioned spans
+#: (``t``/``g0``/``g``, source-tagged so the delta oracle can split sides),
+#: then a query-specific ``cuts`` CTE, then the shared gaps-and-islands
+#: merge (``m``/``isl``/``r``).
+_SPAN_TOKS_CTE = f"""t AS (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks
+       FROM documents),
+g0 AS (SELECT doc_id, source,
               unnest(list_transform(generate_series(1, len(toks) - {_SPAN_N - 1}),
                      i -> {{'strt': i - 1,
                            'h': md5(toks[i] || ' ' || toks[i+1] || ' ' ||
                                     toks[i+2] || ' ' || toks[i+3] || ' ' ||
                                     toks[i+4])}})) AS sp
        FROM t WHERE len(toks) >= {_SPAN_N}),
-g AS (SELECT doc_id, sp.strt AS strt, sp.h AS h FROM g0),
-cuts AS (SELECT doc_id, strt FROM (
-           SELECT doc_id, strt,
-                  row_number() OVER (PARTITION BY h
-                                     ORDER BY doc_id, strt) AS rn
-           FROM g) WHERE rn > 1),
-m AS (SELECT doc_id, strt, strt + {_SPAN_N} AS e,
+g AS (SELECT doc_id, source, sp.strt AS strt, sp.h AS h FROM g0)"""
+
+_CUT_MERGE_SQL = f"""m AS (SELECT doc_id, strt, strt + {_SPAN_N} AS e,
              CASE WHEN strt > coalesce(max(strt + {_SPAN_N}) OVER (
                   PARTITION BY doc_id ORDER BY strt
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
@@ -1967,7 +1965,16 @@ isl AS (SELECT doc_id, strt, e,
 r AS (SELECT doc_id,
              CAST(min(strt) AS INTEGER) AS range_start,
              CAST(max(e) AS INTEGER) AS range_end
-      FROM isl GROUP BY doc_id, island)
+      FROM isl GROUP BY doc_id, island)"""
+
+_SUBSTRING_CUT_CTE = f"""
+WITH {_SPAN_TOKS_CTE},
+cuts AS (SELECT doc_id, strt FROM (
+           SELECT doc_id, strt,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, strt) AS rn
+           FROM g) WHERE rn > 1),
+{_CUT_MERGE_SQL}
 """
 
 SUBSTRING_DEDUP_RANGES_ORACLE = _SUBSTRING_CUT_CTE + """
@@ -1993,14 +2000,41 @@ FROM k
 
 
 def _positioned_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, strt, h): every 5-token span with its 0-based token offset,
-    hashed BEFORE the shuffle (the ``_SPANS_SPARK`` wire-size discipline)."""
+    """(doc_id, source, strt, h): every 5-token span with its 0-based token
+    offset, hashed BEFORE the shuffle (the ``_SPANS_SPARK`` wire-size
+    discipline); ``source`` rides along so the delta cutter can split the
+    corpus and incoming sides of one scan."""
     return (
         _fanned(spark, sf_dir)
         .filter(F.size("toks") >= _SPAN_N)
-        .select("doc_id", F.explode(F.expr(_POS_SPANS_SPARK)).alias("s"))
-        .select("doc_id", "s.strt", "s.h")
+        .select(
+            "doc_id", "source", F.explode(F.expr(_POS_SPANS_SPARK)).alias("s")
+        )
+        .select("doc_id", "source", "s.strt", "s.h")
     )
+
+
+def _merge_cut_ranges(cuts: DataFrame) -> DataFrame:
+    """(doc_id, strt) cut spans -> (doc_id, range_start, range_end) merged
+    ranges: gaps-and-islands inside doc-keyed windows (bounded by document
+    length, never corpus size) — the one shared merge both the global and
+    the delta cutter compose."""
+    w = Window.partitionBy("doc_id").orderBy("strt")
+    prev_end = F.max(F.col("strt") + _SPAN_N).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        cuts.withColumn(
+            "ni",
+            F.when(F.col("strt") > F.coalesce(prev_end, F.lit(-1)), 1)
+            .otherwise(0),
+        )
+        .withColumn("island", F.sum("ni").over(w))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("strt").cast("int").alias("range_start"),
+        (F.max("strt") + _SPAN_N).cast("int").alias("range_end"),
+    ).select("doc_id", "range_start", "range_end")
 
 
 @register("substring_dedup_ranges", oracle=SUBSTRING_DEDUP_RANGES_ORACLE)
@@ -2042,22 +2076,7 @@ def substring_dedup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "strt")
     )
-    w = Window.partitionBy("doc_id").orderBy("strt")
-    prev_end = F.max(F.col("strt") + _SPAN_N).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = (
-        cuts.withColumn(
-            "ni",
-            F.when(F.col("strt") > F.coalesce(prev_end, F.lit(-1)), 1)
-            .otherwise(0),
-        )
-        .withColumn("island", F.sum("ni").over(w))
-    )
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("strt").cast("int").alias("range_start"),
-        (F.max("strt") + _SPAN_N).cast("int").alias("range_end"),
-    ).select("doc_id", "range_start", "range_end")
+    return _merge_cut_ranges(cuts)
 
 
 @register("substring_dedup_apply", oracle=SUBSTRING_DEDUP_APPLY_ORACLE)
@@ -2104,6 +2123,68 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "kept").alias("kept_text"),
         )
     )
+
+
+SUBSTRING_DEDUP_DELTA_ORACLE = f"""
+WITH {_SPAN_TOKS_CTE},
+gi AS (SELECT doc_id, strt, h FROM g
+       WHERE source = '{_INCOMING_SOURCE}'),
+corp AS (SELECT DISTINCT h FROM g
+         WHERE source <> '{_INCOMING_SOURCE}'),
+cuts AS (SELECT x.doc_id, x.strt FROM (
+           SELECT doc_id, strt, h,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, strt) AS rn
+           FROM gi) x
+         LEFT JOIN corp c ON c.h = x.h
+         WHERE c.h IS NOT NULL OR x.rn > 1),
+{_CUT_MERGE_SQL}
+SELECT doc_id, range_start, range_end FROM r
+"""
+
+
+@register("substring_dedup_delta", oracle=SUBSTRING_DEDUP_DELTA_ORACLE)
+def substring_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplicate removal for a CRAWL DELTA: cut ranges for
+    the incoming documents only, against an immutable established corpus —
+    the daily-delta twin of ``substring_dedup_ranges``, exactly as
+    ``crawl_admission_report`` is the delta twin of ``pipeline_dedup_all``.
+    An incoming span is cut when it already exists anywhere in the corpus
+    (the corpus is history — ALL its occurrences outrank the delta's), or
+    when an earlier incoming occurrence (by (doc_id, start)) keeps it;
+    corpus documents are never rewritten.
+
+    Scale shape — the asymmetry is the point: the corpus side collapses to
+    DISTINCT span hashes via a map-side-combined aggregation (at 100 TB
+    this relation is the PERSISTED span index that ``streaming/spans.py``
+    maintains incrementally — the batch derivation here is its one-shot
+    stand-in, never a per-crawl recomputation), the delta side alone
+    carries positions, both probes key on the 16-byte hash, and the range
+    merge touches only delta documents. Cost scales with the day's crawl,
+    not with history — the ``sources/store.py`` bucketed-probe discipline
+    applied to substring dedup.
+    """
+    g = _positioned_spans(spark, sf_dir).localCheckpoint(eager=False)
+    inc = g.filter(F.col("source") == _INCOMING_SOURCE).select(
+        "doc_id", "strt", "h"
+    )
+    corp = (
+        g.filter(F.col("source") != _INCOMING_SOURCE).select("h").distinct()
+    )
+    keep_inc = inc.groupBy("h").agg(
+        F.min(F.struct("doc_id", "strt")).alias("k")
+    )
+    cuts = (
+        inc.join(keep_inc, "h")
+        .join(corp.withColumn("in_corpus", F.lit(True)), "h", "left")
+        .filter(
+            F.col("in_corpus").isNotNull()
+            | (F.col("doc_id") != F.col("k.doc_id"))
+            | (F.col("strt") != F.col("k.strt"))
+        )
+        .select("doc_id", "strt")
+    )
+    return _merge_cut_ranges(cuts)
 
 
 # -- bigram language-model quality score -------------------------------------

@@ -161,3 +161,81 @@ def test_plans_stay_jvm_side(spark, sf_dir):
         plan = explain.plan_string(fn(spark, sf_dir))
         assert "EvalPython" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+def _write_documents_src(tmp_path, rows):
+    """rows = [(doc_id, text, source)] — per-row source variant."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_delta_cuts_incoming_against_corpus_only(spark, tmp_path):
+    """The delta cutter rewrites ONLY the incoming side: a corpus block
+    reappearing in an incoming doc is cut from the incoming doc (the corpus
+    is history — all its occurrences outrank the delta's), and corpus
+    documents never appear in the output even when they duplicate each
+    other."""
+    from columnar_aware_dedup_spark.operators.text import (
+        _INCOMING_SOURCE,
+        substring_dedup_delta,
+    )
+
+    sf = _write_documents_src(
+        tmp_path,
+        [
+            (0, f"{_U0} {_BOILER}", "corpus_a"),
+            (1, f"{_U2} {_BOILER}", "corpus_b"),  # corpus-internal dup
+            (2, f"{_U1} {_BOILER}", _INCOMING_SOURCE),
+        ],
+    )
+    rows = substring_dedup_delta(spark, sf).collect()
+    assert {(r["doc_id"], r["range_start"], r["range_end"]) for r in rows} == {
+        (2, 7, 17)
+    }
+
+
+def test_delta_dedups_within_the_crawl_too(spark, tmp_path):
+    """Two incoming docs sharing a block the corpus has never seen: the
+    earlier (doc_id, start) occurrence keeps, the later is cut — the
+    intra-delta half of the rule."""
+    from columnar_aware_dedup_spark.operators.text import (
+        _INCOMING_SOURCE,
+        substring_dedup_delta,
+    )
+
+    sf = _write_documents_src(
+        tmp_path,
+        [
+            (0, _U2, "corpus_a"),
+            (1, f"{_U0} {_BOILER}", _INCOMING_SOURCE),
+            (2, f"{_U1} {_BOILER}", _INCOMING_SOURCE),
+        ],
+    )
+    rows = substring_dedup_delta(spark, sf).collect()
+    # doc 1 (5-token unique prefix): boiler at 5..14 keeps (first incoming
+    # occurrence); doc 2 (7-token prefix): boiler spans at starts 7..12 cut
+    assert {(r["doc_id"], r["range_start"], r["range_end"]) for r in rows} == {
+        (2, 7, 17)
+    }
+
+
+def test_delta_admits_novel_incoming_text(spark, tmp_path):
+    """An incoming doc with no span overlap anywhere yields no ranges."""
+    from columnar_aware_dedup_spark.operators.text import (
+        _INCOMING_SOURCE,
+        substring_dedup_delta,
+    )
+
+    sf = _write_documents_src(
+        tmp_path,
+        [(0, f"{_U0} {_BOILER}", "corpus_a"), (1, _U2, _INCOMING_SOURCE)],
+    )
+    assert substring_dedup_delta(spark, sf).count() == 0
