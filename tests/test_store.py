@@ -351,3 +351,35 @@ def test_recover_compaction_noop_when_table_bound(spark, sf_dir):
     assert store.recover_compaction(spark, tbl) is None
     assert not spark.catalog.tableExists(f"{tbl}__compacting")
     assert {r["signature"] for r in spark.table(tbl).collect()} == want
+
+
+def test_drop_table_and_dir_cleans_nondefault_database(spark):
+    """ADVICE r06: the cleanup helper used to resolve the managed-table
+    directory as {warehouse}/{tbl.lower()}, which only matches the DEFAULT
+    database layout — a table in another database would lose its catalog
+    entry but orphan its {db}.db/{tbl} directory. The helper now resolves
+    the location from the catalog before dropping; this pins that a
+    qualified table's directory really is removed."""
+    import os
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cleanup_db")
+    tbl = "cleanup_db.orphan_check"
+    spark.createDataFrame([(1,)], "x long").write.format("parquet").mode(
+        "overwrite"
+    ).saveAsTable(tbl)
+    rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+    location = next(
+        r["data_type"] for r in rows if r["col_name"] == "Location"
+    ).removeprefix("file:")
+    assert os.path.isdir(location), "managed table directory must exist"
+    # the old warehouse-join derivation would point somewhere else entirely
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert location != f"{warehouse}/{tbl.lower()}"
+
+    store.drop_table_and_dir(spark, tbl)
+    assert not spark.catalog.tableExists(tbl)
+    assert not os.path.exists(location), "the {db}.db/{tbl} dir must be gone"
+
+    # never-created table: the fallback path is a silent no-op
+    store.drop_table_and_dir(spark, "cleanup_db.never_created")
+    spark.sql("DROP DATABASE cleanup_db")
