@@ -153,14 +153,28 @@ def test_every_span_survives_exactly_once(spark, sf_dir):
 
 
 def test_plans_stay_jvm_side(spark, sf_dir):
-    """Both stages must be pure built-ins (no Python eval) with no
-    cartesian product; the cutter's claim is linear one-pass shapes."""
+    """All three cut stages must be pure built-ins (no Python eval) with no
+    cartesian product, and their shuffle budgets must hold (the docstrings'
+    scale claim, measured: ranges 2, apply 2, delta 3 — one slot of
+    headroom so an optimizer-version wobble doesn't flake the suite, while
+    a structural regression — an extra corpus-sized exchange — still
+    fails)."""
+    from columnar_aware_dedup_spark.operators.text import (
+        substring_dedup_delta,
+    )
     from columnar_aware_dedup_spark.plans import explain
 
-    for fn in (substring_dedup_ranges, substring_dedup_apply):
-        plan = explain.plan_string(fn(spark, sf_dir))
+    budgets = {
+        substring_dedup_ranges: 3,
+        substring_dedup_apply: 3,
+        substring_dedup_delta: 4,
+    }
+    for fn, budget in budgets.items():
+        df = fn(spark, sf_dir)
+        plan = explain.plan_string(df)
         assert "EvalPython" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+        assert explain.n_exchanges(df) <= budget, fn.__name__
 
 def _write_documents_src(tmp_path, rows):
     """rows = [(doc_id, text, source)] — per-row source variant."""
