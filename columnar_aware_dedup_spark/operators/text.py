@@ -2066,7 +2066,15 @@ def substring_dedup_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (AQE splits a skewed probe side), and the island merge runs in
     doc-keyed windows whose partitions are bounded by document length.
     """
-    g = _positioned_spans(spark, sf_dir).localCheckpoint(eager=False)
+    # drop the delta-cutter's source tag BEFORE the checkpoint: the span
+    # table is one row per token position (the corpus's largest
+    # intermediate), and Catalyst cannot prune through a materialized
+    # checkpoint, so a dead column here is persisted dead weight
+    g = (
+        _positioned_spans(spark, sf_dir)
+        .drop("source")
+        .localCheckpoint(eager=False)
+    )
     keep = g.groupBy("h").agg(F.min(F.struct("doc_id", "strt")).alias("k"))
     cuts = (
         g.join(keep, "h")

@@ -364,22 +364,29 @@ def test_drop_table_and_dir_cleans_nondefault_database(spark):
 
     spark.sql("CREATE DATABASE IF NOT EXISTS cleanup_db")
     tbl = "cleanup_db.orphan_check"
-    spark.createDataFrame([(1,)], "x long").write.format("parquet").mode(
-        "overwrite"
-    ).saveAsTable(tbl)
-    rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
-    location = next(
-        r["data_type"] for r in rows if r["col_name"] == "Location"
-    ).removeprefix("file:")
-    assert os.path.isdir(location), "managed table directory must exist"
-    # the old warehouse-join derivation would point somewhere else entirely
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    assert location != f"{warehouse}/{tbl.lower()}"
+    try:
+        spark.createDataFrame([(1,)], "x long").write.format("parquet").mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        rows = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+        location = next(
+            r["data_type"] for r in rows if r["col_name"] == "Location"
+        ).removeprefix("file:")
+        assert os.path.isdir(location), "managed table directory must exist"
+        # the old warehouse-join derivation points somewhere else entirely
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).removeprefix("file:")
+        assert location != f"{warehouse}/{tbl.lower()}"
 
-    store.drop_table_and_dir(spark, tbl)
-    assert not spark.catalog.tableExists(tbl)
-    assert not os.path.exists(location), "the {db}.db/{tbl} dir must be gone"
+        store.drop_table_and_dir(spark, tbl)
+        assert not spark.catalog.tableExists(tbl)
+        assert not os.path.exists(location), "{db}.db/{tbl} dir must be gone"
 
-    # never-created table: the fallback path is a silent no-op
-    store.drop_table_and_dir(spark, "cleanup_db.never_created")
-    spark.sql("DROP DATABASE cleanup_db")
+        # never-created table: the fallback path is a silent no-op
+        store.drop_table_and_dir(spark, "cleanup_db.never_created")
+    finally:
+        # a failed assert must not leak the database into the shared
+        # session-scoped spark fixture and cascade into other catalog tests
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql("DROP DATABASE IF EXISTS cleanup_db")

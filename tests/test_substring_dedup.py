@@ -18,12 +18,17 @@ from columnar_aware_dedup_spark.operators.text import (
 
 
 def _write_documents(tmp_path, rows):
+    """rows = [(doc_id, text)] or [(doc_id, text, source)] -> fixture dir
+    (source defaults to 's'; ONE builder so the schema cannot drift between
+    the global-cutter and delta-cutter fixtures)."""
     t = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
             "text": pa.array([r[1] for r in rows], pa.string()),
             "lang": pa.array(["en"] * len(rows), pa.string()),
-            "source": pa.array(["s"] * len(rows), pa.string()),
+            "source": pa.array(
+                [r[2] if len(r) > 2 else "s" for r in rows], pa.string()
+            ),
             "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
         }
     )
@@ -176,20 +181,6 @@ def test_plans_stay_jvm_side(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
         assert explain.n_exchanges(df) <= budget, fn.__name__
 
-def _write_documents_src(tmp_path, rows):
-    """rows = [(doc_id, text, source)] — per-row source variant."""
-    t = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array(["en"] * len(rows), pa.string()),
-            "source": pa.array([r[2] for r in rows], pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(t, str(tmp_path / "documents.parquet"))
-    return str(tmp_path)
-
 
 def test_delta_cuts_incoming_against_corpus_only(spark, tmp_path):
     """The delta cutter rewrites ONLY the incoming side: a corpus block
@@ -202,7 +193,7 @@ def test_delta_cuts_incoming_against_corpus_only(spark, tmp_path):
         substring_dedup_delta,
     )
 
-    sf = _write_documents_src(
+    sf = _write_documents(
         tmp_path,
         [
             (0, f"{_U0} {_BOILER}", "corpus_a"),
@@ -225,7 +216,7 @@ def test_delta_dedups_within_the_crawl_too(spark, tmp_path):
         substring_dedup_delta,
     )
 
-    sf = _write_documents_src(
+    sf = _write_documents(
         tmp_path,
         [
             (0, _U2, "corpus_a"),
@@ -248,7 +239,7 @@ def test_delta_admits_novel_incoming_text(spark, tmp_path):
         substring_dedup_delta,
     )
 
-    sf = _write_documents_src(
+    sf = _write_documents(
         tmp_path,
         [(0, f"{_U0} {_BOILER}", "corpus_a"), (1, _U2, _INCOMING_SOURCE)],
     )
