@@ -125,6 +125,11 @@ HEADLINE = [
     "substring_dedup_ranges",
     "substring_dedup_apply",
     "substring_dedup_delta",
+    # session-2 r07: the content-defined-chunking baselines (FastCDC cover
+    # certificate + the fixed-vs-CDC-vs-structural thesis report) — new
+    # family, first perf signal.
+    "cdc_file_chunks",
+    "cdc_dedup_report",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
@@ -161,6 +166,9 @@ SCALING_QUERIES = [
     "embedding_prototypicality",
     # r07 new heavy: the k-gram-anchored substring-duplicate cutter.
     "substring_dedup_ranges",
+    # session-2 r07: the three-mode chunking comparison — its Gear kernel
+    # cost is linear in file bytes by construction; the ratio probe pins it.
+    "cdc_dedup_report",
 ]
 
 

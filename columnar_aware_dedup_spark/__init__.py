@@ -35,6 +35,7 @@ from columnar_aware_dedup_spark.operators import pca  # noqa: F401
 from columnar_aware_dedup_spark.operators import streaming_parity  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
+from columnar_aware_dedup_spark.sources import cdc  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
 from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401
 
@@ -440,7 +441,6 @@ ROTATION_R7: list[str] = [
     "q14_promo_effect",
     "q19_bracketed_or",
     "pandas_udf_scalar",
-    "set_union",
     "pandas_udf_grouped_agg",
     "apply_in_pandas_group",
     # displaced from r06 by the batch-4 registrations (r03 rows — overdue
@@ -480,6 +480,17 @@ ROTATION_R7: list[str] = [
     # re-check slot (r04 row; entry() smoke-checks it every driver run
     # regardless) and re-seats in ROTATION_R9
     "substring_dedup_delta",
+    # session-2 r07 registrations (never driver-checked, so mandatory
+    # here): the content-defined-chunking family — the byte-oriented dedup
+    # baselines the reference's structural chunkers are measured against
+    # (sources/cdc.py) — and the span-index streaming parity certificate
+    # (the third index family promoted into the driver window). They take
+    # the slots of set_union / set_except / set_intersect (r01 rows —
+    # still overdue, so those three re-seat in ROTATION_R8, which keeps
+    # them inside the R7∪R8 staleness envelope).
+    "cdc_file_chunks",
+    "cdc_dedup_report",
+    "streaming_spans_parity",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -512,8 +523,6 @@ ROTATION_R7: list[str] = [
     "rollup_agg",
     "row_signature",
     "scan_project",
-    "set_except",
-    "set_intersect",
     "string_fns",
     "transfer_stats_rollup_approx",
     "window_first_last",
@@ -583,9 +592,17 @@ ROTATION_R8: list[str] = [
     "image_ahash_near_dup",
     "image_ahash_signature",
     "lang_id_heuristic",
-    "line_dedup_corpus",
-    "minhash_near_dup",
-    "minhash_signature",
+    # set_union/set_except/set_intersect re-seated here after yielding
+    # their ROTATION_R7 slots to the session-2 r07 registrations (the CDC
+    # family + streaming_spans_parity): their rows stay r01-old through
+    # r07, so R8 membership is what keeps the staleness envelope green at
+    # newest=7. They displace the three alphabetically-last r05 fills
+    # (line_dedup_corpus / minhash_near_dup / minhash_signature), which
+    # keep r05 rows and hit the staleness wall at newest=8 — re-seated in
+    # ROTATION_R9 to cover exactly that deadline.
+    "set_except",
+    "set_intersect",
+    "set_union",
 ]
 
 
@@ -625,10 +642,15 @@ ROTATION_R9: list[str] = [
     "transfer_stats_taxonomy",
     "chunk_simulate",
     "col_type_stats",
-    # fills: oldest remaining (r06-window) rows, alphabetical
-    "ann_ivf_nprobe_topk",
-    "audio_fingerprint_near_dup",
-    "audio_fingerprint_signature",
+    # the three r05-row fills displaced from ROTATION_R8 by the set-op
+    # re-seats (session-2 r07): overdue at newest=8, which is exactly when
+    # the R9∪R10 envelope is consulted — R9 membership covers it. They
+    # take the slots of the three r06-row fills (ann_ivf_nprobe_topk /
+    # audio_fingerprint_near_dup / audio_fingerprint_signature), which are
+    # not overdue until newest=9 and re-seat in ROTATION_R10.
+    "line_dedup_corpus",
+    "minhash_near_dup",
+    "minhash_signature",
     # r04-row trio re-seated here after yielding their ROTATION_R7 slots
     # to the batch-4 displacements (overdue once r07 lands, so R9
     # membership keeps the staleness invariant green at that point)
@@ -713,10 +735,17 @@ ROTATION_R10: list[str] = [
     "simhash64_signature",
     "simhash_band_near_dup",
     "tfidf_top_terms",
+    # the three r06-row fills displaced from ROTATION_R9 by the r05-row
+    # re-seats (session-2 r07): overdue at newest=9, which is when the
+    # R10∪R11 envelope is consulted — R10 membership covers it. They take
+    # the slots of the three alphabetically-first r07-predicted fills
+    # (apply_in_pandas_group / argminmax_agg / array_fns — fresh r07 rows
+    # once the R7 window runs, not overdue until newest=10, so they belong
+    # to the R11/R12 re-derivation).
+    "ann_ivf_nprobe_topk",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
     # fills: oldest predicted (r07) rows, alphabetical
-    "apply_in_pandas_group",
-    "argminmax_agg",
-    "array_fns",
     "corpus_report",
     "date_fns",
     "dedup_bloom_prefilter",

@@ -12,6 +12,10 @@ two families whose served state is batch-expressible in ANSI SQL:
   the index. Hash-checked against the SAME DuckDB oracle as the batch
   ``minhash_near_dup``: the maintained index must be indistinguishable
   from a corpus re-hash.
+* ``streaming_spans_parity`` — the same waves folded into the maintained
+  substring-span index (``streaming/spans.py``; replay must append zero
+  rows), then the per-doc duplicated-span verdicts served from the index.
+  Hash-checked against the batch ``dup_span_fraction`` corpus-scan oracle.
 * ``streaming_cluster_parity`` — the same waves folded through the
   incremental cluster maintainer (``streaming/clusters.py``: each wave's
   delta pairs probe the band index, star contraction runs on delta +
@@ -43,7 +47,10 @@ from columnar_aware_dedup_spark.io import table
 from columnar_aware_dedup_spark.operators.clustering import (
     NEAR_DUP_CLUSTERS_ORACLE,
 )
-from columnar_aware_dedup_spark.operators.text import MINHASH_NEAR_DUP_ORACLE
+from columnar_aware_dedup_spark.operators.text import (
+    DUP_SPAN_ORACLE,
+    MINHASH_NEAR_DUP_ORACLE,
+)
 from columnar_aware_dedup_spark.registry import register
 
 
@@ -77,6 +84,26 @@ def streaming_lsh_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     lsh.merge_bands(spark, wave2, band_tbl)
     return lsh.near_dup_pairs_from_index(spark, band_tbl)
+
+
+@register("streaming_spans_parity", oracle=DUP_SPAN_ORACLE)
+def streaming_spans_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve ``dup_span_fraction`` from the two-wave maintained span index
+    (module doc). The wave-1 replay between the folds must append zero
+    rows — the indexer's doc-granular anti-join discipline is part of what
+    this row certifies."""
+    from columnar_aware_dedup_spark.streaming import spans
+
+    span_tbl = spans.init_span_table(spark, "parity_span_index")
+    wave1, wave2 = _waves(spark, sf_dir)
+    spans.merge_spans(spark, wave1, span_tbl)
+    replayed = spans.merge_spans(spark, wave1, span_tbl)
+    if replayed:
+        raise AssertionError(
+            f"wave-1 replay appended {replayed} rows; merge is not idempotent"
+        )
+    spans.merge_spans(spark, wave2, span_tbl)
+    return spans.dup_fraction_from_index(spark, span_tbl)
 
 
 @register("streaming_cluster_parity", oracle=NEAR_DUP_CLUSTERS_ORACLE)

@@ -29,6 +29,26 @@ from columnar_aware_dedup_spark.sources.store import store_lock
 _SPAN_COLS = ["span", "doc_id"]
 
 
+def init_span_table(spark: SparkSession, table_name: str) -> str:
+    """(Re-)create the empty bucketed span table — the ONE place the span
+    index's physical layout is written down (the ``lsh.init_band_table``
+    pattern): ``bucketBy(8, 'span')`` is the layout contract that keeps the
+    corpus-count aggregation exchange-free on the index side. Crash debris
+    is cleaned through the catalog-resolving ``store.drop_table_and_dir``."""
+    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
+
+    drop_table_and_dir(spark, table_name)
+    empty = spark.createDataFrame([], "span string, doc_id long")
+    (
+        empty.write.format("parquet")
+        .bucketBy(8, "span")
+        .sortBy("span")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
 def batch_spans(docs: DataFrame) -> DataFrame:
     """(span, doc_id) rows — each doc's DISTINCT md5-hashed 5-token spans —
     for one batch of documents-schema rows."""

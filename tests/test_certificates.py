@@ -65,6 +65,8 @@ CERT_FLIP_TESTS = {
         "tests.test_certificates",
         "test_reconstruction_bit_flips",
     ),
+    "cdc_file_chunks": ("tests.test_cdc", "test_cdc_certificate_bits_flip"),
+    "cdc_dedup_report": ("tests.test_cdc", "test_report_bits_flip"),
 }
 
 

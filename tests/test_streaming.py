@@ -469,19 +469,7 @@ def test_streaming_span_index_matches_batch_dedup(spark, sf_dir, tmp_path):
     ck = str(tmp_path / "ck_spans")
     tbl = "test_streaming_spans"
 
-    empty = spark.createDataFrame([], "span string, doc_id long")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    import shutil as _sh
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    _sh.rmtree(f"{warehouse}/{tbl.lower()}", ignore_errors=True)
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "span")
-        .sortBy("span")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    span_idx.init_span_table(spark, tbl)
 
     pq_.write_table(t.slice(0, half), docs_dir / "wave1.parquet")
     q = span_idx.start_span_indexer(spark, str(docs_dir), tbl, ck)
