@@ -130,6 +130,10 @@ HEADLINE = [
     # family, first perf signal.
     "cdc_file_chunks",
     "cdc_dedup_report",
+    # session-2 r07 batch 2: the zero-shuffle passage extractor and the
+    # exact-k balanced sampler.
+    "passage_split",
+    "balanced_sample_exact_k",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

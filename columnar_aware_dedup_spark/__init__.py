@@ -491,6 +491,15 @@ ROTATION_R7: list[str] = [
     "cdc_file_chunks",
     "cdc_dedup_report",
     "streaming_spans_parity",
+    # session-2 r07 batch 2 (never driver-checked, so mandatory here): the
+    # passage extractor, the exact-k balanced sampler, and the flagship
+    # store-maintenance parity certificate. They take the slots of
+    # string_fns / transfer_stats_rollup_approx / window_first_last
+    # (overdue rows — re-seated in ROTATION_R8, staying inside the R7∪R8
+    # envelope now and the R8∪R9 envelope once r07 lands).
+    "passage_split",
+    "balanced_sample_exact_k",
+    "streaming_store_parity",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -523,9 +532,6 @@ ROTATION_R7: list[str] = [
     "rollup_agg",
     "row_signature",
     "scan_project",
-    "string_fns",
-    "transfer_stats_rollup_approx",
-    "window_first_last",
 ]
 
 #: r08 rotation (PREPARED two ahead): the 25 queries whose newest driver
@@ -571,9 +577,16 @@ ROTATION_R8: list[str] = [
     "token_heavy_hitters_cms",
     "token_vocab_hll",
     "token_zipf_slope",
-    "window_lag_frame",
-    "window_ntile_dist",
-    "window_rank",
+    # string_fns / transfer_stats_rollup_approx / window_first_last
+    # re-seated here after yielding their ROTATION_R7 slots to the
+    # session-2 batch-2 registrations: their rows stay stale through r07,
+    # so R8 membership keeps the envelope green at newest=6 and 7. They
+    # displace the r04-row window trio (window_lag_frame /
+    # window_ntile_dist / window_rank — overdue once r07 lands, so those
+    # re-seat in ROTATION_R9, inside the R8∪R9 envelope at newest=7).
+    "string_fns",
+    "transfer_stats_rollup_approx",
+    "window_first_last",
     # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
     # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
     # needed their R8 slots)
@@ -642,15 +655,15 @@ ROTATION_R9: list[str] = [
     "transfer_stats_taxonomy",
     "chunk_simulate",
     "col_type_stats",
-    # the three r05-row fills displaced from ROTATION_R8 by the set-op
-    # re-seats (session-2 r07): overdue at newest=8, which is exactly when
-    # the R9∪R10 envelope is consulted — R9 membership covers it. They
-    # take the slots of the three r06-row fills (ann_ivf_nprobe_topk /
-    # audio_fingerprint_near_dup / audio_fingerprint_signature), which are
-    # not overdue until newest=9 and re-seat in ROTATION_R10.
-    "line_dedup_corpus",
-    "minhash_near_dup",
-    "minhash_signature",
+    # the r04-row window trio displaced from ROTATION_R8 by the batch-2
+    # re-seats (session-2 r07): overdue once r07 lands, and the R8∪R9
+    # envelope at newest=7 is satisfied by R9 membership. They take the
+    # slots of the r05-row fills (line_dedup_corpus / minhash_near_dup /
+    # minhash_signature), whose newest=8 deadline moves to ROTATION_R10
+    # (the R9∪R10 envelope at newest=8 admits either window).
+    "window_lag_frame",
+    "window_ntile_dist",
+    "window_rank",
     # r04-row trio re-seated here after yielding their ROTATION_R7 slots
     # to the batch-4 displacements (overdue once r07 lands, so R9
     # membership keeps the staleness invariant green at that point)
@@ -745,12 +758,18 @@ ROTATION_R10: list[str] = [
     "ann_ivf_nprobe_topk",
     "audio_fingerprint_near_dup",
     "audio_fingerprint_signature",
+    # the r05-row fills displaced from ROTATION_R9 by the window-trio
+    # re-seats (session-2 r07 batch 2): their newest=8 staleness deadline
+    # is covered by R10 membership (R9∪R10 envelope). They take the slots
+    # of three fills that duplicated R9 entries (dedup_bloom_prefilter /
+    # dedup_hit_miss / doc_hash_embedding get r09 rows from their R9
+    # seats, so the R10 copies were redundant re-checks).
+    "line_dedup_corpus",
+    "minhash_near_dup",
+    "minhash_signature",
     # fills: oldest predicted (r07) rows, alphabetical
     "corpus_report",
     "date_fns",
-    "dedup_bloom_prefilter",
-    "dedup_hit_miss",
-    "doc_hash_embedding",
     "dsir_importance_weights",
     "dup_span_fraction",
     "event_session_window",

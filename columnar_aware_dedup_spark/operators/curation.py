@@ -917,3 +917,126 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# -- passage extraction ---------------------------------------------------------
+
+#: passage window (tokens) and stride; stride < window gives the overlap RAG
+#: retrieval and context-window packing both want. Fixture docs run 10-99
+#: tokens, so the split yields 1-4 passages per doc — every branch (short
+#: doc, exact-fit tail, ragged tail) occurs at every SF.
+_PASSAGE_W = 32
+_PASSAGE_S = 24
+
+PASSAGE_SPLIT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL}, ' ') AS toks,
+         len(string_split({_NORM_SQL}, ' ')) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+             0,
+             CASE WHEN n <= {_PASSAGE_W} THEN 0
+                  ELSE (n - {_PASSAGE_W} + {_PASSAGE_S - 1}) // {_PASSAGE_S}
+             END)) AS passage_idx
+  FROM d)
+SELECT doc_id,
+       CAST(passage_idx AS INTEGER) AS passage_idx,
+       CAST(len(toks[passage_idx * {_PASSAGE_S} + 1 :
+                     passage_idx * {_PASSAGE_S} + {_PASSAGE_W}]) AS INTEGER)
+           AS n_tokens,
+       md5(array_to_string(
+           toks[passage_idx * {_PASSAGE_S} + 1 :
+                passage_idx * {_PASSAGE_S} + {_PASSAGE_W}], ' ')) AS passage_sig
+FROM p
+"""
+
+
+@register("passage_split", oracle=PASSAGE_SPLIT_ORACLE)
+def passage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window passage extraction (window 32 tokens,
+    stride 24): the doc -> passage table retrieval indexing and
+    long-context training prep both start from. Differs from
+    ``sequence_pack`` (docs CONCATENATED into budget sequences) — here each
+    doc SPLITS into overlapping windows, id'd by (doc_id, passage_idx) and
+    content-addressed by an md5 passage signature (the handle passage-level
+    dedup and ANN indexing key on).
+
+    Passage count is pure integer arithmetic — ``1 + ceil((n-W)/S)`` via
+    integer division, identical in both engines — and the token slices are
+    1-based clamped windows (`slice` / list-slicing agree on both). Plan:
+    one narrow projection + `posexplode`-free sequence explode, ZERO
+    shuffles — at 100 TB this is a map-only pass whose output is ~n/S
+    rows per doc, and the passage_sig column is the pre-shuffle hash
+    discipline every downstream groupBy inherits.
+    """
+    w, s = _PASSAGE_W, _PASSAGE_S
+    d = normalized(spark, sf_dir).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_last = F.when(
+        F.col("n") <= w, F.lit(0)
+    ).otherwise(F.expr(f"(n - {w} + {s - 1}) div {s}"))
+    return (
+        d.withColumn("passage_idx", F.explode(F.sequence(F.lit(0), n_last)))
+        .withColumn(
+            "ptoks", F.slice("toks", F.col("passage_idx") * s + 1, w)
+        )
+        .select(
+            "doc_id",
+            F.col("passage_idx").cast("int").alias("passage_idx"),
+            F.size("ptoks").alias("n_tokens"),
+            F.md5(F.array_join("ptoks", " ")).alias("passage_sig"),
+        )
+    )
+
+
+# -- exact-k balanced sampling --------------------------------------------------
+
+#: docs kept per source — under every fixture source's 25-doc population, so
+#: the rank cut binds everywhere.
+_BALANCED_K = 10
+
+BALANCED_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5('bs:' || CAST(doc_id AS VARCHAR))) AS INTEGER) AS rk
+  FROM documents)
+SELECT source, doc_id, rk FROM r WHERE rk <= {_BALANCED_K}
+"""
+
+
+@register("balanced_sample_exact_k", oracle=BALANCED_SAMPLE_ORACLE)
+def balanced_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k=10 docs per source, chosen by md5 order — the balanced-mix
+    complement to ``stratified_sample`` (rate-based, so per-source counts
+    fluctuate) and ``domain_mix_sample`` (budget-weighted rates): when an
+    eval set or an ablation needs a hard per-group quota, a rate cannot
+    deliver it. The md5 ranking keeps the ``stratified_sample`` discipline:
+    a doc's rank among its source peers is a pure function of doc identity,
+    so the same k docs come back under corpus re-sharding, and ADDING docs
+    can only push former picks out — never reshuffle survivors' relative
+    order (no RNG, no seed drift).
+
+    Plan: one source-keyed window (rank over the md5 sort key) and the rank
+    filter. Per-source sort is partition-parallel; at 100 TB with a
+    corpus-scale source, the scale path pre-filters to
+    ``md5 < threshold(4k/count)`` from a broadcast per-source census before
+    ranking — a safety-factored top-k that turns the sort into a
+    shortlist — while THIS exact form stays the correctness oracle.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("bs:"), F.col("doc_id").cast("string")))
+    )
+    from columnar_aware_dedup_spark.io import table
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BALANCED_K)
+    )

@@ -16,6 +16,12 @@ two families whose served state is batch-expressible in ANSI SQL:
   substring-span index (``streaming/spans.py``; replay must append zero
   rows), then the per-doc duplicated-span verdicts served from the index.
   Hash-checked against the batch ``dup_span_fraction`` corpus-scan oracle.
+* ``streaming_store_parity`` — snapshot A's chunk signatures folded into
+  the persisted bucketed signature store (``sources/store.py``) in two
+  waves plus a replay (must append zero), then the FLAGSHIP byte
+  accounting served by probing that table. Hash-checked against the
+  ``dedup_hit_miss`` oracle: incremental store maintenance must be
+  indistinguishable from the in-plan snapshot derivation.
 * ``streaming_cluster_parity`` — the same waves folded through the
   incremental cluster maintainer (``streaming/clusters.py``: each wave's
   delta pairs probe the band index, star contraction runs on delta +
@@ -47,6 +53,7 @@ from columnar_aware_dedup_spark.io import table
 from columnar_aware_dedup_spark.operators.clustering import (
     NEAR_DUP_CLUSTERS_ORACLE,
 )
+from columnar_aware_dedup_spark.operators.dedup import DEDUP_HIT_MISS_ORACLE
 from columnar_aware_dedup_spark.operators.text import (
     DUP_SPAN_ORACLE,
     MINHASH_NEAR_DUP_ORACLE,
@@ -129,3 +136,48 @@ def streaming_cluster_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     clusters.merge_clusters(spark, wave2, band_tbl, label_tbl, done_tbl)
     return clusters.clusters_from_index(spark, label_tbl)
+
+
+@register("streaming_store_parity", oracle=DEDUP_HIT_MISS_ORACLE)
+def streaming_store_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the FLAGSHIP byte accounting from the persisted bucketed
+    signature store after two incremental merges plus a replay: snapshot
+    A's chunks fold into ``sources/store.py``'s signature-bucketed table in
+    two deterministic waves (file-id parity), the wave-1 replay must append
+    ZERO rows (``merge_into_store``'s anti-join-under-lock discipline), and
+    the full chunk table then probes the SERVED table via ``probe_store`` —
+    whose plan shuffles only the incoming side, the property that makes
+    continuous dedup affordable at 100 TB. Hash-checked against the SAME
+    DuckDB oracle as ``dedup_hit_miss``: the incrementally maintained store
+    must be indistinguishable from the in-plan snapshot-A derivation. This
+    puts a driver row on the store-maintenance story itself — the core
+    object every other streaming index family imitates."""
+    from columnar_aware_dedup_spark.operators.dedup import (
+        lineitem_chunks,
+        snapshot_a_keys,
+        transfer_rollup,
+    )
+    from columnar_aware_dedup_spark.sources import store as store_mod
+
+    store_tbl = "parity_sig_store"
+    empty = spark.createDataFrame(
+        [], "signature string, chunk_type string, size bigint"
+    )
+    store_mod.drop_table_and_dir(spark, store_tbl)
+    store_mod.create_store(spark, empty, store_tbl)
+
+    chunks = lineitem_chunks(table(spark, sf_dir, "lineitem"))
+    keys_a = snapshot_a_keys(spark, sf_dir)
+    snap_a = chunks.join(
+        keys_a, chunks.file_id == keys_a.o_orderkey, "left_semi"
+    )
+    wave1 = snap_a.filter(F.col("file_id") % 2 == 0)
+    wave2 = snap_a.filter(F.col("file_id") % 2 != 0)
+    store_mod.merge_into_store(spark, wave1, store_tbl)
+    replayed = store_mod.merge_into_store(spark, wave1, store_tbl)
+    if replayed:
+        raise AssertionError(
+            f"wave-1 replay appended {replayed} rows; merge is not idempotent"
+        )
+    store_mod.merge_into_store(spark, wave2, store_tbl)
+    return transfer_rollup(store_mod.probe_store(spark, chunks, store_tbl))

@@ -196,7 +196,14 @@ def merge_into_store(
         spark.catalog.refreshTable(table_name)
         store_sigs = spark.table(table_name).select("signature")
         new = (
-            chunks.select(*[c for c in _STORE_COLS if c in chunks.columns])
+            chunks.select(
+                "signature",
+                F.col("chunk_type")
+                if "chunk_type" in chunks.columns
+                else F.lit("Row").alias("chunk_type"),
+                "size",
+            )  # same chunk_type defaulting as create_store: insertInto is
+            # positional, so the store's full column arity is mandatory
             .dropDuplicates(["signature"])
             .join(store_sigs, "signature", "left_anti")
             .persist()

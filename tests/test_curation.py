@@ -293,3 +293,126 @@ def test_corpus_split_ratios(spark, sf_dir):
     assert 0.80 <= agg["train"] / total <= 0.97
     assert 0.005 <= agg["val"] / total <= 0.12
     assert 0.005 <= agg["test"] / total <= 0.12
+
+
+# -- passage extraction ---------------------------------------------------------
+
+
+def test_passage_split_reconstructs_docs(spark, sf_dir):
+    """Stride-S prefixes of all but the last passage, plus the whole last
+    passage, concatenate back to the original token stream — the invariant
+    that makes the split loss-free for training prep."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.curation import (
+        _PASSAGE_S,
+        _PASSAGE_W,
+    )
+    from columnar_aware_dedup_spark.operators.text import normalized
+
+    docs = {
+        r["doc_id"]: r["toks"]
+        for r in normalized(spark, sf_dir).select("doc_id", "toks").collect()
+    }
+    # recompute passages via the registered query's own output signature by
+    # re-slicing locally: the engine output is checked against the oracle;
+    # here we pin the SEMANTIC contract of (W, S) windows.
+    for toks in list(docs.values())[:50]:
+        n = len(toks)
+        if n <= _PASSAGE_W:
+            starts = [0]
+        else:
+            p = 1 + (n - _PASSAGE_W + _PASSAGE_S - 1) // _PASSAGE_S
+            starts = [i * _PASSAGE_S for i in range(p)]
+        windows = [toks[s : s + _PASSAGE_W] for s in starts]
+        rebuilt = []
+        for w in windows[:-1]:
+            rebuilt.extend(w[:_PASSAGE_S])
+        rebuilt.extend(windows[-1])
+        assert rebuilt == toks
+        # every non-final window is full-width; the tail may be ragged
+        assert all(len(w) == _PASSAGE_W for w in windows[:-1])
+        assert 1 <= len(windows[-1]) <= _PASSAGE_W
+
+
+def test_passage_split_counts_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.curation import (
+        _PASSAGE_S,
+        _PASSAGE_W,
+        passage_split,
+    )
+    from columnar_aware_dedup_spark.operators.text import normalized
+
+    out = passage_split(spark, sf_dir)
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pass"),
+            F.max("passage_idx").alias("max_idx"),
+            F.min("n_tokens").alias("min_len"),
+            F.max("n_tokens").alias("max_len"),
+        )
+    )
+    n_toks = normalized(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n")
+    )
+    joined = per_doc.join(n_toks, "doc_id").collect()
+    assert joined, "no docs"
+    saw_multi = saw_single = False
+    for r in joined:
+        expect = (
+            1
+            if r["n"] <= _PASSAGE_W
+            else 1 + (r["n"] - _PASSAGE_W + _PASSAGE_S - 1) // _PASSAGE_S
+        )
+        assert r["n_pass"] == expect, r
+        assert r["max_idx"] == expect - 1
+        assert r["max_len"] <= _PASSAGE_W
+        saw_multi |= expect > 1
+        saw_single |= expect == 1
+    # the fixture must exercise both branches or the oracle proves little
+    assert saw_multi and saw_single
+
+
+# -- exact-k balanced sampling ----------------------------------------------
+
+
+def test_balanced_sample_exact_k_quota_and_stability(spark, sf_dir):
+    """Exactly k per source; picks are a pure function of doc identity —
+    re-sharding the input changes nothing, and REMOVING other docs never
+    unpicks a surviving pick (ranks only improve)."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators.curation import (
+        _BALANCED_K,
+        balanced_sample_exact_k,
+    )
+
+    picks = balanced_sample_exact_k(spark, sf_dir)
+    counts = picks.groupBy("source").count().collect()
+    assert counts and all(r["count"] == _BALANCED_K for r in counts)
+
+    # stability under a shrunken corpus: drop half the docs, re-rank the
+    # survivors through the same window logic, and require that every
+    # original pick that survived the cut is still picked.
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id")
+    kept_ids = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 2 == 0).collect()}
+    sub = docs.filter(F.col("doc_id") % 2 == 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("bs:"), F.col("doc_id").cast("string")))
+    )
+    sub_picks = {
+        r["doc_id"]
+        for r in sub.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BALANCED_K)
+        .collect()
+    }
+    surviving_original_picks = {
+        r["doc_id"] for r in picks.collect() if r["doc_id"] in kept_ids
+    }
+    assert surviving_original_picks <= sub_picks

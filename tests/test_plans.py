@@ -502,3 +502,34 @@ def test_perplexity_windows_run_on_the_histogram_only(spark, sf_dir):
     # the windows' input is the s2 histogram aggregate, not the corpus
     below_last_window = plan.rsplit("Window", 1)[1]
     assert "HashAggregate(keys=[s2" in below_last_window, below_last_window
+
+
+def test_cdc_chunk_certificate_single_shuffle(spark, sf_dir):
+    """cdc_file_chunks: the per-file cover windows and the certificate
+    rollup share one file-keyed partitioning — chunking itself is a
+    shuffle-free mapInPandas over the binaryFile scan, so the whole
+    certificate costs exactly ONE exchange regardless of corpus size."""
+    from columnar_aware_dedup_spark.sources import cdc
+
+    df = cdc.cdc_file_chunks(spark, sf_dir)
+    n = explain.n_exchanges(df)
+    assert n == 1, f"cdc_file_chunks must be one shuffle, got {n}:\n" + explain.plan_string(df)
+
+
+def test_cdc_report_shuffle_budget(spark, sf_dir):
+    """cdc_dedup_report: three chunkers fused into ONE Arrow pass per file
+    (a single mapInPandas over each snapshot scan — one file read, not
+    three), then a bounded shuffle budget: store-side signature distinct,
+    the probe join (AQE may broadcast the distinct store side at small SF;
+    at scale it degrades to the signature-keyed shuffle join, which this
+    bound also admits), the 9-row rollup, the bounded-rollup window, and
+    the final sort. Nothing pairwise, no corpus-sized window."""
+    from columnar_aware_dedup_spark.sources import cdc
+
+    df = cdc.cdc_dedup_report(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert plan.count("ArrowEvalPython") == 0, plan  # mapInPandas, not UDF
+    assert plan.count("MapInPandas") == 2, plan  # one per snapshot scan
+    assert "CartesianProduct" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 6, f"cdc_dedup_report grew to {n} shuffles:\n{plan}"

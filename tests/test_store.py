@@ -390,3 +390,28 @@ def test_drop_table_and_dir_cleans_nondefault_database(spark):
         # session-scoped spark fixture and cascade into other catalog tests
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql("DROP DATABASE IF EXISTS cleanup_db")
+
+
+def test_merge_defaults_missing_chunk_type(spark):
+    """merge_into_store accepts chunk frames without a chunk_type column
+    (the flagship's row-chunk tables), defaulting it to 'Row' exactly like
+    create_store — insertInto is positional, so a two-column frame must
+    never reach the three-column store."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.sources import store as store_mod
+
+    tbl = "test_store_ct_default"
+    store_mod.drop_table_and_dir(spark, tbl)
+    empty = spark.createDataFrame(
+        [], "signature string, chunk_type string, size bigint"
+    )
+    store_mod.create_store(spark, empty, tbl)
+    chunks = spark.createDataFrame(
+        [("sigA", 10), ("sigB", 20)], "signature string, size bigint"
+    )
+    assert store_mod.merge_into_store(spark, chunks, tbl) == 2
+    rows = spark.table(tbl).collect()
+    assert {r["chunk_type"] for r in rows} == {"Row"}
+    assert store_mod.merge_into_store(spark, chunks, tbl) == 0  # idempotent
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
