@@ -134,6 +134,8 @@ HEADLINE = [
     # exact-k balanced sampler.
     "passage_split",
     "balanced_sample_exact_k",
+    # session-2 r07 batch 3: the walker-vs-footer parquet storage census.
+    "parquet_column_census",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

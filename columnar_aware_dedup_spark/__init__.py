@@ -38,6 +38,7 @@ from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import cdc  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
 from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401
+from columnar_aware_dedup_spark.sources import parquetcensus  # noqa: F401
 
 #: the driver's CORRECTNESS window covers the first 50 registered queries —
 #: keep the dedup core, every LLM-pipeline operator, the ORC family, and the
@@ -500,6 +501,11 @@ ROTATION_R7: list[str] = [
     "passage_split",
     "balanced_sample_exact_k",
     "streaming_store_parity",
+    # session-2 r07 batch 3 (never driver-checked, so mandatory here): the
+    # parquet storage census whose walker-vs-footer bits cross-verify the
+    # from-scratch Thrift page walk (sources/parquetcensus.py). Takes the
+    # slot of scan_project (overdue — re-seated in ROTATION_R8).
+    "parquet_column_census",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -531,7 +537,6 @@ ROTATION_R7: list[str] = [
     "pivot_agg",
     "rollup_agg",
     "row_signature",
-    "scan_project",
 ]
 
 #: r08 rotation (PREPARED two ahead): the 25 queries whose newest driver
@@ -604,7 +609,13 @@ ROTATION_R8: list[str] = [
     "grouped_percentile",
     "image_ahash_near_dup",
     "image_ahash_signature",
-    "lang_id_heuristic",
+    # scan_project re-seated here after yielding its ROTATION_R7 slot to
+    # parquet_column_census (batch 3): overdue through r07, so R8
+    # membership keeps both envelopes green. It displaces the r05 fill
+    # lang_id_heuristic, whose newest=8 deadline moves to the redundant
+    # ROTATION_R10 seat that dsir_importance_weights held (that query
+    # keeps its required R9 seat, so nothing loses coverage).
+    "scan_project",
     # set_union/set_except/set_intersect re-seated here after yielding
     # their ROTATION_R7 slots to the session-2 r07 registrations (the CDC
     # family + streaming_spans_parity): their rows stay r01-old through
@@ -767,10 +778,14 @@ ROTATION_R10: list[str] = [
     "line_dedup_corpus",
     "minhash_near_dup",
     "minhash_signature",
+    # lang_id_heuristic displaced from ROTATION_R8 by scan_project's
+    # batch-3 re-seat: its r05 row hits the staleness wall at newest=8,
+    # covered by this R10 seat (previously a redundant second seat for
+    # dsir_importance_weights, which keeps its required R9 seat).
+    "lang_id_heuristic",
     # fills: oldest predicted (r07) rows, alphabetical
     "corpus_report",
     "date_fns",
-    "dsir_importance_weights",
     "dup_span_fraction",
     "event_session_window",
     "event_tumbling_window",

@@ -180,3 +180,51 @@ def page_spans(
     if pos != end:
         raise ValueError(f"page walk ended at {pos}, expected {end}")
     return spans
+
+
+_F_UNCOMPRESSED_SIZE = 2
+
+
+def page_stats(
+    data: bytes, start: int, total_size: int
+) -> list[tuple[str, int, int, int]]:
+    """Walk every page of a column chunk recording
+    ``(page_type, header_len, compressed_size, uncompressed_size)`` — the
+    :func:`page_spans` walk plus the uncompressed integer, for the census
+    that cross-checks the walker against the footer's own claims
+    (parquet-format: a ColumnChunk's ``total_{un,}compressed_size`` is the
+    sum over its pages INCLUDING the page headers). Same exact-cover
+    contract: ValueError on any walk that does not land on
+    ``start + total_size``."""
+    end = start + total_size
+    pos = start
+    out: list[tuple[str, int, int, int]] = []
+    while pos < end:
+        fields, struct_end = _read_struct(
+            data,
+            pos,
+            keep=frozenset(
+                {_F_TYPE, _F_COMPRESSED_SIZE, _F_UNCOMPRESSED_SIZE}
+            ),
+        )
+        ptype = fields.get(_F_TYPE)
+        comp = fields.get(_F_COMPRESSED_SIZE)
+        uncomp = fields.get(_F_UNCOMPRESSED_SIZE)
+        if (
+            not isinstance(ptype, int)
+            or not isinstance(comp, int)
+            or not isinstance(uncomp, int)
+            or comp < 0
+            or uncomp < 0
+        ):
+            raise ValueError(f"malformed PageHeader at {pos}: {fields}")
+        hdr_len = struct_end - pos
+        if pos + hdr_len + comp > end:
+            raise ValueError(f"page at {pos} overruns column chunk end {end}")
+        out.append(
+            (PAGE_TYPE_NAMES.get(ptype, f"Page{ptype}"), hdr_len, comp, uncomp)
+        )
+        pos += hdr_len + comp
+    if pos != end:
+        raise ValueError(f"page walk ended at {pos}, expected {end}")
+    return out
