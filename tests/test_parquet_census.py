@@ -122,3 +122,54 @@ def test_census_full_zero_shuffle_plan(spark, sf_dir):
 
     df = parquet_column_census_full(spark, sf_dir)
     assert explain.n_exchanges(df) == 0, explain.plan_string(df)
+
+
+@pytest.mark.parametrize("codec", ["NONE", "SNAPPY", "ZSTD", "GZIP"])
+@pytest.mark.parametrize("dictionary", [True, False])
+def test_census_verifies_across_writer_configs(tmp_path, codec, dictionary):
+    """Fuzz the walker against pyarrow writer shapes the fixtures never
+    produce: multiple row groups, multiple data pages per chunk (tiny
+    data_page_size), dictionary on/off, four codecs. Every configuration
+    must verify walker-vs-footer exactly — the census claim is about the
+    FORMAT, not about one writer's defaults."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        rng = random.Random(codec + str(dictionary))
+        n = 5000
+        t = pa.table(
+            {
+                "k": pa.array([rng.randrange(0, 50) for _ in range(n)]),
+                "v": pa.array([rng.random() for _ in range(n)]),
+                "s": pa.array(
+                    [f"row-{rng.randrange(0, 200)}" for _ in range(n)]
+                ),
+            }
+        )
+        path = tmp_path / f"fuzz_{codec}_{dictionary}.parquet"
+        pq.write_table(
+            t,
+            path,
+            compression=codec,
+            use_dictionary=dictionary,
+            row_group_size=1200,      # 5 row groups
+            data_page_size=2048,      # several pages per chunk
+        )
+    except (OSError, pa.lib.ArrowNotImplementedError) as e:
+        pytest.skip(f"codec {codec} unavailable: {e}")
+
+    rows = column_census_rows(path.name, path.read_bytes())
+    assert {r["column_name"] for r in rows} == {"k", "v", "s"}
+    for r in rows:
+        assert r["compressed_matches_footer_ok"], (codec, dictionary, r)
+        assert r["uncompressed_matches_footer_ok"], (codec, dictionary, r)
+        assert r["dict_at_most_one_ok"], (codec, dictionary, r)
+        # 5 row groups, >=1 page each — the multi-page path really ran
+        assert r["n_pages"] >= 5, r
+        if dictionary:
+            assert r["n_dict_pages"] >= 1, r
+        else:
+            assert r["n_dict_pages"] == 0, r
