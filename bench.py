@@ -136,6 +136,8 @@ HEADLINE = [
     "balanced_sample_exact_k",
     # session-2 r07 batch 3: the walker-vs-footer parquet storage census.
     "parquet_column_census",
+    # session-2 r07 batch 4: the ORC zone-map pruning certificate.
+    "orc_zone_map_pruning",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -33,6 +33,7 @@ from columnar_aware_dedup_spark.operators import phash  # noqa: F401
 from columnar_aware_dedup_spark.operators import audiofp  # noqa: F401
 from columnar_aware_dedup_spark.operators import pca  # noqa: F401
 from columnar_aware_dedup_spark.operators import streaming_parity  # noqa: F401
+from columnar_aware_dedup_spark.operators import zonemap  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import cdc  # noqa: F401
@@ -506,6 +507,12 @@ ROTATION_R7: list[str] = [
     # from-scratch Thrift page walk (sources/parquetcensus.py). Takes the
     # slot of scan_project (overdue — re-seated in ROTATION_R8).
     "parquet_column_census",
+    # session-2 r07 batch 4 (never driver-checked, so mandatory here): the
+    # ORC zone-map pruning certificate (operators/zonemap.py — stripe
+    # min/max statistics from our protobuf walker, soundness/effectiveness
+    # verified against pyarrow's independent re-read). Takes the slot of
+    # row_signature (overdue — re-seated in ROTATION_R8).
+    "orc_zone_map_pruning",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -536,7 +543,6 @@ ROTATION_R7: list[str] = [
     "percentile_disc_median",
     "pivot_agg",
     "rollup_agg",
-    "row_signature",
 ]
 
 #: r08 rotation (PREPARED two ahead): the 25 queries whose newest driver
@@ -608,7 +614,13 @@ ROTATION_R8: list[str] = [
     "embedding_pca_project",
     "grouped_percentile",
     "image_ahash_near_dup",
-    "image_ahash_signature",
+    # row_signature re-seated here after yielding its ROTATION_R7 slot to
+    # orc_zone_map_pruning (batch 4): overdue through r07, so R8
+    # membership keeps both envelopes green. It displaces the r05 fill
+    # image_ahash_signature, whose newest=8 deadline moves to the
+    # redundant ROTATION_R10 seat that dup_span_fraction held (that query
+    # keeps its required R9 seat).
+    "row_signature",
     # scan_project re-seated here after yielding its ROTATION_R7 slot to
     # parquet_column_census (batch 3): overdue through r07, so R8
     # membership keeps both envelopes green. It displaces the r05 fill
@@ -783,10 +795,13 @@ ROTATION_R10: list[str] = [
     # covered by this R10 seat (previously a redundant second seat for
     # dsir_importance_weights, which keeps its required R9 seat).
     "lang_id_heuristic",
+    # image_ahash_signature displaced from ROTATION_R8 by row_signature's
+    # batch-4 re-seat: same newest=8 deadline, covered by the redundant
+    # R10 seat dup_span_fraction held (it keeps its required R9 seat).
+    "image_ahash_signature",
     # fills: oldest predicted (r07) rows, alphabetical
     "corpus_report",
     "date_fns",
-    "dup_span_fraction",
     "event_session_window",
     "event_tumbling_window",
     "except_all",

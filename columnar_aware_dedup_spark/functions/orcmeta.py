@@ -249,3 +249,54 @@ def read_orc_structure(data: bytes) -> OrcStructure:
         content_length=content_length,
         stripes=tuple(stripes),
     )
+
+
+def _szigzag(n: int) -> int:
+    """Decode a protobuf sint64 (zigzag) varint value."""
+    return (n >> 1) ^ -(n & 1)
+
+
+def read_stripe_column_stats(
+    data: bytes,
+) -> list[list[dict[str, int | None]]]:
+    """Parse the ORC Metadata section's per-stripe column statistics
+    (public ORC spec: tail = [Metadata][Footer][PostScript][len byte];
+    ``Metadata.stripeStats`` field 1 repeated ``StripeStatistics``, whose
+    field 1 repeats ``ColumnStatistics`` — field 1 ``numberOfValues``
+    uint64, field 2 ``IntegerStatistics`` with sint64 ``minimum``/
+    ``maximum``). Returns one list per stripe, one dict per column
+    (index 0 is the struct root), with ``int_min``/``int_max`` None for
+    non-integer columns — everything the zone-map pruner consumes.
+    """
+    s = read_orc_structure(data)
+    if s.metadata_length == 0:
+        return []
+    meta = _decompress_orc_stream(
+        data[s.metadata_start : s.metadata_start + s.metadata_length],
+        s.compression,
+    )
+    stripes: list[list[dict[str, int | None]]] = []
+    for field, wire, val in _fields(meta):
+        if field != 1 or wire != 2:
+            continue
+        cols: list[dict[str, int | None]] = []
+        for f2, w2, v2 in _fields(val):
+            if f2 != 1 or w2 != 2:
+                continue
+            stat: dict[str, int | None] = {
+                "n_values": None,
+                "int_min": None,
+                "int_max": None,
+            }
+            for f3, w3, v3 in _fields(v2):
+                if f3 == 1 and w3 == 0:
+                    stat["n_values"] = v3
+                elif f3 == 2 and w3 == 2:
+                    for f4, w4, v4 in _fields(v3):
+                        if f4 == 1 and w4 == 0:
+                            stat["int_min"] = _szigzag(v4)
+                        elif f4 == 2 and w4 == 0:
+                            stat["int_max"] = _szigzag(v4)
+            cols.append(stat)
+        stripes.append(cols)
+    return stripes

@@ -71,6 +71,7 @@ CERT_FLIP_TESTS = {
         "tests.test_parquet_census",
         "test_byte_bits_flip_on_corrupted_page_header",
     ),
+    "orc_zone_map_pruning": ("tests.test_zonemap", "test_zone_map_bits_flip"),
 }
 
 

@@ -1,0 +1,115 @@
+"""Zone-map pruning: flip tests, Spark/pure parity, stats parser pins."""
+
+from __future__ import annotations
+
+from columnar_aware_dedup_spark.operators.zonemap import (
+    zone_map_bits,
+    zone_map_bits_df,
+    zone_map_stripe_audit,
+    zone_map_stripe_table,
+)
+
+
+def _row(
+    idx,
+    cmin,
+    cmax,
+    tmin=None,
+    tmax=None,
+    matches=0,
+    lo=0,
+    hi=100,
+):
+    return {
+        "file_name": "f",
+        "stripe_idx": idx,
+        "claimed_min": cmin,
+        "claimed_max": cmax,
+        "true_min": cmin if tmin is None else tmin,
+        "true_max": cmax if tmax is None else tmax,
+        "band_lo": lo,
+        "band_hi": hi,
+        "n_band_matches": matches,
+        "n_rows": 10,
+    }
+
+
+def test_zone_map_bits_flip():
+    """Each certificate bit is falsifiable through the same derivation the
+    registered query runs (CERT_FLIP_TESTS contract)."""
+    good = zone_map_bits(
+        [_row(0, 0, 90, matches=10), _row(1, 150, 400, matches=0)]
+    )
+    assert good == {
+        "stats_match_truth_ok": True,
+        "pruning_sound_ok": True,
+        "pruning_effective_ok": True,
+    }
+
+    lying_stats = zone_map_bits([_row(0, 0, 90, tmin=5), _row(1, 150, 400)])
+    assert not lying_stats["stats_match_truth_ok"]
+
+    # a stripe whose claimed range misses the band yet holds matches: the
+    # skip would lose rows — soundness flips
+    unsound = zone_map_bits(
+        [_row(0, 0, 90, matches=10), _row(1, 150, 400, matches=3)]
+    )
+    assert not unsound["pruning_sound_ok"]
+
+    nothing_pruned = zone_map_bits(
+        [_row(0, 0, 90, matches=1), _row(1, 50, 99, matches=1)]
+    )
+    assert not nothing_pruned["pruning_effective_ok"]
+
+    everything_pruned = zone_map_bits(
+        [_row(0, 150, 200), _row(1, 300, 400)]
+    )
+    assert not everything_pruned["pruning_effective_ok"]
+
+    # a stripe with no statistics is never pruned (the pruner must read it)
+    no_stats = zone_map_bits(
+        [_row(0, None, None, tmin=0, tmax=9, matches=5), _row(1, 150, 400)]
+    )
+    assert not no_stats["stats_match_truth_ok"]  # None claim != true values
+    assert no_stats["pruning_sound_ok"]
+
+
+def test_spark_and_pure_bit_derivations_agree(spark, sf_dir):
+    """zone_map_bits_df must be indistinguishable from zone_map_bits on
+    the REAL audit table — the drift guard that lets the flip tests run on
+    the pure function while the registered query stays distributed."""
+    audit = zone_map_stripe_audit(spark, sf_dir)
+    rows = [r.asDict() for r in audit.collect()]
+    by_file: dict[str, list[dict]] = {}
+    for r in rows:
+        by_file.setdefault(r["file_name"], []).append(r)
+    pure = {f: zone_map_bits(rs) for f, rs in by_file.items()}
+    via_df = {
+        r["file_name"]: {
+            "stats_match_truth_ok": r["stats_match_truth_ok"],
+            "pruning_sound_ok": r["pruning_sound_ok"],
+            "pruning_effective_ok": r["pruning_effective_ok"],
+        }
+        for r in zone_map_bits_df(audit).collect()
+    }
+    assert pure == via_df
+    assert len(pure) == 4
+
+
+def test_stripe_table_against_pyarrow(sf_dir):
+    """The audit rows' claimed stats equal pyarrow's independent per-stripe
+    recomputation on a real fixture file (the bit in microcosm), and the
+    band really splits the sorted file."""
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+
+    store_dir, _ = orc_fixture_dirs(sf_dir)
+    data = open(f"{store_dir}/lineitem.orc", "rb").read()
+    rows = zone_map_stripe_table("store/lineitem.orc", data)
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["claimed_min"] == r["true_min"]
+        assert r["claimed_max"] == r["true_max"]
+    assert any(r["n_band_matches"] == 0 for r in rows)  # prunable stripes
+    assert any(r["n_band_matches"] > 0 for r in rows)  # kept stripes
