@@ -533,3 +533,24 @@ def test_cdc_report_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     n = explain.n_exchanges(df)
     assert n <= 6, f"cdc_dedup_report grew to {n} shuffles:\n{plan}"
+
+
+def test_passage_split_zero_shuffle(spark, sf_dir):
+    """passage_split is a pure map: sequence-explode + slice + hash, no
+    exchange anywhere — at 100 TB the passage table is produced at scan
+    parallelism."""
+    from columnar_aware_dedup_spark.operators import curation
+
+    df = curation.passage_split(spark, sf_dir)
+    n = explain.n_exchanges(df)
+    assert n == 0, f"passage_split must be map-only, got {n}:\n" + explain.plan_string(df)
+
+
+def test_balanced_sample_single_window_shuffle(spark, sf_dir):
+    """balanced_sample_exact_k costs exactly the one source-keyed window
+    exchange (the rank); no second shuffle sneaks in behind the filter."""
+    from columnar_aware_dedup_spark.operators import curation
+
+    df = curation.balanced_sample_exact_k(spark, sf_dir)
+    n = explain.n_exchanges(df)
+    assert n == 1, f"expected one window shuffle, got {n}:\n" + explain.plan_string(df)
