@@ -138,6 +138,8 @@ HEADLINE = [
     "parquet_column_census",
     # session-2 r07 batch 4: the ORC zone-map pruning certificate.
     "orc_zone_map_pruning",
+    # session-2 r07 batch 5: the boilerplate hot-span census.
+    "hot_span_census",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -513,6 +513,10 @@ ROTATION_R7: list[str] = [
     # verified against pyarrow's independent re-read). Takes the slot of
     # row_signature (overdue — re-seated in ROTATION_R8).
     "orc_zone_map_pruning",
+    # session-2 r07 batch 5 (never driver-checked, so mandatory here): the
+    # boilerplate hot-span census (operators/text.py). Takes the slot of
+    # rollup_agg (overdue — re-seated in ROTATION_R8).
+    "hot_span_census",
     "except_all",
     "intersect_all",
     "q11_important_stock",
@@ -542,7 +546,6 @@ ROTATION_R7: list[str] = [
     "orderby_limit_topk",
     "percentile_disc_median",
     "pivot_agg",
-    "rollup_agg",
 ]
 
 #: r08 rotation (PREPARED two ahead): the 25 queries whose newest driver
@@ -613,7 +616,13 @@ ROTATION_R8: list[str] = [
     "embedding_norm_stats",
     "embedding_pca_project",
     "grouped_percentile",
-    "image_ahash_near_dup",
+    # rollup_agg re-seated here after yielding its ROTATION_R7 slot to
+    # hot_span_census (batch 5): overdue through r07, so R8 membership
+    # keeps both envelopes green. It displaces the r05 fill
+    # image_ahash_near_dup, whose newest=8 deadline moves to the redundant
+    # ROTATION_R10 seat event_session_window held (that query keeps its
+    # required R9 seat).
+    "rollup_agg",
     # row_signature re-seated here after yielding its ROTATION_R7 slot to
     # orc_zone_map_pruning (batch 4): overdue through r07, so R8
     # membership keeps both envelopes green. It displaces the r05 fill
@@ -799,10 +808,13 @@ ROTATION_R10: list[str] = [
     # batch-4 re-seat: same newest=8 deadline, covered by the redundant
     # R10 seat dup_span_fraction held (it keeps its required R9 seat).
     "image_ahash_signature",
+    # image_ahash_near_dup displaced from ROTATION_R8 by rollup_agg's
+    # batch-5 re-seat: same newest=8 deadline, covered by the redundant
+    # R10 seat event_session_window held (required R9 seat kept).
+    "image_ahash_near_dup",
     # fills: oldest predicted (r07) rows, alphabetical
     "corpus_report",
     "date_fns",
-    "event_session_window",
     "event_tumbling_window",
     "except_all",
     "filter_pred",

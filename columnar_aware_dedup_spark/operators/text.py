@@ -2371,3 +2371,64 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# -- boilerplate hot-span census ------------------------------------------------
+
+#: census size; ordered by (n_docs DESC, span_sig) so the top-k boundary is
+#: tie-free in both engines.
+_HOT_SPAN_K = 20
+
+HOT_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, unnest({_SPANS_SQL}) AS span FROM t),
+c AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY span),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents)
+SELECT span AS span_sig, n_docs,
+       round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share
+FROM c, n
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, span_sig
+LIMIT {_HOT_SPAN_K}
+"""
+
+
+@register("hot_span_census", oracle=HOT_SPAN_ORACLE)
+def hot_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate detector: the top-20 most-duplicated 5-token spans
+    by document frequency, with each span's share of the corpus — the
+    report an engineer reads to find template strings (headers, footers,
+    license blurbs) polluting a crawl BEFORE deciding cut thresholds for
+    ``substring_dedup_ranges``. Spans are per-doc DISTINCT (the
+    ``dup_span_fraction`` discipline), so ``n_docs`` is a true document
+    frequency, not an occurrence count a single spammy doc can inflate.
+
+    Plan: one span-keyed shuffle with map-side partials (corpus-hot spans
+    collapse per mapper before the wire — the same skew defense as the
+    substring cutter), the 1-row corpus count attached by the literal-key
+    broadcast idiom, and the top-k compiles to TakeOrdered — no global
+    sort. Deterministic at the boundary: ties break on the span hash.
+    """
+    s = normalized(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("span")
+    )
+    counts = s.groupBy("span").agg(F.count("*").cast("bigint").alias("n_docs"))
+    total = (
+        normalized(spark, sf_dir)
+        .agg(F.count("*").cast("bigint").alias("total_docs"))
+        .withColumn("_k", F.lit(1))
+    )
+    return (
+        counts.filter(F.col("n_docs") >= 2)
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            F.col("span").alias("span_sig"),
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("total_docs"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy(F.desc("n_docs"), "span_sig")
+        .limit(_HOT_SPAN_K)
+    )
