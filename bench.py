@@ -179,6 +179,10 @@ SCALING_QUERIES = [
     # session-2 r07: the three-mode chunking comparison — its Gear kernel
     # cost is linear in file bytes by construction; the ratio probe pins it.
     "cdc_dedup_report",
+    # session-2 r07 batch 5: the span-keyed census — the one new shape
+    # whose candidate volume grows with corpus duplication, exactly what
+    # the ratio probe watches.
+    "hot_span_census",
 ]
 
 
