@@ -890,6 +890,69 @@ ROTATION_R11: list[str] = [
     "cast_fns",
 ]
 
+#: r12 rotation (PREPARED five ahead, derived in r07 session 2 from the
+#: PREDICTED archive state after r07..r11 check their windows): the 12
+#: session-2 r07 registrations land their second driver rows here (their
+#: r07 rows hit the 3-round staleness wall at newest=10, and R11 —
+#: derived before they existed — cannot hold them), plus the
+#: apply_in_pandas_group / argminmax_agg / array_fns trio displaced from
+#: R10 by the session-2 re-seats, then the predicted newest=11 overdue
+#: set (the R8-window r08 rows) as fill. Rounds 8+ re-derive against the
+#: real archives before activating — the same contract as R8..R11; the
+#: conditional freshness test arms on CORRECTNESS_r11.
+ROTATION_R12: list[str] = [
+    "apply_in_pandas_group",
+    "argminmax_agg",
+    "array_fns",
+    "balanced_sample_exact_k",
+    "cdc_dedup_report",
+    "cdc_file_chunks",
+    "hot_span_census",
+    "orc_zone_map_pruning",
+    "parquet_column_census",
+    "passage_split",
+    "streaming_spans_parity",
+    "streaming_store_parity",
+    "ann_pq_recall",
+    "bpe_train_merges",
+    "cube_agg",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "embedding_pca_project",
+    "event_anomaly_zscore",
+    "event_hypertable_rollup",
+    "event_sliding_window",
+    "event_watermark_filter",
+    "grouped_percentile",
+    "having_filter",
+    "join_anti",
+    "join_inner",
+    "join_semi",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_scene_cuts",
+    "naive_bayes_source_classify",
+    "ngram_containment_pairs",
+    "pmi_collocations",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "range_join_bands",
+    "source_mix_kl",
+    "source_overlap_matrix",
+    "stats_agg",
+    "token_heavy_hitters_cms",
+    "token_vocab_hll",
+    "token_zipf_slope",
+    "ann_ivf_nprobe_topk",
+]
+
 # r07: the prepared window goes ACTIVE (VERDICT r06 brief #3) — the 45
 # r03-stale rows plus this round's four new registrations.
 registry.reorder(ROTATION_R7)

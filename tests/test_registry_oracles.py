@@ -315,3 +315,25 @@ def test_rotation_r11_is_prepared_and_fresh():
             "queries with no driver row must be in the prepared r11 "
             f"window: {sorted(missing)}"
         )
+
+
+def test_rotation_r12_is_prepared_and_fresh():
+    """ROTATION_R12 (prepared five ahead, derived r07 session 2) must be
+    50 unique registered names; once CORRECTNESS_r11.json lands, it must
+    also cover every query still lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R12) == 50
+    assert len(set(pkg.ROTATION_R12)) == 50
+    assert set(pkg.ROTATION_R12) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r11.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R12)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r12 "
+            f"window: {sorted(missing)}"
+        )
