@@ -201,3 +201,63 @@ def test_wav_codec_roundtrips_any_pcm(samples):
     rate, ch, bits, out = audiocodec.parse_wav(audiocodec.write_wav(samples))
     assert (rate, ch, bits) == (8000, 1, 16)
     assert out.tolist() == samples
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=20000),
+    rep=st.integers(min_value=1, max_value=6),
+)
+def test_cdc_kernel_properties(data, rep):
+    """FastCDC invariants on ARBITRARY bytes (incl. highly repetitive ones
+    hypothesis shrinks toward, the Gear hash's worst case): the vectorized
+    kernel judges identically to the scalar rolling definition, and the
+    resulting cover is gap-free with every bound honored."""
+    from columnar_aware_dedup_spark.sources.cdc import (
+        _MAX,
+        _MIN,
+        cdc_cut_points,
+        chunk_cdc_bytes,
+    )
+    from tests.test_cdc import _scalar_cuts
+
+    blob = data * rep
+    assert cdc_cut_points(blob) == _scalar_cuts(blob)
+    chunks = chunk_cdc_bytes(blob)
+    assert b"".join(
+        blob[c["start"] : c["start"] + c["size"]] for c in chunks
+    ) == blob
+    sizes = [c["size"] for c in chunks]
+    if blob:
+        assert max(sizes) <= _MAX
+        assert all(s >= _MIN for s in sizes[:-1])
+    else:
+        assert chunks == [] or sizes == [0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=400),
+)
+def test_passage_arithmetic_covers_any_length(n):
+    """The passage count/slice arithmetic reconstructs a doc of ANY token
+    count: stride-prefixes of all but the last window plus the last window
+    equal the token stream, with every non-final window full-width."""
+    from columnar_aware_dedup_spark.operators.curation import (
+        _PASSAGE_S,
+        _PASSAGE_W,
+    )
+
+    toks = [f"t{i}" for i in range(n)]
+    if n <= _PASSAGE_W:
+        starts = [0]
+    else:
+        p = 1 + (n - _PASSAGE_W + _PASSAGE_S - 1) // _PASSAGE_S
+        starts = [i * _PASSAGE_S for i in range(p)]
+    windows = [toks[s : s + _PASSAGE_W] for s in starts]
+    rebuilt = []
+    for w in windows[:-1]:
+        rebuilt.extend(w[:_PASSAGE_S])
+    rebuilt.extend(windows[-1])
+    assert rebuilt == toks
+    assert all(len(w) == _PASSAGE_W for w in windows[:-1])
