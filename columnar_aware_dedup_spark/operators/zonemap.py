@@ -95,9 +95,7 @@ def zone_map_stripe_table(file_name: str, data: bytes) -> list[dict]:
     band_lo, band_hi = gmin, gmin + (gmax - gmin) // 4
     rows = []
     for i in range(o.nstripes):
-        col = orc.ORCFile(io.BytesIO(data)).read_stripe(i, columns=[lead])[
-            lead
-        ]
+        col = o.read_stripe(i, columns=[lead])[lead]
         cmin, cmax = (
             claimed[i] if i < len(claimed) else (None, None)
         )
