@@ -153,8 +153,7 @@ def streaming_store_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts a driver row on the store-maintenance story itself — the core
     object every other streaming index family imitates."""
     from columnar_aware_dedup_spark.operators.dedup import (
-        lineitem_chunks,
-        snapshot_a_keys,
+        incoming_and_store_chunks,
         transfer_rollup,
     )
     from columnar_aware_dedup_spark.sources import store as store_mod
@@ -166,11 +165,9 @@ def streaming_store_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_mod.drop_table_and_dir(spark, store_tbl)
     store_mod.create_store(spark, empty, store_tbl)
 
-    chunks = lineitem_chunks(table(spark, sf_dir, "lineitem"))
-    keys_a = snapshot_a_keys(spark, sf_dir)
-    snap_a = chunks.join(
-        keys_a, chunks.file_id == keys_a.o_orderkey, "left_semi"
-    )
+    # the flagship's own chunk/snapshot derivation — reusing it keeps this
+    # certificate pinned to whatever dedup_hit_miss actually probes
+    chunks, snap_a = incoming_and_store_chunks(spark, sf_dir)
     wave1 = snap_a.filter(F.col("file_id") % 2 == 0)
     wave2 = snap_a.filter(F.col("file_id") % 2 != 0)
     store_mod.merge_into_store(spark, wave1, store_tbl)

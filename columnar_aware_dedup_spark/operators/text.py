@@ -2409,7 +2409,9 @@ def hot_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast idiom, and the top-k compiles to TakeOrdered — no global
     sort. Deterministic at the boundary: ties break on the span hash.
     """
-    s = normalized(spark, sf_dir).select(
+    # _fanned, not normalized: the per-span md5 explode is CPU-bound and
+    # the documents scan is one task (the dup_span_fraction lesson)
+    s = _fanned(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("span")
     )
     counts = s.groupBy("span").agg(F.count("*").cast("bigint").alias("n_docs"))

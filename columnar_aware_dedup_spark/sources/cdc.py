@@ -214,8 +214,6 @@ def cdc_cover_certificate(chunks: DataFrame) -> DataFrame:
     Per-file window ordered by ``start`` — partition-local, thousands of
     chunks per file at most.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("file").orderBy("start")
     prev_end = F.lag(F.col("start") + F.col("size")).over(w)
     gap = F.when(prev_end.isNull(), F.col("start")).otherwise(

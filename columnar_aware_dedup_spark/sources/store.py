@@ -146,6 +146,20 @@ def store_lock(
         backend.release(lock_path)
 
 
+def _store_projection(chunks: DataFrame) -> DataFrame:
+    """The store's exact three-column shape from any chunk frame,
+    defaulting a missing ``chunk_type`` to 'Row' — the ONE place the
+    positional write layout is spelled out (``insertInto``/``bucketBy``
+    both bind by position, so every writer must project identically)."""
+    return chunks.select(
+        "signature",
+        F.col("chunk_type")
+        if "chunk_type" in chunks.columns
+        else F.lit("Row").alias("chunk_type"),
+        "size",
+    )
+
+
 def create_store(
     spark: SparkSession,
     chunks: DataFrame,
@@ -161,11 +175,7 @@ def create_store(
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
     (
-        chunks.select(
-            "signature",
-            F.col("chunk_type") if "chunk_type" in chunks.columns else F.lit("Row").alias("chunk_type"),
-            "size",
-        )
+        _store_projection(chunks)
         .dropDuplicates(["signature"])  # the store is signature-keyed
         .write.bucketBy(n_buckets, "signature")
         .sortBy("signature")
@@ -196,14 +206,7 @@ def merge_into_store(
         spark.catalog.refreshTable(table_name)
         store_sigs = spark.table(table_name).select("signature")
         new = (
-            chunks.select(
-                "signature",
-                F.col("chunk_type")
-                if "chunk_type" in chunks.columns
-                else F.lit("Row").alias("chunk_type"),
-                "size",
-            )  # same chunk_type defaulting as create_store: insertInto is
-            # positional, so the store's full column arity is mandatory
+            _store_projection(chunks)
             .dropDuplicates(["signature"])
             .join(store_sigs, "signature", "left_anti")
             .persist()
