@@ -423,7 +423,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom filter built from the store answers "definitely new" as a NARROW
     map — only the "maybe seen" residue needs the real store join (the
     classic dedup wire-protocol optimization; the reference's HashMap-keyset
-    probe, ``dedup/DedupStore.java``, compressed into M bits). This query
+    probe, ``dedup/ColumnarChunkStore.java``, compressed into M bits). This query
     builds the M=2^17/K=4 seeded-md5 filter from the snapshot-A store,
     probes every incoming signature, and reports the audit: exact hits vs
     Bloom "maybe", false positives (the re-probe overhead), the

@@ -2,7 +2,8 @@
 inverted-index keyword search.
 
 The reference's retrieval surface is content-addressed byte lookup
-(``dedup/SpeedupDeDuplicator.java`` probes a signature store); a training-data
+(``dedup/ColumnarChunkStore.java`` holds the signature store the chunkers
+probe); a training-data
 pipeline also needs *term-addressed* lookup — which documents mention X, what
 characterizes document Y — so the engine exposes the two classic IR shapes as
 declarative plans:

@@ -1,7 +1,7 @@
 """Data-selection operators: DSIR importance weighting and Zipf diagnostics.
 
 The reference decides what to KEEP by byte-identity (its dedup store answers
-"have I seen this chunk?" — ``dedup/DedupStore.java``); a training-data
+"have I seen this chunk?" — ``dedup/ColumnarChunkStore.java``); a training-data
 pipeline additionally decides what to keep by *distribution*: score every raw
 document by how target-like it is, then resample. This module adds the two
 published, fully-columnar members of that family:
@@ -387,9 +387,7 @@ def _cms_bucket_sql(d: int, tok: str = "tok") -> str:
 _TOPK_HH = 20
 
 
-@register(
-    "token_heavy_hitters_cms",
-    oracle=f"""
+TOKEN_CMS_ORACLE = f"""
 WITH toks AS (
   SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
 ), cells AS (
@@ -409,45 +407,24 @@ SELECT e.tok, e.exact_n,
            f"(SELECT n FROM sk WHERE d = {d} AND b = {_cms_bucket_sql(d, 'e.tok')})"
            for d in range(_CMS_D))}) - e.exact_n AS overestimate
 FROM exact e
-""",
-)
-def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch frequency estimation, audited against exact counts.
+"""
 
-    The sketch is the bounded-memory answer to "how often does this token
-    occur" at 100 TB: D x W = 1024 cells total, REGARDLESS of vocabulary.
-    Each task partial-aggregates its tokens into <=1024 (row, bucket) cells
-    before the shuffle, the folded sketch collapses into ONE broadcast row,
-    and any candidate's estimate is the min over its D cells — here
-    evaluated for the exact top-20 tokens so the output doubles as the
-    overestimation audit (CMS never underestimates: est_n >= exact_n, an
-    invariant the planted test asserts and the oracle reproduces
-    cell-for-cell).
 
-    Seeded md5 row hashes keep the sketch deterministic and engine-shared —
-    the same discipline that makes MinHash/SimHash hash-checkable here.
-    """
+def heavy_hitters_from_cells(
+    spark: SparkSession, sf_dir: str, sk_cells: DataFrame
+) -> DataFrame:
+    """The ``token_heavy_hitters_cms`` report served from an EXTERNAL
+    ``(d, b, n)`` cell table — the serve path the streaming sketch
+    maintainer's driver certificate goes through
+    (``operators/streaming_parity.py``): the exact top-20 still comes from
+    the corpus scan, but every estimate is answered by the supplied sketch,
+    so hash equality proves the maintained cells equal the batch-built
+    ones."""
     ex = _fanned(spark, sf_dir).select(F.explode("toks").alias("tok"))
-    cells = ex.select(
-        F.explode(
-            F.expr(
-                "array("
-                + ", ".join(
-                    f"struct({d} AS d, ({_cms_bucket_spark(d)}) AS b)"
-                    for d in range(_CMS_D)
-                )
-                + ")"
-            )
-        ).alias("c")
-    ).select("c.d", "c.b")
-    sk = (
-        cells.groupBy("d", "b")
-        .agg(F.count("*").alias("n"))
-        .agg(
-            F.expr(
-                f"map_from_entries(collect_list(struct(d * {_CMS_W} + b, n)))"
-            ).alias("m")
-        )
+    sk = sk_cells.agg(
+        F.expr(
+            f"map_from_entries(collect_list(struct(d * {_CMS_W} + b, n)))"
+        ).alias("m")
     )
     exact = (
         ex.groupBy("tok")
@@ -467,6 +444,44 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_n"),
         (est - F.col("exact_n")).alias("overestimate"),
     )
+
+
+@register("token_heavy_hitters_cms", oracle=TOKEN_CMS_ORACLE)
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, audited against exact counts.
+
+    The sketch is the bounded-memory answer to "how often does this token
+    occur" at 100 TB: D x W = 1024 cells total, REGARDLESS of vocabulary.
+    Each task partial-aggregates its tokens into <=1024 (row, bucket) cells
+    before the shuffle, the folded sketch collapses into ONE broadcast row,
+    and any candidate's estimate is the min over its D cells — here
+    evaluated for the exact top-20 tokens so the output doubles as the
+    overestimation audit (CMS never underestimates: est_n >= exact_n, an
+    invariant the planted test asserts and the oracle reproduces
+    cell-for-cell).
+
+    Seeded md5 row hashes keep the sketch deterministic and engine-shared —
+    the same discipline that makes MinHash/SimHash hash-checkable here.
+    """
+    ex = _fanned(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    sk_cells = (
+        ex.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"struct({d} AS d, ({_cms_bucket_spark(d)}) AS b)"
+                        for d in range(_CMS_D)
+                    )
+                    + ")"
+                )
+            ).alias("c")
+        )
+        .select("c.d", "c.b")
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    return heavy_hitters_from_cells(spark, sf_dir, sk_cells)
 
 
 #: per-bucket KL term: smoothed p_s(b) * ln(p_s(b) / p_corpus(b)), rounded

@@ -1900,7 +1900,7 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing it (the opposite trade from tfidf's aggregated tf). The
     reference
     computes the byte-level analogue of this signal per chunk
-    (``dedup/SpeedupDeDuplicator.java`` hit accounting); this is the
+    (``common/TransferStats.java`` hit/dedup-byte accounting); this is the
     token-level twin the LLM-curation pipeline needs.
     """
     spans = (
