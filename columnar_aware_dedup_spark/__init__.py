@@ -601,14 +601,26 @@ ROTATION_R8: list[str] = [
     "string_fns",
     "transfer_stats_rollup_approx",
     "window_first_last",
+    # r08 registrations (VERDICT r07 "Next round" #6): the three remaining
+    # streaming-family driver certificates — never driver-checked, so they
+    # MUST hold active-window seats. They displace the three
+    # alphabetically-first r05 fills (bpe_train_merges / dedup_hierarchical
+    # / dedup_ratio), which re-seat in ROTATION_R10 (inside the R9∪R10
+    # envelope once their r05 rows go overdue at newest=8; forward-simulated
+    # through newest=10).
+    "streaming_sketch_parity",
+    "streaming_ivf_parity",
+    "streaming_pq_parity",
+    # r08 batch 2: the passage-table consumer and the CDC thesis
+    # measurement's parquet twin (VERDICT r07 "Next round" #7/#8) — never
+    # driver-checked, so active-window seats. They displace the next two
+    # r05 fills (doc_fingerprint / doc_quality_filter → ROTATION_R10, same
+    # envelope reasoning as the batch-1 trio).
+    "passage_near_dup",
+    "cdc_dedup_report_parquet",
     # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
     # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
     # needed their R8 slots)
-    "bpe_train_merges",
-    "dedup_hierarchical",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
     "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
@@ -750,10 +762,25 @@ ROTATION_R10: list[str] = [
     "ann_ivfpq_topk",
     "ann_recall_report",
     "cohort_retention",
-    "corpus_shuffle",
+    # the three r05-row fills displaced from ROTATION_R8 by the r08
+    # streaming-parity registrations: their r05 rows go overdue at
+    # newest=8, and these R10 seats sit inside both the R9∪R10 and
+    # R10∪R11 envelopes. They take the seats of corpus_shuffle /
+    # decontaminate_ngram_overlap (r07 rows, overdue only at newest=10 —
+    # re-seated in ROTATION_R12, inside the R11∪R12 envelope) and
+    # groupby_sum_count (keeps its required ROTATION_R9 seat, so this R10
+    # seat was redundant).
+    "bpe_train_merges",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    # the two r05-row fills displaced from ROTATION_R8 by the r08 batch-2
+    # registrations — same envelope reasoning; they take the seats of
+    # corpus_report / date_fns (r07 rows, overdue only at newest=10 —
+    # re-seated in ROTATION_R12, inside the R11∪R12 envelope).
+    "doc_fingerprint",
+    "doc_quality_filter",
     "corpus_split",
     "crawl_admission_report",
-    "decontaminate_ngram_overlap",
     "dedup_savings_by_source",
     "doc_length_outliers",
     "edit_distance_verify",
@@ -812,13 +839,13 @@ ROTATION_R10: list[str] = [
     # batch-5 re-seat: same newest=8 deadline, covered by the redundant
     # R10 seat event_session_window held (required R9 seat kept).
     "image_ahash_near_dup",
-    # fills: oldest predicted (r07) rows, alphabetical
-    "corpus_report",
-    "date_fns",
+    # fills: oldest predicted (r07) rows, alphabetical (groupby_sum_count's
+    # redundant seat here yielded to the r08 displacement cascade — its
+    # required ROTATION_R9 seat stands; corpus_report / date_fns yielded
+    # their seats to the batch-2 cascade and re-seat in ROTATION_R12)
     "event_tumbling_window",
     "except_all",
     "filter_pred",
-    "groupby_sum_count",
     "grouped_percentile_approx",
     "grouping_sets_agg",
 ]
@@ -915,7 +942,15 @@ ROTATION_R12: list[str] = [
     "streaming_store_parity",
     "ann_pq_recall",
     "bpe_train_merges",
-    "cube_agg",
+    # corpus_shuffle / decontaminate_ngram_overlap re-seated here after
+    # yielding their ROTATION_R10 slots to the r08 displacement cascade:
+    # their r07 rows go overdue at newest=10, and R12 sits inside that
+    # R11∪R12 envelope. They take the seats of cube_agg /
+    # q3_shipping_priority, whose ROTATION_R8 seats refresh them to r08
+    # rows (next overdue at newest=11, covered by the windows a later
+    # round prepares).
+    "corpus_shuffle",
+    "decontaminate_ngram_overlap",
     "dedup_hierarchical",
     "dedup_ratio",
     "doc_fingerprint",
@@ -941,9 +976,13 @@ ROTATION_R12: list[str] = [
     "naive_bayes_source_classify",
     "ngram_containment_pairs",
     "pmi_collocations",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "range_join_bands",
+    # corpus_report / date_fns re-seated here by the r08 batch-2 cascade
+    # (r07 rows, overdue at newest=10 — R12 sits inside the R11∪R12
+    # envelope). They take the seats of q5_local_supplier /
+    # range_join_bands, whose ROTATION_R8 seats refresh them to r08 rows
+    # (next overdue at newest=11, covered by later-prepared windows).
+    "corpus_report",
+    "date_fns",
     "source_mix_kl",
     "source_overlap_matrix",
     "stats_agg",
@@ -953,8 +992,9 @@ ROTATION_R12: list[str] = [
     "ann_ivf_nprobe_topk",
 ]
 
-# r07: the prepared window goes ACTIVE (VERDICT r06 brief #3) — the 45
-# r03-stale rows plus this round's four new registrations.
-registry.reorder(ROTATION_R7)
+# r08: the prepared window goes ACTIVE (VERDICT r07 brief #2) — the r01
+# stragglers, transfer_stats_rollup_approx's first real driver hash-check,
+# and this round's streaming-parity registrations.
+registry.reorder(ROTATION_R8)
 
 __all__ = ["registry"]

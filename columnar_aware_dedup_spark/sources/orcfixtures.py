@@ -140,6 +140,86 @@ def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
     return store, incoming
 
 
+#: parquet-twin row-group size: small enough that every fixture file holds
+#: several row groups (so page-level dedup has structure to find), fixed so
+#: snapshot B's append layout reproduces snapshot A's row-group boundaries —
+#: A's pages are then byte-identical in B and page signatures hit.
+_ROW_GROUP_ROWS = 2_000
+
+
+def parquet_fixture_dirs(sf_dir: str) -> tuple[str, str]:
+    """Materialize (store_dir, incoming_dir) of PARQUET files for
+    ``sf_dir`` — the same four-snapshot workload as :func:`orc_fixture_dirs`
+    (store = snapshot A; incoming = append-layout B, one-column-modified A,
+    brand-new content), in the reference's OTHER format
+    (``parquet/dedup/NaiveParquetChunkingAlgorithm.java``). Fixed row-group
+    boundaries make the append layout reproduce A's pages byte-for-byte, so
+    the page-level structural chunker has real hits to find. Pages are
+    written PLAIN (``use_dictionary=False``): dictionary-encoded data pages
+    hold RLE index streams, and the all-distinct index pattern (0..n-1)
+    recurs across UNRELATED columns — measured 15% of brand-new
+    ``orders_new`` bytes "deduping" against the lineitem store purely on
+    index-stream collisions. PLAIN pages carry the values themselves, so a
+    signature hit means shared DATA, which is what the thesis measurement
+    compares. Cached under the system temp dir (cache key carries the
+    layout version); built once, atomically."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cawd_parquet_fixtures_plain_rg2000",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    store, incoming = os.path.join(base, "store"), os.path.join(base, "incoming")
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        return store, incoming
+
+    tmp = base + ".tmp"
+    os.makedirs(os.path.join(tmp, "store"), exist_ok=True)
+    os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
+    con = duckdb.connect()
+    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
+    od = f"read_parquet('{sf_dir}/orders.parquet')"
+    in_a = (
+        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
+        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
+    )
+    sort = "ORDER BY l_orderkey, l_linenumber"
+
+    def _write(sql: str, rel_path: str) -> None:
+        tbl = con.execute(sql).arrow()
+        pq.write_table(
+            tbl,
+            os.path.join(tmp, rel_path),
+            row_group_size=_ROW_GROUP_ROWS,
+            use_dictionary=False,
+        )
+
+    _write(f"SELECT * FROM {li} WHERE {in_a} {sort}", "store/lineitem.parquet")
+    _write(
+        f"SELECT * FROM {li} ORDER BY (CASE WHEN {in_a} THEN 0 ELSE 1 END), "
+        "l_orderkey, l_linenumber",
+        "incoming/lineitem.parquet",
+    )
+    _write(
+        f"SELECT * REPLACE (l_partkey + 7 AS l_partkey) FROM {li} WHERE {in_a} {sort}",
+        "incoming/lineitem_mod.parquet",
+    )
+    _write(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM {od} ORDER BY o_orderkey",
+        "incoming/orders_new.parquet",
+    )
+    con.close()
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.replace(tmp, base)
+    except OSError:
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            raise
+    return store, incoming
+
+
 # ---------------------------------------------------------------------------
 # linked chunker (pure function over bytes)
 # ---------------------------------------------------------------------------

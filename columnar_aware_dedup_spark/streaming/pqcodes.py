@@ -31,6 +31,22 @@ from columnar_aware_dedup_spark.operators.pq import encode_expr
 from columnar_aware_dedup_spark.sources.store import store_lock
 
 
+def init_code_table(spark: SparkSession, table_name: str) -> str:
+    """Create an empty ``(vec_id, codes)`` table, replacing any previous
+    state — including a leftover warehouse directory from a session whose
+    metastore no longer lists the table (the ``init_sketch_tables``
+    discipline). Returns the table name for chaining."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    spark.createDataFrame([], "vec_id long, codes array<int>").write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(table_name)
+    return table_name
+
+
 def merge_codes(
     spark: SparkSession, batch: DataFrame, cbs: DataFrame, table_name: str
 ) -> int:

@@ -67,6 +67,10 @@ CERT_FLIP_TESTS = {
     ),
     "cdc_file_chunks": ("tests.test_cdc", "test_cdc_certificate_bits_flip"),
     "cdc_dedup_report": ("tests.test_cdc", "test_report_bits_flip"),
+    "cdc_dedup_report_parquet": (
+        "tests.test_cdc",
+        "test_report_bits_flip_parquet_names",
+    ),
     "parquet_column_census": (
         "tests.test_parquet_census",
         "test_byte_bits_flip_on_corrupted_page_header",

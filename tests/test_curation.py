@@ -416,3 +416,36 @@ def test_balanced_sample_exact_k_quota_and_stability(spark, sf_dir):
         r["doc_id"] for r in picks.collect() if r["doc_id"] in kept_ids
     }
     assert surviving_original_picks <= sub_picks
+
+
+def test_passage_near_dup_finds_planted_cross_doc_passage(spark, tmp_path):
+    """A 32-token span copied verbatim from doc A's head into doc B's head
+    must surface as the (A, 0) x (B, 0) passage pair with all 4 bands
+    shared; a doc with unrelated text must pair with nothing; and same-doc
+    window overlaps must NEVER appear (the doc_a < doc_b exclusion)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnar_aware_dedup_spark.operators.curation import passage_near_dup
+
+    words = [f"w{i}" for i in range(200)]
+    span = " ".join(words[:32])
+    doc_a = span + " " + " ".join(words[40:100])          # span at passage 0
+    doc_b = span + " " + " ".join(words[100:160])         # same span, other tail
+    doc_c = " ".join(f"z{i}" for i in range(80))          # unrelated
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([doc_a, doc_b, doc_c]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(doc_a), len(doc_b), len(doc_c)], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    rows = passage_near_dup(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["passage_a"], r["doc_b"], r["passage_b"]): r["shared_bands"] for r in rows}
+    assert pairs.get((1, 0, 2, 0)) == 4, f"planted pair missing: {pairs}"
+    assert all(a != b for a, _, b, _ in pairs), "same-doc pairs must be excluded"
+    assert not any(3 in (a, b) for a, _, b, _ in pairs), "unrelated doc paired"

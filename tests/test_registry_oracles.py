@@ -57,13 +57,13 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r07 rotation (the r03-stale surface + the r07 registrations)
-    must be exactly that window."""
+    active r08 rotation (the r01 stragglers + the stale re-checks + the r08
+    registrations) must be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R7)] == pkg.ROTATION_R7
+    assert names[: len(pkg.ROTATION_R8)] == pkg.ROTATION_R8
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -156,26 +156,16 @@ def _latest_driver_round() -> tuple[dict[str, int], int]:
     return latest, newest
 
 
-def test_rotation_r7_is_prepared_and_fresh():
-    """ROTATION_R7 (prepared for the round after next) must be 50 unique
-    registered names; once CORRECTNESS_r06.json lands, it must also cover
-    every query still lacking a driver row."""
-    from pathlib import Path
-
+def test_rotation_r7_is_a_valid_window():
+    """Historical record: ROTATION_R7 (the r07 active window) stays a
+    well-formed 50-name window. Never-checked coverage moved to the ACTIVE
+    window's test (r08) when R8 took over — r08 registrations are not
+    R7's job."""
     import columnar_aware_dedup_spark as pkg
 
     assert len(pkg.ROTATION_R7) == 50
     assert len(set(pkg.ROTATION_R7)) == 50
     assert set(pkg.ROTATION_R7) <= set(_QUERIES)
-
-    root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r06.json").exists():
-        never_checked = set(_QUERIES) - _driver_checked_queries()
-        missing = never_checked - set(pkg.ROTATION_R7)
-        assert not missing, (
-            "queries with no driver row must be in the prepared r07 "
-            f"window: {sorted(missing)}"
-        )
 
 
 def test_overdue_queries_are_scheduled():
