@@ -140,6 +140,13 @@ HEADLINE = [
     "orc_zone_map_pruning",
     # session-2 r07 batch 5: the boilerplate hot-span census.
     "hot_span_census",
+    # r08: the passage-level banded near-dup (the passage table's consumer),
+    # the CDC thesis measurement's parquet twin, and the exact passage
+    # retrieval top-k — new families, so they need a perf signal from
+    # their first round.
+    "passage_near_dup",
+    "cdc_dedup_report_parquet",
+    "passage_topk_retrieval",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
@@ -183,6 +190,9 @@ SCALING_QUERIES = [
     # whose candidate volume grows with corpus duplication, exactly what
     # the ratio probe watches.
     "hot_span_census",
+    # r08: the passage-level banded self-join — candidate volume grows with
+    # cross-doc passage duplication, the classic LSH growth the probe pins.
+    "passage_near_dup",
 ]
 
 

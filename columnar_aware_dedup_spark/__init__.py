@@ -618,10 +618,13 @@ ROTATION_R8: list[str] = [
     # envelope reasoning as the batch-1 trio).
     "passage_near_dup",
     "cdc_dedup_report_parquet",
+    # r08 batch 3: the retrieval half of the passage story (exact top-k
+    # over hashed passage embeddings) — never driver-checked; displaces
+    # the r05 fill doc_quality_score → ROTATION_R10.
+    "passage_topk_retrieval",
     # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
     # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
     # needed their R8 slots)
-    "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
@@ -779,6 +782,7 @@ ROTATION_R10: list[str] = [
     # re-seated in ROTATION_R12, inside the R11∪R12 envelope).
     "doc_fingerprint",
     "doc_quality_filter",
+    "doc_quality_score",
     "corpus_split",
     "crawl_admission_report",
     "dedup_savings_by_source",
@@ -841,9 +845,9 @@ ROTATION_R10: list[str] = [
     "image_ahash_near_dup",
     # fills: oldest predicted (r07) rows, alphabetical (groupby_sum_count's
     # redundant seat here yielded to the r08 displacement cascade — its
-    # required ROTATION_R9 seat stands; corpus_report / date_fns yielded
-    # their seats to the batch-2 cascade and re-seat in ROTATION_R12)
-    "event_tumbling_window",
+    # required ROTATION_R9 seat stands; corpus_report / date_fns /
+    # event_tumbling_window yielded their seats to the batch-2/3 cascades
+    # and re-seat in ROTATION_R12)
     "except_all",
     "filter_pred",
     "grouped_percentile_approx",
@@ -983,7 +987,11 @@ ROTATION_R12: list[str] = [
     # (next overdue at newest=11, covered by later-prepared windows).
     "corpus_report",
     "date_fns",
-    "source_mix_kl",
+    # event_tumbling_window re-seated by the r08 batch-3 cascade (r07 row,
+    # overdue at newest=10 — inside the R11∪R12 envelope); it takes the
+    # seat of source_mix_kl, whose ROTATION_R8 seat refreshes it to an r08
+    # row (next overdue at newest=11, covered by later-prepared windows).
+    "event_tumbling_window",
     "source_overlap_matrix",
     "stats_agg",
     "token_heavy_hitters_cms",

@@ -343,3 +343,173 @@ def search_with_index(
         .orderBy(F.col("total_tf").desc(), "doc_id")
         .limit(limit)
     )
+
+
+# -- passage-level top-k retrieval -------------------------------------------
+
+#: query side of the passage retrieval: every passage of these docs probes
+#: the corpus (the `embedding_cosine_topk` _NQ discipline applied to docs).
+_RETR_QUERY_DOCS = 3
+_RETR_TOPK = 5
+
+from columnar_aware_dedup_spark.operators.curation import (  # noqa: E402
+    _PASSAGE_S,
+    _PASSAGE_W,
+)
+
+#: 16-int dot product over two list(v ORDER BY bucket) vectors (DuckDB).
+_PVEC_DOT_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_HASH_DIM}),"
+    " i -> q.vec[i] * c.vec[i]))"
+)
+
+PASSAGE_TOPK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL}, ' ') AS dtoks,
+         len(string_split({_NORM_SQL}, ' ')) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, dtoks,
+         unnest(generate_series(
+             0,
+             CASE WHEN n <= {_PASSAGE_W} THEN 0
+                  ELSE (n - {_PASSAGE_W} + {_PASSAGE_S - 1}) // {_PASSAGE_S}
+             END)) AS passage_idx
+  FROM d),
+pt AS (
+  SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx,
+         dtoks[passage_idx * {_PASSAGE_S} + 1 :
+               passage_idx * {_PASSAGE_S} + {_PASSAGE_W}] AS toks
+  FROM p),
+terms AS (
+  SELECT doc_id, passage_idx, unnest(toks) AS term FROM pt),
+tf AS (
+  SELECT doc_id, passage_idx, term, count(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY doc_id, passage_idx, term),
+bs AS (
+  SELECT doc_id, passage_idx, {_BUCKET_SQL} AS bucket,
+         CAST(sum(({_SIGN_SQL}) * tf) AS DOUBLE) AS v
+  FROM tf GROUP BY doc_id, passage_idx, bucket),
+grid AS (
+  SELECT pp.doc_id, pp.passage_idx, dims.bucket
+  FROM (SELECT DISTINCT doc_id, passage_idx FROM pt) pp
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_DIM - 1})) AS bucket)
+    dims),
+dense AS (
+  SELECT g.doc_id, g.passage_idx, g.bucket, COALESCE(bs.v, 0.0) AS v
+  FROM grid g LEFT JOIN bs USING (doc_id, passage_idx, bucket)),
+vecs AS (
+  SELECT doc_id, passage_idx, list(v ORDER BY bucket) AS vec,
+         sqrt(sum(v * v)) AS nrm
+  FROM dense GROUP BY doc_id, passage_idx),
+q AS (SELECT * FROM vecs WHERE doc_id < {_RETR_QUERY_DOCS} AND nrm > 0),
+c AS (SELECT * FROM vecs WHERE nrm > 0),
+pairs AS (
+  SELECT q.doc_id AS q_doc, q.passage_idx AS q_passage,
+         c.doc_id AS n_doc, c.passage_idx AS n_passage,
+         round(({_PVEC_DOT_SQL}) / (q.nrm * c.nrm), 6) AS cosine_sim
+  FROM q JOIN c ON c.doc_id <> q.doc_id)
+SELECT q_doc, q_passage, n_doc, n_passage, cosine_sim
+FROM pairs
+QUALIFY row_number() OVER (
+    PARTITION BY q_doc, q_passage
+    ORDER BY cosine_sim DESC, n_doc, n_passage) <= {_RETR_TOPK}
+ORDER BY q_doc, q_passage, cosine_sim DESC, n_doc, n_passage
+"""
+
+
+def passage_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, passage_idx, vec array<double>, nrm)``: the hashing-trick
+    embedding of every passage — the passage-level twin of
+    ``doc_hash_embedding`` (same bucket/sign hashes, UNNORMALIZED integer
+    sums kept internal so downstream dot products stay exact), from the
+    shared ``passage_tokens`` window derivation. Zero-norm (empty-text)
+    passages are dropped, mirrored in the oracle."""
+    from columnar_aware_dedup_spark.operators.curation import passage_tokens
+
+    pt = passage_tokens(spark, sf_dir)
+    tf = (
+        pt.select(
+            "doc_id", "passage_idx", F.explode("ptoks").alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "passage_idx", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    bs = tf.groupBy(
+        "doc_id",
+        "passage_idx",
+        F.expr(_BUCKET_SPARK).cast("int").alias("bucket"),
+    ).agg(F.expr(f"CAST(sum(({_SIGN_SPARK}) * tf) AS DOUBLE)").alias("v"))
+    dense = (
+        f"transform(sequence(0, {_HASH_DIM - 1}),"
+        " i -> coalesce(element_at(m, i), CAST(0 AS DOUBLE)))"
+    )
+    return (
+        bs.groupBy("doc_id", "passage_idx")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("m")
+        )
+        .withColumn("vec", F.expr(dense))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(vec, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+            ),
+        )
+        .filter(F.col("nrm") > 0)
+        .select("doc_id", "passage_idx", "vec", "nrm")
+    )
+
+
+@register("passage_topk_retrieval", oracle=PASSAGE_TOPK_ORACLE)
+def passage_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dense retrieval, exact top-k: every passage of the
+    first ``_RETR_QUERY_DOCS`` documents ranks the OTHER documents'
+    passages by hashed-embedding cosine — the retrieval half of the
+    passage story (``passage_near_dup`` is the dedup half; VERDICT r07
+    "Next round" #7 named both). Model-free and hash-checkable: the
+    vectors are the deterministic hashing-trick tf sums, so the exact
+    ranking is a pure function of the corpus both engines reproduce
+    bit-for-bit (integer-valued doubles keep every dot product exact).
+
+    Scale shape: this is the EXACT baseline of the family — the query side
+    (a handful of docs' passages) broadcasts against one narrow scan of
+    the passage-vector table, and the only corpus-sized exchanges are the
+    tf/bucket partial aggregations that build the vectors. The indexed
+    scale paths are `passage_near_dup` (banded) and the ANN family over a
+    persisted passage-vector table (`ann_ivf_topk_from_index` applies
+    unchanged once passages are written cell-partitioned); this query is
+    their recall oracle, the `embedding_cosine_topk` role one level down.
+    """
+    vecs = passage_hash_vectors(spark, sf_dir)
+    q = vecs.filter(F.col("doc_id") < _RETR_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("passage_idx").alias("q_passage"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = (
+        "aggregate(zip_with(qvec, vec, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    pairs = vecs.join(
+        F.broadcast(q), F.col("doc_id") != F.col("q_doc")
+    ).select(
+        "q_doc",
+        "q_passage",
+        F.col("doc_id").alias("n_doc"),
+        F.col("passage_idx").alias("n_passage"),
+        F.expr(f"round(({dot}) / (qnrm * nrm), 6)").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_doc", "q_passage").orderBy(
+        F.col("cosine_sim").desc(), "n_doc", "n_passage"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RETR_TOPK)
+        .drop("rn")
+    )

@@ -449,3 +449,44 @@ def test_passage_near_dup_finds_planted_cross_doc_passage(spark, tmp_path):
     assert pairs.get((1, 0, 2, 0)) == 4, f"planted pair missing: {pairs}"
     assert all(a != b for a, _, b, _ in pairs), "same-doc pairs must be excluded"
     assert not any(3 in (a, b) for a, _, b, _ in pairs), "unrelated doc paired"
+
+
+def test_passage_topk_retrieval_ranks_planted_copy_first(spark, tmp_path):
+    """The planted cross-doc passage copy must be the copied query
+    passage's TOP hit at cosine 1.0, and no result may come from the
+    query's own document."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnar_aware_dedup_spark.operators.search import (
+        passage_topk_retrieval,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    span = " ".join(words[:32])
+    doc_q = span + " " + " ".join(words[40:100])      # query doc (doc_id 1 < 3)
+    doc_copy = span + " " + " ".join(words[100:160])  # holds the copy at passage 0
+    doc_other = " ".join(f"z{i}" for i in range(80))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 40, 41], pa.int64()),
+            "text": pa.array([doc_q, doc_copy, doc_other]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array(
+                [len(doc_q), len(doc_copy), len(doc_other)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    rows = passage_topk_retrieval(spark, str(tmp_path)).collect()
+    assert rows and all(r["n_doc"] != r["q_doc"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault((r["q_doc"], r["q_passage"]), []).append(r)
+    top = max(
+        by_q[(1, 0)], key=lambda r: (r["cosine_sim"], -r["n_doc"], -r["n_passage"])
+    )
+    assert (top["n_doc"], top["n_passage"]) == (40, 0), top
+    assert abs(top["cosine_sim"] - 1.0) < 1e-9

@@ -507,13 +507,16 @@ def test_perplexity_windows_run_on_the_histogram_only(spark, sf_dir):
 def test_cdc_chunk_certificate_single_shuffle(spark, sf_dir):
     """cdc_file_chunks: the per-file cover windows and the certificate
     rollup share one file-keyed partitioning — chunking itself is a
-    shuffle-free mapInPandas over the binaryFile scan, so the whole
-    certificate costs exactly ONE exchange regardless of corpus size."""
+    shuffle-free mapInPandas over the binaryFile scan, so the certificate
+    costs ONE data exchange regardless of corpus size, plus the trailing
+    range exchange of the convention orderBy (ADVICE r07 #2) over the
+    fixture-file-count rows — bounded by the constant file list, never by
+    corpus bytes."""
     from columnar_aware_dedup_spark.sources import cdc
 
     df = cdc.cdc_file_chunks(spark, sf_dir)
     n = explain.n_exchanges(df)
-    assert n == 1, f"cdc_file_chunks must be one shuffle, got {n}:\n" + explain.plan_string(df)
+    assert n <= 2, f"cdc_file_chunks grew to {n} shuffles:\n" + explain.plan_string(df)
 
 
 def test_cdc_report_shuffle_budget(spark, sf_dir):
@@ -554,3 +557,34 @@ def test_balanced_sample_single_window_shuffle(spark, sf_dir):
     df = curation.balanced_sample_exact_k(spark, sf_dir)
     n = explain.n_exchanges(df)
     assert n == 1, f"expected one window shuffle, got {n}:\n" + explain.plan_string(df)
+
+
+def test_passage_near_dup_stays_banded(spark, sf_dir):
+    """passage_near_dup: per-passage hashing is a narrow map after the
+    parallelism repartition, candidates come ONLY from the (band, band_key)
+    bucket self-join, and the pair rollup reuses the join partitioning —
+    two exchanges total, no cartesian product, no window. The banded
+    discipline is what keeps passage near-dup affordable when the passage
+    table is ~n/S times the corpus row count."""
+    from columnar_aware_dedup_spark.operators import curation
+
+    df = curation.passage_near_dup(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 3, f"passage_near_dup grew to {n} shuffles:\n{plan}"
+
+
+def test_cdc_parquet_report_shuffle_budget(spark, sf_dir):
+    """cdc_dedup_report_parquet: the same fused-chunkers plan contract as
+    the ORC report — one mapInPandas per snapshot scan (three chunkers in
+    one Arrow pass per file read), bounded shuffles, nothing pairwise."""
+    from columnar_aware_dedup_spark.sources import cdc
+
+    df = cdc.cdc_dedup_report_parquet(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert plan.count("MapInPandas") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 6, f"cdc_dedup_report_parquet grew to {n} shuffles:\n{plan}"
