@@ -622,10 +622,14 @@ ROTATION_R8: list[str] = [
     # over hashed passage embeddings) — never driver-checked; displaces
     # the r05 fill doc_quality_score → ROTATION_R10.
     "passage_topk_retrieval",
+    # r08 batch 4: file_inventory's R→H certificate promotion gets its
+    # driver row THIS round (the transfer_stats_rollup_approx lesson —
+    # never leave a promotion driver-unconfirmed); displaces the r05 fill
+    # doc_token_stats → ROTATION_R10.
+    "file_inventory",
     # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
     # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
     # needed their R8 slots)
-    "doc_token_stats",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "embedding_norm_stats",
@@ -846,9 +850,9 @@ ROTATION_R10: list[str] = [
     # fills: oldest predicted (r07) rows, alphabetical (groupby_sum_count's
     # redundant seat here yielded to the r08 displacement cascade — its
     # required ROTATION_R9 seat stands; corpus_report / date_fns /
-    # event_tumbling_window yielded their seats to the batch-2/3 cascades
-    # and re-seat in ROTATION_R12)
-    "except_all",
+    # event_tumbling_window / except_all yielded their seats to the
+    # batch-2/3/4 cascades and re-seat in ROTATION_R12)
+    "doc_token_stats",
     "filter_pred",
     "grouped_percentile_approx",
     "grouping_sets_agg",
@@ -992,8 +996,11 @@ ROTATION_R12: list[str] = [
     # seat of source_mix_kl, whose ROTATION_R8 seat refreshes it to an r08
     # row (next overdue at newest=11, covered by later-prepared windows).
     "event_tumbling_window",
+    # except_all re-seated by the r08 batch-4 cascade (r07 row, overdue at
+    # newest=10 — inside the R11∪R12 envelope); takes the seat of
+    # stats_agg, whose ROTATION_R8 seat refreshes it to an r08 row.
+    "except_all",
     "source_overlap_matrix",
-    "stats_agg",
     "token_heavy_hitters_cms",
     "token_vocab_hll",
     "token_zipf_slope",

@@ -71,6 +71,7 @@ CERT_FLIP_TESTS = {
         "tests.test_cdc",
         "test_report_bits_flip_parquet_names",
     ),
+    "file_inventory": ("tests.test_chunkers", "test_inventory_bits_flip"),
     "parquet_column_census": (
         "tests.test_parquet_census",
         "test_byte_bits_flip_on_corrupted_page_header",

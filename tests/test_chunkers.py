@@ -364,3 +364,56 @@ def test_parquet_walker_handles_duckdb_written_files(sf_dir, tmp_path):
         assert "ColumnChunk" not in kinds, (codec, kinds)
         _assert_cover(chunks, len(data))
         assert chunkers.reassemble(data, chunks) == data, codec
+
+
+def test_inventory_bits_flip(spark):
+    """Falsifiability for the r08 `file_inventory` R→H promotion: corrupt
+    each scan fact and the matching certificate bit goes false through
+    `inventory_bits` itself; an honest fact row passes all four."""
+    from columnar_aware_dedup_spark.sources.binaryfile import inventory_bits
+
+    def bits(rows):
+        facts = spark.createDataFrame(
+            rows,
+            "file_name string, length long, n_bytes long, "
+            "head4 string, tail4 string",
+        )
+        return inventory_bits(facts).collect()[0]
+
+    good = bits([("region.parquet", 100, 100, "PAR1", "PAR1")])
+    assert (
+        good.scan_nonempty_ok
+        and good.length_equals_bytes_read_ok
+        and good.parquet_magic_ok
+        and good.ext_filter_ok
+    )
+
+    empty = bits([("region.parquet", 0, 0, "PAR1", "PAR1")])
+    assert not empty.scan_nonempty_ok
+
+    short_read = bits([("region.parquet", 100, 96, "PAR1", "PAR1")])
+    assert not short_read.length_equals_bytes_read_ok
+
+    not_parquet = bits([("region.parquet", 100, 100, "ORC\x00", "PAR1")])
+    assert not not_parquet.parquet_magic_ok
+    truncated = bits([("region.parquet", 100, 100, "PAR1", "\x00\x00\x00\x00")])
+    assert not truncated.parquet_magic_ok
+
+    leaked = bits([("region.orc", 100, 100, "PAR1", "PAR1")])
+    assert not leaked.ext_filter_ok
+
+
+def test_file_inventory_full_matches_certificate_files(spark, sf_dir):
+    """The numeric twin lists exactly the certificate's constant file set,
+    with the real on-disk byte sizes."""
+    import os
+
+    from columnar_aware_dedup_spark.sources.binaryfile import (
+        file_inventory_full,
+    )
+    from columnar_aware_dedup_spark.sources.chunkers import FIXTURE_TABLES
+
+    rows = {r["file_name"]: r["length"] for r in file_inventory_full(spark, sf_dir).collect()}
+    assert set(rows) == {f"{t}.parquet" for t in FIXTURE_TABLES}
+    for name, length in rows.items():
+        assert length == os.path.getsize(os.path.join(sf_dir, name))

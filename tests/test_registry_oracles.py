@@ -69,7 +69,10 @@ def test_driver_window_holds_rotation_queries():
 #: every rows-only (no-oracle) query must be on this list with its reason —
 #: a new registration without an oracle is a test failure, not a silent skip.
 R_ALLOWLIST = {
-    "file_inventory": "no DuckDB directory scan",
+    # r08: file_inventory graduated to H via the per-file structural
+    # certificate (constant fixture file list × real scan invariants:
+    # catalog-length-vs-bytes-read, PAR1 magic, glob filter); the numeric
+    # table stays as the unregistered file_inventory_full twin.
     "file_parse_overhead": "wall-clock measurement",
     # r05: pq_train_codebooks, bpe_train_merges, bpe_segment_corpus,
     # embedding_pca_project, and near_dup_pagerank graduated to H via the
