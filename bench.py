@@ -147,6 +147,7 @@ HEADLINE = [
     "passage_near_dup",
     "cdc_dedup_report_parquet",
     "passage_topk_retrieval",
+    "passage_ann_ivf_topk",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

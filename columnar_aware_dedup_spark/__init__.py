@@ -627,10 +627,12 @@ ROTATION_R8: list[str] = [
     # never leave a promotion driver-unconfirmed); displaces the r05 fill
     # doc_token_stats → ROTATION_R10.
     "file_inventory",
+    # r08 batch 5: the passage IVF-cell scale path (never driver-checked);
+    # displaces the r05 fill embedding_cosine_topk → ROTATION_R10.
+    "passage_ann_ivf_topk",
     # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
     # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
     # needed their R8 slots)
-    "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "embedding_norm_stats",
     "embedding_pca_project",
@@ -850,10 +852,10 @@ ROTATION_R10: list[str] = [
     # fills: oldest predicted (r07) rows, alphabetical (groupby_sum_count's
     # redundant seat here yielded to the r08 displacement cascade — its
     # required ROTATION_R9 seat stands; corpus_report / date_fns /
-    # event_tumbling_window / except_all yielded their seats to the
-    # batch-2/3/4 cascades and re-seat in ROTATION_R12)
+    # event_tumbling_window / except_all / filter_pred yielded their seats
+    # to the batch-2/3/4/5 cascades and re-seat in ROTATION_R12)
     "doc_token_stats",
-    "filter_pred",
+    "embedding_cosine_topk",
     "grouped_percentile_approx",
     "grouping_sets_agg",
 ]
@@ -1000,9 +1002,12 @@ ROTATION_R12: list[str] = [
     # newest=10 — inside the R11∪R12 envelope); takes the seat of
     # stats_agg, whose ROTATION_R8 seat refreshes it to an r08 row.
     "except_all",
+    # filter_pred re-seated by the r08 batch-5 cascade (r07 row, overdue
+    # at newest=10 — inside the R11∪R12 envelope); takes the seat of
+    # token_vocab_hll, whose ROTATION_R8 seat refreshes it to an r08 row.
+    "filter_pred",
     "source_overlap_matrix",
     "token_heavy_hitters_cms",
-    "token_vocab_hll",
     "token_zipf_slope",
     "ann_ivf_nprobe_topk",
 ]

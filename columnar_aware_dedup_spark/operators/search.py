@@ -513,3 +513,158 @@ def passage_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RETR_TOPK)
         .drop("rn")
     )
+
+
+# -- passage-level IVF ANN ----------------------------------------------------
+
+#: the 8 fixed passage "centroids": passage 0 of these docs (the embeddings
+#: table's _CENTROID_LO..HI medoid discipline applied to passages — fixed
+#: medoids keep the cell structure real and every value DuckDB-checkable).
+_PCENT_LO, _PCENT_HI = 20, 27
+
+#: exact squared L2 between two 16-int vectors (DuckDB), rounded like the
+#: Spark twin so the argmin keys are bit-identical.
+_PVEC_L2SQ_SQL = (
+    f"round(list_sum(list_transform(generate_series(1, {_HASH_DIM}),"
+    " i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), 6)"
+)
+
+_PASSAGE_VECS_CTES = f"""
+d AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL}, ' ') AS dtoks,
+         len(string_split({_NORM_SQL}, ' ')) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, dtoks,
+         unnest(generate_series(
+             0,
+             CASE WHEN n <= {_PASSAGE_W} THEN 0
+                  ELSE (n - {_PASSAGE_W} + {_PASSAGE_S - 1}) // {_PASSAGE_S}
+             END)) AS passage_idx
+  FROM d),
+pt AS (
+  SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx,
+         dtoks[passage_idx * {_PASSAGE_S} + 1 :
+               passage_idx * {_PASSAGE_S} + {_PASSAGE_W}] AS toks
+  FROM p),
+terms AS (
+  SELECT doc_id, passage_idx, unnest(toks) AS term FROM pt),
+tf AS (
+  SELECT doc_id, passage_idx, term, count(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY doc_id, passage_idx, term),
+bs AS (
+  SELECT doc_id, passage_idx, {_BUCKET_SQL} AS bucket,
+         CAST(sum(({_SIGN_SQL}) * tf) AS DOUBLE) AS v
+  FROM tf GROUP BY doc_id, passage_idx, bucket),
+grid AS (
+  SELECT pp.doc_id, pp.passage_idx, dims.bucket
+  FROM (SELECT DISTINCT doc_id, passage_idx FROM pt) pp
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_DIM - 1})) AS bucket)
+    dims),
+dense AS (
+  SELECT g.doc_id, g.passage_idx, g.bucket, COALESCE(bs.v, 0.0) AS v
+  FROM grid g LEFT JOIN bs USING (doc_id, passage_idx, bucket)),
+vecs AS (
+  SELECT doc_id, passage_idx, list(v ORDER BY bucket) AS vec,
+         sqrt(sum(v * v)) AS nrm
+  FROM dense GROUP BY doc_id, passage_idx
+  HAVING sqrt(sum(v * v)) > 0)
+"""
+
+PASSAGE_ANN_IVF_ORACLE = f"""
+WITH {_PASSAGE_VECS_CTES},
+cent AS (
+  SELECT doc_id AS cid, vec AS cvec FROM vecs
+  WHERE doc_id BETWEEN {_PCENT_LO} AND {_PCENT_HI} AND passage_idx = 0),
+assign AS (
+  SELECT v.doc_id, v.passage_idx, v.vec, v.nrm, c.cid
+  FROM vecs v CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY v.doc_id, v.passage_idx
+    ORDER BY {_PVEC_L2SQ_SQL}, c.cid) = 1),
+q AS (
+  SELECT doc_id AS q_doc, passage_idx AS q_passage, vec AS qvec,
+         nrm AS qnrm, cid
+  FROM assign WHERE doc_id < {_RETR_QUERY_DOCS}),
+pairs AS (
+  SELECT q.q_doc, q.q_passage,
+         a.doc_id AS n_doc, a.passage_idx AS n_passage,
+         round(list_sum(list_transform(generate_series(1, {_HASH_DIM}),
+                                        i -> q.qvec[i] * a.vec[i]))
+               / (q.qnrm * a.nrm), 6) AS cosine_sim
+  FROM q JOIN assign a ON a.cid = q.cid AND a.doc_id <> q.q_doc)
+SELECT q_doc, q_passage, n_doc, n_passage, cosine_sim
+FROM pairs
+QUALIFY row_number() OVER (
+    PARTITION BY q_doc, q_passage
+    ORDER BY cosine_sim DESC, n_doc, n_passage) <= {_RETR_TOPK}
+ORDER BY q_doc, q_passage, cosine_sim DESC, n_doc, n_passage
+"""
+
+
+@register("passage_ann_ivf_topk", oracle=PASSAGE_ANN_IVF_ORACLE)
+def passage_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate passage retrieval — the SCALE path whose exact
+    recall oracle is ``passage_topk_retrieval``: every passage assigns to
+    its nearest fixed passage-centroid (zero-shuffle broadcast argmin, the
+    ``ivf_assign`` discipline one level down), queries probe ONLY their own
+    cell (nprobe=1), exact cosine re-rank inside it.
+
+    At 100 TB this is the passage-RAG serving shape: the passage-vector
+    table written ``partitionBy(cell)`` (exactly
+    ``similarity.write_ivf_index`` pointed at passage vectors) is scanned
+    at nprobe/k of its size via partition pruning, while the exact
+    retrieval baseline reads everything. Every value stays
+    DuckDB-checkable: hashed-tf vectors are integer-exact, squared-L2
+    argmin keys and cosines are rounded identically on both engines, and
+    the fixed passage medoids (passage 0 of docs 20..27) keep the cell
+    structure deterministic.
+    """
+    from columnar_aware_dedup_spark.operators.similarity import centroid_array
+
+    vecs = passage_hash_vectors(spark, sf_dir)
+    cent = vecs.filter(
+        F.col("doc_id").between(_PCENT_LO, _PCENT_HI)
+        & (F.col("passage_idx") == 0)
+    ).select(F.col("doc_id").alias("cid"), F.col("vec").alias("ce"))
+    d2 = (
+        "round(aggregate(zip_with(vec, c.ce, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t), 6)"
+    )
+    nearest = F.expr(
+        "element_at(array_sort(transform(cents,"
+        f" c -> struct({d2} AS d, c.cid AS cid))), 1).cid"
+    )
+    assign = vecs.join(F.broadcast(centroid_array(cent))).select(
+        "doc_id", "passage_idx", "vec", "nrm", nearest.alias("cid")
+    )
+    q = assign.filter(F.col("doc_id") < _RETR_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("passage_idx").alias("q_passage"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cid").alias("qcid"),
+    )
+    dot = (
+        "aggregate(zip_with(qvec, vec, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    pairs = assign.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("qcid")) & (F.col("doc_id") != F.col("q_doc")),
+    ).select(
+        "q_doc",
+        "q_passage",
+        F.col("doc_id").alias("n_doc"),
+        F.col("passage_idx").alias("n_passage"),
+        F.expr(f"round(({dot}) / (qnrm * nrm), 6)").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_doc", "q_passage").orderBy(
+        F.col("cosine_sim").desc(), "n_doc", "n_passage"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RETR_TOPK)
+        .drop("rn")
+    )

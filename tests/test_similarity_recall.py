@@ -155,3 +155,31 @@ def test_semantic_dedup_cell_cap_flip(spark):
     assert n_dup_tiny <= n_dup_default, "sub-splitting may only drop pairs"
 
     compare(tiny, similarity._semantic_dedup_oracle(16), sf_dir)
+
+
+def test_passage_ann_recall_against_exact(spark):
+    """The passage IVF path must be a subset-ranking of the exact passage
+    retrieval: every ANN hit appears in the exact candidate space with the
+    SAME cosine, and nprobe=1 recall of the exact top-5 stays useful at
+    fixture scale (the cell structure, not a broken probe, is the only
+    recall loss)."""
+    from columnar_aware_dedup_spark.operators.search import (
+        passage_ann_ivf_topk,
+        passage_topk_retrieval,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = {
+        (r["q_doc"], r["q_passage"], r["n_doc"], r["n_passage"]): r["cosine_sim"]
+        for r in passage_topk_retrieval(spark, sf_dir).collect()
+    }
+    ann_rows = passage_ann_ivf_topk(spark, sf_dir).collect()
+    assert ann_rows
+    hits = 0
+    for r in ann_rows:
+        key = (r["q_doc"], r["q_passage"], r["n_doc"], r["n_passage"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine_sim"]) < 1e-9
+            hits += 1
+    recall = hits / len(exact)
+    assert recall >= 0.3, f"nprobe=1 passage recall {recall:.2f} of exact top-5"
