@@ -278,21 +278,21 @@ def main() -> None:
         _write_scaling_artifact(scaling, sf)
 
     # The one-line contract: compact, LAST line of stdout, nothing after.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs": RUNS,
-                "calibration_range_agg_sec": calibration,
-                "scaling_artifact": "BENCH_SCALING.md",
-            },
-            separators=(",", ":"),
-        )
-    )
+    # scaling_artifact is advertised ONLY when this run actually measured
+    # the ratios and wrote the file — a plain run pointing at the committed
+    # solo numbers would misattribute them to itself.
+    contract = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "runs": RUNS,
+        "calibration_range_agg_sec": calibration,
+    }
+    if scaling:
+        contract["scaling_artifact"] = "BENCH_SCALING.md"
+    print(json.dumps(contract, separators=(",", ":")))
 
 
 def _time_once(thunk) -> float:

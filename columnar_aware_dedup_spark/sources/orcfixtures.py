@@ -77,25 +77,38 @@ LINKED_SCHEMA = T.StructType(
 # fixture materialization (driver-side, cached)
 # ---------------------------------------------------------------------------
 
-def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
-    """Materialize (store_dir, incoming_dir) of ORC files for ``sf_dir``.
+def _snapshot_fixture_dirs(
+    sf_dir: str, cache_name: str, ext: str, write_fn
+) -> tuple[str, str]:
+    """Shared builder for the four-snapshot dedup workload in either format:
+    store = snapshot A (orders before ``_CUTOFF``); incoming = append-layout
+    B (A's rows first, same sort, so A's stripes/row-groups are
+    byte-identical prefixes), one-column-modified A (``l_partkey + 7`` —
+    re-compresses and shifts every downstream byte of that column), and
+    brand-new content (an orders projection — full miss). ONE copy of the
+    workload definition so the ORC report and its parquet twin can never
+    desynchronize on what "the same workload in two formats" means.
 
-    Cached under the system temp dir keyed by the fixture name; built once,
-    atomically (write to a tmp dir, then rename).
+    Cached under the system temp dir keyed by ``cache_name``; built once,
+    atomically: each builder writes into its OWN ``mkdtemp`` directory (a
+    shared ``base + ".tmp"`` let two concurrent first builds interleave
+    writes into the same files and publish a corrupt cache behind a valid
+    _SUCCESS marker), and ``os.replace`` publishes whole directories — the
+    losing racer's finished tree is discarded, never merged.
     """
+    import shutil
+
     import duckdb
-    import pyarrow.orc as orc
 
     base = os.path.join(
-        tempfile.gettempdir(),
-        "cawd_orc_fixtures",
-        os.path.basename(os.path.normpath(sf_dir)),
+        tempfile.gettempdir(), cache_name, os.path.basename(os.path.normpath(sf_dir))
     )
     store, incoming = os.path.join(base, "store"), os.path.join(base, "incoming")
     if os.path.exists(os.path.join(base, "_SUCCESS")):
         return store, incoming
 
-    tmp = base + ".tmp"
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(base) + ".", dir=os.path.dirname(base))
     os.makedirs(os.path.join(tmp, "store"), exist_ok=True)
     os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
     con = duckdb.connect()
@@ -108,36 +121,47 @@ def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
     sort = "ORDER BY l_orderkey, l_linenumber"
 
     def _write(sql: str, rel_path: str) -> None:
-        tbl = con.execute(sql).arrow()
-        orc.write_table(tbl, os.path.join(tmp, rel_path), stripe_size=_STRIPE_SIZE)
+        write_fn(con.execute(sql).arrow(), os.path.join(tmp, rel_path))
 
     # store: snapshot A
-    _write(f"SELECT * FROM {li} WHERE {in_a} {sort}", "store/lineitem.orc")
+    _write(f"SELECT * FROM {li} WHERE {in_a} {sort}", f"store/lineitem.{ext}")
     # incoming 1: snapshot B, append layout (A's rows first, same sort) so
-    # A's stripes are byte-identical prefixes -> stripe-level hits.
+    # A's stripes/row-groups are byte-identical prefixes -> structural hits.
     _write(
         f"SELECT * FROM {li} ORDER BY (CASE WHEN {in_a} THEN 0 ELSE 1 END), "
         "l_orderkey, l_linenumber",
-        "incoming/lineitem.orc",
+        f"incoming/lineitem.{ext}",
     )
-    # incoming 2: one column perturbed -> stripe misses, other columns hit.
+    # incoming 2: one column perturbed -> that column misses, others hit.
     _write(
         f"SELECT * REPLACE (l_partkey + 7 AS l_partkey) FROM {li} WHERE {in_a} {sort}",
-        "incoming/lineitem_mod.orc",
+        f"incoming/lineitem_mod.{ext}",
     )
     # incoming 3: brand-new content -> full miss.
     _write(
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM {od} ORDER BY o_orderkey",
-        "incoming/orders_new.orc",
+        f"incoming/orders_new.{ext}",
     )
     con.close()
     open(os.path.join(tmp, "_SUCCESS"), "w").close()  # marker travels with the rename
     try:
         os.replace(tmp, base)
     except OSError:
-        if not os.path.exists(os.path.join(base, "_SUCCESS")):  # lost a race?
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
             raise
     return store, incoming
+
+
+def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
+    """Materialize (store_dir, incoming_dir) of ORC files for ``sf_dir``
+    (the four-snapshot workload — see :func:`_snapshot_fixture_dirs`)."""
+    import pyarrow.orc as orc
+
+    def _write(tbl, path):
+        orc.write_table(tbl, path, stripe_size=_STRIPE_SIZE)
+
+    return _snapshot_fixture_dirs(sf_dir, "cawd_orc_fixtures", "orc", _write)
 
 
 #: parquet-twin row-group size: small enough that every fixture file holds
@@ -149,9 +173,9 @@ _ROW_GROUP_ROWS = 2_000
 
 def parquet_fixture_dirs(sf_dir: str) -> tuple[str, str]:
     """Materialize (store_dir, incoming_dir) of PARQUET files for
-    ``sf_dir`` — the same four-snapshot workload as :func:`orc_fixture_dirs`
-    (store = snapshot A; incoming = append-layout B, one-column-modified A,
-    brand-new content), in the reference's OTHER format
+    ``sf_dir`` — the SAME four-snapshot workload as :func:`orc_fixture_dirs`
+    (one shared builder, so the two formats cannot drift), in the
+    reference's other format
     (``parquet/dedup/NaiveParquetChunkingAlgorithm.java``). Fixed row-group
     boundaries make the append layout reproduce A's pages byte-for-byte, so
     the page-level structural chunker has real hits to find. Pages are
@@ -161,63 +185,17 @@ def parquet_fixture_dirs(sf_dir: str) -> tuple[str, str]:
     ``orders_new`` bytes "deduping" against the lineitem store purely on
     index-stream collisions. PLAIN pages carry the values themselves, so a
     signature hit means shared DATA, which is what the thesis measurement
-    compares. Cached under the system temp dir (cache key carries the
-    layout version); built once, atomically."""
-    import duckdb
+    compares. The cache key carries the layout version."""
     import pyarrow.parquet as pq
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "cawd_parquet_fixtures_plain_rg2000",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    store, incoming = os.path.join(base, "store"), os.path.join(base, "incoming")
-    if os.path.exists(os.path.join(base, "_SUCCESS")):
-        return store, incoming
-
-    tmp = base + ".tmp"
-    os.makedirs(os.path.join(tmp, "store"), exist_ok=True)
-    os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
-    con = duckdb.connect()
-    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
-    od = f"read_parquet('{sf_dir}/orders.parquet')"
-    in_a = (
-        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
-        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
-    )
-    sort = "ORDER BY l_orderkey, l_linenumber"
-
-    def _write(sql: str, rel_path: str) -> None:
-        tbl = con.execute(sql).arrow()
+    def _write(tbl, path):
         pq.write_table(
-            tbl,
-            os.path.join(tmp, rel_path),
-            row_group_size=_ROW_GROUP_ROWS,
-            use_dictionary=False,
+            tbl, path, row_group_size=_ROW_GROUP_ROWS, use_dictionary=False
         )
 
-    _write(f"SELECT * FROM {li} WHERE {in_a} {sort}", "store/lineitem.parquet")
-    _write(
-        f"SELECT * FROM {li} ORDER BY (CASE WHEN {in_a} THEN 0 ELSE 1 END), "
-        "l_orderkey, l_linenumber",
-        "incoming/lineitem.parquet",
+    return _snapshot_fixture_dirs(
+        sf_dir, "cawd_parquet_fixtures_plain_rg2000", "parquet", _write
     )
-    _write(
-        f"SELECT * REPLACE (l_partkey + 7 AS l_partkey) FROM {li} WHERE {in_a} {sort}",
-        "incoming/lineitem_mod.parquet",
-    )
-    _write(
-        f"SELECT o_orderkey, o_custkey, o_totalprice FROM {od} ORDER BY o_orderkey",
-        "incoming/orders_new.parquet",
-    )
-    con.close()
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    try:
-        os.replace(tmp, base)
-    except OSError:
-        if not os.path.exists(os.path.join(base, "_SUCCESS")):
-            raise
-    return store, incoming
 
 
 # ---------------------------------------------------------------------------

@@ -158,28 +158,44 @@ def test_semantic_dedup_cell_cap_flip(spark):
 
 
 def test_passage_ann_recall_against_exact(spark):
-    """The passage IVF path must be a subset-ranking of the exact passage
-    retrieval: every ANN hit appears in the exact candidate space with the
-    SAME cosine, and nprobe=1 recall of the exact top-5 stays useful at
-    fixture scale (the cell structure, not a broken probe, is the only
-    recall loss)."""
+    """The passage IVF path must serve from the exact candidate space:
+    EVERY ANN pair's cosine is re-verified against an independent
+    recomputation from the raw passage vectors (so a norm/rounding bug in
+    ANY served row fails, not just rows that land in the exact top-5), and
+    nprobe=1 recall of the exact top-5 stays useful at fixture scale (the
+    cell structure, not a broken probe, is the only recall loss)."""
+    import math
+
     from columnar_aware_dedup_spark.operators.search import (
         passage_ann_ivf_topk,
+        passage_hash_vectors,
         passage_topk_retrieval,
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    exact = {
-        (r["q_doc"], r["q_passage"], r["n_doc"], r["n_passage"]): r["cosine_sim"]
-        for r in passage_topk_retrieval(spark, sf_dir).collect()
+    vecs = {
+        (r["doc_id"], r["passage_idx"]): (list(r["vec"]), r["nrm"])
+        for r in passage_hash_vectors(spark, sf_dir).collect()
     }
     ann_rows = passage_ann_ivf_topk(spark, sf_dir).collect()
     assert ann_rows
-    hits = 0
     for r in ann_rows:
-        key = (r["q_doc"], r["q_passage"], r["n_doc"], r["n_passage"])
-        if key in exact:
-            assert abs(exact[key] - r["cosine_sim"]) < 1e-9
-            hits += 1
+        assert r["n_doc"] != r["q_doc"], "own-doc pair served"
+        qv, qn = vecs[(r["q_doc"], r["q_passage"])]
+        nv, nn = vecs[(r["n_doc"], r["n_passage"])]
+        want = round(sum(a * b for a, b in zip(qv, nv)) / (qn * nn), 6)
+        assert math.isclose(r["cosine_sim"], want, abs_tol=1e-9), (
+            r,
+            want,
+        )
+
+    exact = {
+        (r["q_doc"], r["q_passage"], r["n_doc"], r["n_passage"])
+        for r in passage_topk_retrieval(spark, sf_dir).collect()
+    }
+    hits = sum(
+        (r["q_doc"], r["q_passage"], r["n_doc"], r["n_passage"]) in exact
+        for r in ann_rows
+    )
     recall = hits / len(exact)
     assert recall >= 0.3, f"nprobe=1 passage recall {recall:.2f} of exact top-5"
