@@ -357,14 +357,12 @@ from columnar_aware_dedup_spark.operators.curation import (  # noqa: E402
     _PASSAGE_W,
 )
 
-#: 16-int dot product over two list(v ORDER BY bucket) vectors (DuckDB).
-_PVEC_DOT_SQL = (
-    f"list_sum(list_transform(generate_series(1, {_HASH_DIM}),"
-    " i -> q.vec[i] * c.vec[i]))"
-)
-
-PASSAGE_TOPK_ORACLE = f"""
-WITH d AS (
+#: the ONE copy of the passage-vector CTE chain (window arithmetic +
+#: hashing-trick vectors, zero-norm passages dropped) shared by the exact
+#: retrieval oracle and its IVF twin — they cannot desynchronize on what
+#: a passage vector is.
+_PASSAGE_VECS_CTES = f"""
+d AS (
   SELECT doc_id,
          string_split({_NORM_SQL}, ' ') AS dtoks,
          len(string_split({_NORM_SQL}, ' ')) AS n
@@ -402,9 +400,21 @@ dense AS (
 vecs AS (
   SELECT doc_id, passage_idx, list(v ORDER BY bucket) AS vec,
          sqrt(sum(v * v)) AS nrm
-  FROM dense GROUP BY doc_id, passage_idx),
-q AS (SELECT * FROM vecs WHERE doc_id < {_RETR_QUERY_DOCS} AND nrm > 0),
-c AS (SELECT * FROM vecs WHERE nrm > 0),
+  FROM dense GROUP BY doc_id, passage_idx
+  HAVING sqrt(sum(v * v)) > 0)
+"""
+
+
+#: 16-int dot product over two list(v ORDER BY bucket) vectors (DuckDB).
+_PVEC_DOT_SQL = (
+    f"list_sum(list_transform(generate_series(1, {_HASH_DIM}),"
+    " i -> q.vec[i] * c.vec[i]))"
+)
+
+PASSAGE_TOPK_ORACLE = f"""
+WITH {_PASSAGE_VECS_CTES},
+q AS (SELECT * FROM vecs WHERE doc_id < {_RETR_QUERY_DOCS}),
+c AS (SELECT * FROM vecs),
 pairs AS (
   SELECT q.doc_id AS q_doc, q.passage_idx AS q_passage,
          c.doc_id AS n_doc, c.passage_idx AS n_passage,
@@ -529,48 +539,6 @@ _PVEC_L2SQ_SQL = (
     " i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i]))), 6)"
 )
 
-_PASSAGE_VECS_CTES = f"""
-d AS (
-  SELECT doc_id,
-         string_split({_NORM_SQL}, ' ') AS dtoks,
-         len(string_split({_NORM_SQL}, ' ')) AS n
-  FROM documents),
-p AS (
-  SELECT doc_id, dtoks,
-         unnest(generate_series(
-             0,
-             CASE WHEN n <= {_PASSAGE_W} THEN 0
-                  ELSE (n - {_PASSAGE_W} + {_PASSAGE_S - 1}) // {_PASSAGE_S}
-             END)) AS passage_idx
-  FROM d),
-pt AS (
-  SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx,
-         dtoks[passage_idx * {_PASSAGE_S} + 1 :
-               passage_idx * {_PASSAGE_S} + {_PASSAGE_W}] AS toks
-  FROM p),
-terms AS (
-  SELECT doc_id, passage_idx, unnest(toks) AS term FROM pt),
-tf AS (
-  SELECT doc_id, passage_idx, term, count(*) AS tf
-  FROM terms WHERE term <> '' GROUP BY doc_id, passage_idx, term),
-bs AS (
-  SELECT doc_id, passage_idx, {_BUCKET_SQL} AS bucket,
-         CAST(sum(({_SIGN_SQL}) * tf) AS DOUBLE) AS v
-  FROM tf GROUP BY doc_id, passage_idx, bucket),
-grid AS (
-  SELECT pp.doc_id, pp.passage_idx, dims.bucket
-  FROM (SELECT DISTINCT doc_id, passage_idx FROM pt) pp
-  CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_DIM - 1})) AS bucket)
-    dims),
-dense AS (
-  SELECT g.doc_id, g.passage_idx, g.bucket, COALESCE(bs.v, 0.0) AS v
-  FROM grid g LEFT JOIN bs USING (doc_id, passage_idx, bucket)),
-vecs AS (
-  SELECT doc_id, passage_idx, list(v ORDER BY bucket) AS vec,
-         sqrt(sum(v * v)) AS nrm
-  FROM dense GROUP BY doc_id, passage_idx
-  HAVING sqrt(sum(v * v)) > 0)
-"""
 
 PASSAGE_ANN_IVF_ORACLE = f"""
 WITH {_PASSAGE_VECS_CTES},
