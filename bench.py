@@ -148,6 +148,8 @@ HEADLINE = [
     "cdc_dedup_report_parquet",
     "passage_topk_retrieval",
     "passage_ann_ivf_topk",
+    # r08 batch 6: the parquet zone-map certificate (other-format twin).
+    "parquet_zone_map_pruning",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -630,10 +630,13 @@ ROTATION_R8: list[str] = [
     # r08 batch 5: the passage IVF-cell scale path (never driver-checked);
     # displaces the r05 fill embedding_cosine_topk → ROTATION_R10.
     "passage_ann_ivf_topk",
+    # r08 batch 6: the parquet zone-map certificate (the other-format twin
+    # of orc_zone_map_pruning, never driver-checked); displaces the r05
+    # fill embedding_near_dup_pairs → ROTATION_R10.
+    "parquet_zone_map_pruning",
     # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
     # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
     # needed their R8 slots)
-    "embedding_near_dup_pairs",
     "embedding_norm_stats",
     "embedding_pca_project",
     "grouped_percentile",
@@ -852,11 +855,12 @@ ROTATION_R10: list[str] = [
     # fills: oldest predicted (r07) rows, alphabetical (groupby_sum_count's
     # redundant seat here yielded to the r08 displacement cascade — its
     # required ROTATION_R9 seat stands; corpus_report / date_fns /
-    # event_tumbling_window / except_all / filter_pred yielded their seats
-    # to the batch-2/3/4/5 cascades and re-seat in ROTATION_R12)
+    # event_tumbling_window / except_all / filter_pred /
+    # grouped_percentile_approx yielded their seats to the batch-2..6
+    # cascades and re-seat in ROTATION_R12)
     "doc_token_stats",
     "embedding_cosine_topk",
-    "grouped_percentile_approx",
+    "embedding_near_dup_pairs",
     "grouping_sets_agg",
 ]
 
@@ -1006,8 +1010,12 @@ ROTATION_R12: list[str] = [
     # at newest=10 — inside the R11∪R12 envelope); takes the seat of
     # token_vocab_hll, whose ROTATION_R8 seat refreshes it to an r08 row.
     "filter_pred",
+    # grouped_percentile_approx re-seated by the r08 batch-6 cascade (r07
+    # row, overdue at newest=10 — inside the R11∪R12 envelope); takes the
+    # seat of token_heavy_hitters_cms, whose ROTATION_R8 seat refreshes it
+    # to an r08 row.
+    "grouped_percentile_approx",
     "source_overlap_matrix",
-    "token_heavy_hitters_cms",
     "token_zipf_slope",
     "ann_ivf_nprobe_topk",
 ]

@@ -228,3 +228,183 @@ def page_stats(
     if pos != end:
         raise ValueError(f"page walk ended at {pos}, expected {end}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# footer zone maps: FileMetaData -> per-(row group, column) min/max statistics
+# ---------------------------------------------------------------------------
+
+#: parquet-format Thrift field ids walked below (the IDL is public; every
+#: other field skips generically, so future additions never break the walk).
+_FMD_ROW_GROUPS = 4
+_RG_COLUMNS = 1
+_RG_NUM_ROWS = 3
+_CC_META_DATA = 3
+_CMD_TYPE = 1
+_CMD_PATH = 3
+_CMD_NUM_VALUES = 5
+_CMD_STATISTICS = 12
+_ST_NULL_COUNT = 3
+_ST_MAX_VALUE = 5
+_ST_MIN_VALUE = 6
+
+#: parquet physical Type enum values this decoder understands.
+_TYPE_INT32 = 1
+_TYPE_INT64 = 2
+
+
+def _read_list_header(buf: bytes, pos: int) -> tuple[int, int, int]:
+    hdr = buf[pos]
+    pos += 1
+    size = hdr >> 4
+    etype = hdr & 0x0F
+    if size == 15:
+        size, pos = _varint(buf, pos)
+    return size, etype, pos
+
+
+def _read_binary(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _varint(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+def _walk_struct(buf: bytes, pos: int, handlers: dict) -> tuple[dict, int]:
+    """Walk one compact struct, dispatching the field ids in ``handlers``
+    (``fid -> callable(buf, pos, ftype) -> (value, pos)``) and skipping
+    everything else generically."""
+    out: dict = {}
+    last_fid = 0
+    while True:
+        hdr = buf[pos]
+        pos += 1
+        if hdr == _CT_STOP:
+            return out, pos
+        delta = hdr >> 4
+        ftype = hdr & 0x0F
+        if delta:
+            fid = last_fid + delta
+        else:
+            raw, pos = _varint(buf, pos)
+            fid = _zigzag(raw)
+        last_fid = fid
+        if fid in handlers:
+            out[fid], pos = handlers[fid](buf, pos, ftype)
+        elif ftype in (_CT_TRUE, _CT_FALSE):
+            continue  # bool lives in the type nibble; nothing to skip
+        else:
+            pos = _skip_value(buf, pos, ftype)
+    raise AssertionError("unreachable")
+
+
+def _take_int(buf: bytes, pos: int, ftype: int) -> tuple[int, int]:
+    raw, pos = _varint(buf, pos)
+    return _zigzag(raw), pos
+
+
+def _take_binary(buf: bytes, pos: int, ftype: int) -> tuple[bytes, int]:
+    return _read_binary(buf, pos)
+
+
+def _take_statistics(buf: bytes, pos: int, ftype: int) -> tuple[dict, int]:
+    return _walk_struct(
+        buf,
+        pos,
+        {
+            _ST_NULL_COUNT: _take_int,
+            _ST_MAX_VALUE: _take_binary,
+            _ST_MIN_VALUE: _take_binary,
+        },
+    )
+
+
+def _take_column_meta(buf: bytes, pos: int, ftype: int) -> tuple[dict, int]:
+    def _path(buf: bytes, pos: int, ftype: int) -> tuple[str, int]:
+        size, _etype, pos = _read_list_header(buf, pos)
+        parts = []
+        for _ in range(size):
+            b, pos = _read_binary(buf, pos)
+            parts.append(b.decode("utf-8"))
+        return ".".join(parts), pos
+
+    return _walk_struct(
+        buf,
+        pos,
+        {
+            _CMD_TYPE: _take_int,
+            _CMD_PATH: _path,
+            _CMD_NUM_VALUES: _take_int,
+            _CMD_STATISTICS: _take_statistics,
+        },
+    )
+
+
+def decode_stat_value(raw: bytes | None, physical_type: int):
+    """Decode a Statistics min/max payload for the physical types the
+    zone-map audit reads (plain little-endian per parquet-format); other
+    types return None — a pruner without a decodable bound must read."""
+    import struct as _struct
+
+    if raw is None:
+        return None
+    if physical_type == _TYPE_INT32 and len(raw) == 4:
+        return _struct.unpack("<i", raw)[0]
+    if physical_type == _TYPE_INT64 and len(raw) == 8:
+        return _struct.unpack("<q", raw)[0]
+    return None
+
+
+def read_footer_zone_maps(data: bytes) -> list[list[dict]]:
+    """Parse the footer's per-(row group, column) zone maps with OUR
+    compact-protocol walker (no pyarrow): returns one list per row group of
+    ``{"path", "type", "num_values", "min", "max", "num_rows"}`` dicts,
+    min/max decoded for INT32/INT64 columns (None when absent/undecodable).
+
+    This is the parquet twin of ``orcmeta.read_stripe_column_stats``: the
+    statistics a scan-side pruner consults WITHOUT touching row-group
+    bytes live in ``FileMetaData.row_groups[].columns[].meta_data
+    .statistics`` (min_value/max_value, parquet-format.thrift).
+    """
+    if data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing magic)")
+    footer_len = int.from_bytes(data[-8:-4], "little")
+    footer = data[len(data) - 8 - footer_len : len(data) - 8]
+
+    def _row_groups(buf: bytes, pos: int, ftype: int):
+        size, _etype, pos = _read_list_header(buf, pos)
+        groups = []
+        for _ in range(size):
+            def _columns(buf: bytes, pos: int, ftype: int):
+                csize, _ce, pos = _read_list_header(buf, pos)
+                cols = []
+                for _ in range(csize):
+                    cc, pos = _walk_struct(
+                        buf, pos, {_CC_META_DATA: _take_column_meta}
+                    )
+                    cols.append(cc.get(_CC_META_DATA, {}))
+                return cols, pos
+
+            rg, pos = _walk_struct(
+                buf, pos, {_RG_COLUMNS: _columns, _RG_NUM_ROWS: _take_int}
+            )
+            groups.append(rg)
+        return groups, pos
+
+    fmd, _ = _walk_struct(footer, 0, {_FMD_ROW_GROUPS: _row_groups})
+    out: list[list[dict]] = []
+    for rg in fmd.get(_FMD_ROW_GROUPS, []):
+        cols = []
+        for cmd in rg.get(_RG_COLUMNS, []):
+            st = cmd.get(_CMD_STATISTICS, {})
+            ptype = cmd.get(_CMD_TYPE)
+            cols.append(
+                {
+                    "path": cmd.get(_CMD_PATH),
+                    "type": ptype,
+                    "num_values": cmd.get(_CMD_NUM_VALUES),
+                    "min": decode_stat_value(st.get(_ST_MIN_VALUE), ptype),
+                    "max": decode_stat_value(st.get(_ST_MAX_VALUE), ptype),
+                    "num_rows": rg.get(_RG_NUM_ROWS),
+                }
+            )
+        out.append(cols)
+    return out

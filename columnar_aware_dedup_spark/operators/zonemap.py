@@ -233,3 +233,131 @@ def orc_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark rendering below is parity-pinned). The per-stripe numeric audit
     stays available via :func:`zone_map_stripe_audit`."""
     return zone_map_bits_df(zone_map_stripe_audit(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# the parquet twin: row-group zone maps from the footer statistics
+# ---------------------------------------------------------------------------
+
+#: the parquet snapshot workload files (``parquet_fixture_dirs`` layout).
+_ZONE_FILES_PARQUET = (
+    "store/lineitem.parquet",
+    "incoming/lineitem.parquet",
+    "incoming/lineitem_mod.parquet",
+    "incoming/orders_new.parquet",
+)
+
+_RG_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("row_group_idx", T.IntegerType(), False),
+        *_STRIPE_SCHEMA.fields[2:],
+    ]
+)
+
+
+def zone_map_row_group_table(file_name: str, data: bytes) -> list[dict]:
+    """Per-row-group zone-map audit rows for one parquet file: the lead
+    column's claimed min/max from OUR footer walker
+    (``functions/parquetmeta.py:read_footer_zone_maps`` — no pyarrow in the
+    claim path), the true min/max and in-band match count from pyarrow's
+    independent row-group read, and the same lowest-quarter predicate band
+    as the ORC audit."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from columnar_aware_dedup_spark.functions.parquetmeta import (
+        read_footer_zone_maps,
+    )
+
+    zones = read_footer_zone_maps(data)
+    pf = pq.ParquetFile(io.BytesIO(data))
+    lead = pf.schema_arrow.names[0]
+    claimed = [
+        (rg[0]["min"], rg[0]["max"]) if rg and rg[0]["path"] == lead else (None, None)
+        for rg in zones
+    ]
+    gmin = min((c[0] for c in claimed if c[0] is not None), default=0)
+    gmax = max((c[1] for c in claimed if c[1] is not None), default=0)
+    band_lo, band_hi = gmin, gmin + (gmax - gmin) // 4
+    rows = []
+    for i in range(pf.metadata.num_row_groups):
+        col = pf.read_row_group(i, columns=[lead])[lead]
+        cmin, cmax = claimed[i] if i < len(claimed) else (None, None)
+        in_band = pc.and_(
+            pc.greater_equal(col, band_lo), pc.less_equal(col, band_hi)
+        )
+        rows.append(
+            {
+                "file_name": file_name,
+                "row_group_idx": i,
+                "claimed_min": cmin,
+                "claimed_max": cmax,
+                "true_min": pc.min(col).as_py(),
+                "true_max": pc.max(col).as_py(),
+                "band_lo": band_lo,
+                "band_hi": band_hi,
+                "n_band_matches": pc.sum(pc.cast(in_band, "int64")).as_py()
+                or 0,
+                "n_rows": len(col),
+            }
+        )
+    return rows
+
+
+def _zone_batches_parquet(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in _RG_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = "/".join(path.rsplit("/", 2)[-2:])
+            rows.extend(zone_map_row_group_table(name, bytes(content)))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def zone_map_row_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric per-row-group audit table (engine-side twin)."""
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        parquet_fixture_dirs,
+    )
+
+    store_dir, _incoming = parquet_fixture_dirs(sf_dir)
+    base = store_dir.rsplit("/", 1)[0]
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_zone_batches_parquet, _RG_SCHEMA)
+
+
+ZONE_MAP_PARQUET_ORACLE = (
+    "SELECT file_name, "
+    + ", ".join(f"TRUE AS {b}" for b in _ZONE_BITS)
+    + " FROM (VALUES "
+    + ", ".join(f"('{f}')" for f in sorted(_ZONE_FILES_PARQUET))
+    + ") t(file_name) ORDER BY file_name"
+)
+
+
+@register("parquet_zone_map_pruning", oracle=ZONE_MAP_PARQUET_ORACLE)
+def parquet_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning certificate over the PARQUET snapshot workload —
+    the other-format twin of ``orc_zone_map_pruning`` (the reference walks
+    both formats; scan-side statistics exploitation should too). Claims
+    come from OUR Thrift-compact footer walker
+    (``read_footer_zone_maps`` — min_value/max_value of
+    ``FileMetaData.row_groups[].columns[].meta_data.statistics``), truth
+    from pyarrow's independent row-group read; the three bits
+    (stats-match / pruning-soundness / pruning-effectiveness) and their
+    Spark rendering are SHARED with the ORC certificate
+    (:func:`zone_map_bits` / :func:`zone_map_bits_df`), so the two formats
+    cannot drift on what "safe to skip" means. Flip tests:
+    ``tests/test_zonemap.py`` (the shared derivation) +
+    ``test_parquet_zone_walker_*`` (the walker itself). The per-row-group
+    numeric audit stays available via :func:`zone_map_row_group_audit`."""
+    return zone_map_bits_df(zone_map_row_group_audit(spark, sf_dir))

@@ -164,11 +164,13 @@ def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
     return _snapshot_fixture_dirs(sf_dir, "cawd_orc_fixtures", "orc", _write)
 
 
-#: parquet-twin row-group size: small enough that every fixture file holds
-#: several row groups (so page-level dedup has structure to find), fixed so
-#: snapshot B's append layout reproduces snapshot A's row-group boundaries —
-#: A's pages are then byte-identical in B and page signatures hit.
-_ROW_GROUP_ROWS = 2_000
+#: parquet-twin row-group size: small enough that EVERY fixture file holds
+#: several row groups at every SF (orders_new at sf0.001 is 1,500 rows —
+#: the zone-map effectiveness bit needs >=2 groups to prune one and keep
+#: one; page-level dedup also wants structure to find), fixed so snapshot
+#: B's append layout reproduces snapshot A's row-group boundaries — A's
+#: pages are then byte-identical in B and page signatures hit.
+_ROW_GROUP_ROWS = 500
 
 
 def parquet_fixture_dirs(sf_dir: str) -> tuple[str, str]:
@@ -194,7 +196,7 @@ def parquet_fixture_dirs(sf_dir: str) -> tuple[str, str]:
         )
 
     return _snapshot_fixture_dirs(
-        sf_dir, "cawd_parquet_fixtures_plain_rg2000", "parquet", _write
+        sf_dir, "cawd_parquet_fixtures_plain_rg500", "parquet", _write
     )
 
 

@@ -179,6 +179,19 @@ def test_report_bits_flip(spark):
     nodedup = report_bits(full([("cdc", "lineitem.orc", 100, 0, 100)])).collect()[0]
     assert not nodedup.expected_dedup_ok
 
+    # the modified file: the shift-resilient modes owe hits, fixed is exempt
+    mod0 = report_bits(
+        full(
+            [
+                ("cdc", "lineitem_mod.orc", 100, 0, 100),
+                ("fixed", "lineitem_mod.orc", 100, 0, 100),
+            ]
+        )
+    ).collect()
+    by_mode = {r.mode: r for r in mod0}
+    assert not by_mode["cdc"].expected_dedup_ok
+    assert by_mode["fixed"].expected_dedup_ok
+
     newhits = report_bits(full([("cdc", "orders_new.orc", 100, 5, 95)])).collect()[0]
     assert not newhits.expected_dedup_ok  # >= 1% hits on brand-new content
 
@@ -235,6 +248,16 @@ def test_report_bits_flip_parquet_names(spark):
 
     newhits = bits([("cdc", "orders_new.parquet", 100, 5, 95)]).collect()[0]
     assert not newhits.expected_dedup_ok
+
+    mod0 = bits(
+        [
+            ("cdc", "lineitem_mod.parquet", 100, 0, 100),
+            ("fixed", "lineitem_mod.parquet", 100, 0, 100),
+        ]
+    ).collect()
+    by_mode = {r.mode: r for r in mod0}
+    assert not by_mode["cdc"].expected_dedup_ok
+    assert by_mode["fixed"].expected_dedup_ok
 
     upset = bits(
         [

@@ -113,3 +113,70 @@ def test_stripe_table_against_pyarrow(sf_dir):
         assert r["claimed_max"] == r["true_max"]
     assert any(r["n_band_matches"] == 0 for r in rows)  # prunable stripes
     assert any(r["n_band_matches"] > 0 for r in rows)  # kept stripes
+
+
+def test_parquet_zone_map_walker_and_bits(spark):
+    """The parquet twin's falsifiability, both layers: (a) the from-scratch
+    Thrift-compact footer walker must agree with pyarrow's independent
+    footer read on every integer column statistic of every fixture file
+    (and see every row group); (b) a corrupted claim / an unsound prune /
+    an all-kept band each flip the matching certificate bit through the
+    SHARED zone_map_bits derivation the registered query runs."""
+    import io
+    import os
+
+    import pyarrow.parquet as pq
+
+    from columnar_aware_dedup_spark.functions.parquetmeta import (
+        read_footer_zone_maps,
+    )
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        _ZONE_FILES_PARQUET,
+        zone_map_bits,
+        zone_map_row_group_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        parquet_fixture_dirs,
+    )
+
+    store, _ = parquet_fixture_dirs("/root/testdata/sf0.001")
+    base = os.path.dirname(store)
+    checked = 0
+    for rel in _ZONE_FILES_PARQUET:
+        data = open(os.path.join(base, rel), "rb").read()
+        ours = read_footer_zone_maps(data)
+        md = pq.ParquetFile(io.BytesIO(data)).metadata
+        assert len(ours) == md.num_row_groups and md.num_row_groups >= 2
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                mine = ours[i][j]
+                assert mine["path"] == col.path_in_schema
+                s = col.statistics
+                if (
+                    s is not None
+                    and s.has_min_max
+                    and isinstance(s.min, int)
+                    and mine["min"] is not None
+                ):
+                    assert mine["min"] == s.min and mine["max"] == s.max
+                    checked += 1
+        # the real audit passes all three bits on this file
+        rows = zone_map_row_group_table(rel, data)
+        assert all(zone_map_bits(rows).values()), rel
+    assert checked > 50, "walker parity must cover a real statistic volume"
+
+    # fabricated-row flips through the SAME derivation
+    row = {
+        "claimed_min": 0, "claimed_max": 10, "true_min": 0, "true_max": 10,
+        "band_lo": 0, "band_hi": 5, "n_band_matches": 3, "n_rows": 10,
+    }
+    far = dict(row, claimed_min=100, claimed_max=200, true_min=100,
+               true_max=200, n_band_matches=0)
+    assert zone_map_bits([row, far])["pruning_effective_ok"]
+    lying = dict(row, claimed_min=1)  # claim != truth
+    assert not zone_map_bits([lying, far])["stats_match_truth_ok"]
+    unsound = dict(far, n_band_matches=2)  # pruned range hides matches
+    assert not zone_map_bits([row, unsound])["pruning_sound_ok"]
+    assert not zone_map_bits([row, row])["pruning_effective_ok"]  # none pruned
