@@ -1020,6 +1020,66 @@ ROTATION_R12: list[str] = [
     "ann_ivf_nprobe_topk",
 ]
 
+#: r13 rotation (prepared five ahead, derived r08 by forward simulation
+#: through the predicted r12 archive): leads with the 16 queries whose
+#: projected rows go overdue at newest=11 and hold no ROTATION_R12 seat —
+#: the r08 registrations' first re-check, the r08-refreshed R8∩R12
+#: yielders, and the cascade re-seats — then fills with the oldest
+#: projected (r09) rows, alphabetical. Exactly-50/uniqueness/coverage
+#: enforced by the same test family as ROTATION_R9..R12.
+ROTATION_R13: list[str] = [
+    "cdc_dedup_report_parquet",
+    "cube_agg",
+    "parquet_zone_map_pruning",
+    "passage_ann_ivf_topk",
+    "passage_near_dup",
+    "passage_topk_retrieval",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "range_join_bands",
+    "source_mix_kl",
+    "stats_agg",
+    "streaming_ivf_parity",
+    "streaming_pq_parity",
+    "streaming_sketch_parity",
+    "token_heavy_hitters_cms",
+    "token_vocab_hll",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "approx_distinct",
+    "bpe_segment_corpus",
+    "chunk_simulate",
+    "cluster_quality_keeper",
+    "col_type_stats",
+    "dedup_bloom_prefilter",
+    "dedup_exact_rows",
+    "dedup_hit_miss",
+    "distinct_count",
+    "doc_hash_embedding",
+    "domain_mix_sample",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "event_dedup_first",
+    "event_session_window",
+    "groupby_sum_count",
+    "ivf_train_kmeans",
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+    "multimodal_audio_features",
+    "multimodal_dedup_report",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "near_dup_clusters_labelprop",
+    "near_dup_pagerank",
+    "ngram_jaccard_pairs",
+    "orc_file_chunks",
+    "orc_hierarchical_dedup",
+    "pipeline_curate",
+    "pq_train_codebooks",
+]
+
 # r08: the prepared window goes ACTIVE (VERDICT r07 brief #2) — the r01
 # stragglers, transfer_stats_rollup_approx's first real driver hash-check,
 # and this round's streaming-parity registrations.

@@ -93,9 +93,9 @@ R_ALLOWLIST = {
     # graduated to H via the rank-space certificate
     # (stats.approx_rank_certificate — the approx_distinct tolerance-bit
     # generalized to percentiles, tie-safe two-sided rank counts); the raw
-    # sketch values stay as unregistered *_full twins. The two queries left
-    # here are the genuinely non-oracle-able residue: DuckDB has no
-    # directory scan and no wall clock.
+    # sketch values stay as unregistered *_full twins. The one query left
+    # here is the genuinely non-oracle-able residue: DuckDB has no wall
+    # clock.
 }
 
 
@@ -328,5 +328,27 @@ def test_rotation_r12_is_prepared_and_fresh():
         missing = never_checked - set(pkg.ROTATION_R12)
         assert not missing, (
             "queries with no driver row must be in the prepared r12 "
+            f"window: {sorted(missing)}"
+        )
+
+
+def test_rotation_r13_is_prepared_and_fresh():
+    """ROTATION_R13 (prepared five ahead, derived r08) must be 50 unique
+    registered names; once CORRECTNESS_r12.json lands, it must also cover
+    every query still lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R13) == 50
+    assert len(set(pkg.ROTATION_R13)) == 50
+    assert set(pkg.ROTATION_R13) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r12.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R13)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r13 "
             f"window: {sorted(missing)}"
         )
