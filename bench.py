@@ -150,6 +150,12 @@ HEADLINE = [
     "passage_ann_ivf_topk",
     # r08 batch 6: the parquet zone-map certificate (other-format twin).
     "parquet_zone_map_pruning",
+    # r08 batch 7 (session 3): the ranked-retrieval pair (BM25 + RRF
+    # hybrid) and the cross-format value-vs-byte dedup certificate — new
+    # families, first perf signal.
+    "bm25_doc_ranking",
+    "hybrid_rrf_fusion",
+    "cross_format_dedup",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -32,12 +32,14 @@ from columnar_aware_dedup_spark.operators import sq  # noqa: F401
 from columnar_aware_dedup_spark.operators import phash  # noqa: F401
 from columnar_aware_dedup_spark.operators import audiofp  # noqa: F401
 from columnar_aware_dedup_spark.operators import pca  # noqa: F401
+from columnar_aware_dedup_spark.operators import retrieval  # noqa: F401
 from columnar_aware_dedup_spark.operators import streaming_parity  # noqa: F401
 from columnar_aware_dedup_spark.operators import zonemap  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import cdc  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
+from columnar_aware_dedup_spark.sources import crossformat  # noqa: F401
 from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401
 from columnar_aware_dedup_spark.sources import parquetcensus  # noqa: F401
 
@@ -634,12 +636,19 @@ ROTATION_R8: list[str] = [
     # of orc_zone_map_pruning, never driver-checked); displaces the r05
     # fill embedding_near_dup_pairs → ROTATION_R10.
     "parquet_zone_map_pruning",
-    # fills: oldest remaining r05 rows, alphabetical (chunk_simulate /
-    # col_type_stats moved to ROTATION_R9 when the batch-3 displacements
-    # needed their R8 slots)
-    "embedding_norm_stats",
-    "embedding_pca_project",
-    "grouped_percentile",
+    # r08 batch 7 (session 3): the retrieval pair (BM25 + RRF hybrid) and
+    # the cross-format value-vs-byte dedup certificate — never
+    # driver-checked, so mandatory seats. They displace the three r05
+    # fills embedding_norm_stats / embedding_pca_project /
+    # grouped_percentile, which re-seat in ROTATION_R10 (their newest=8
+    # staleness deadline consults the R9∪R10 envelope); the cascade those
+    # re-seats trigger (R10→R11→R12) is validated end-to-end by
+    # tests/test_rotation_sim.py against the same simulator that derived
+    # it, green through the predicted newest=10 archive — the r07
+    # standard.
+    "bm25_doc_ranking",
+    "hybrid_rrf_fusion",
+    "cross_format_dedup",
     # rollup_agg re-seated here after yielding its ROTATION_R7 slot to
     # hot_span_census (batch 5): overdue through r07, so R8 membership
     # keeps both envelopes green. It displaces the r05 fill
@@ -801,8 +810,6 @@ ROTATION_R10: list[str] = [
     "near_dup_cluster_stats",
     "orc_linked_reconstruction",
     "orc_reconstruction",
-    "parquet_file_chunks",
-    "parquet_reconstruction",
     "perplexity_bucket_report",
     "pipeline_dedup_all",
     "q13_customer_distribution",
@@ -816,10 +823,18 @@ ROTATION_R10: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "semantic_dedup",
     "simhash64_signature",
     "simhash_band_near_dup",
     "tfidf_top_terms",
+    # the three r05-row fills displaced from ROTATION_R8 by the batch-7
+    # registrations (retrieval pair + cross-format certificate): overdue
+    # at newest=8, which consults the R9∪R10 envelope — R10 membership
+    # covers it. They take the seats of parquet_file_chunks /
+    # parquet_reconstruction / semantic_dedup (r06 rows, overdue at
+    # newest=9 → R10∪R11 envelope), which re-seat in ROTATION_R11.
+    "embedding_norm_stats",
+    "embedding_pca_project",
+    "grouped_percentile",
     # the three r06-row fills displaced from ROTATION_R9 by the r05-row
     # re-seats (session-2 r07): overdue at newest=9, which is when the
     # R10∪R11 envelope is consulted — R10 membership covers it. They take
@@ -889,7 +904,6 @@ ROTATION_R11: list[str] = [
     "json_extract",
     "like_rlike_pred",
     "limit_offset",
-    "math_fns",
     "null_fns",
     "orderby_limit_topk",
     "pandas_udf_grouped_agg",
@@ -899,7 +913,6 @@ ROTATION_R11: list[str] = [
     "pivot_agg",
     "posexplode_tokens",
     "q10_returned_item",
-    "q11_important_stock",
     "q12_priority_class",
     "q14_promo_effect",
     "q19_bracketed_or",
@@ -918,8 +931,15 @@ ROTATION_R11: list[str] = [
     "substring_dedup_delta",
     "substring_dedup_ranges",
     "transfer_stats_rollup_approx",
-    "union_all_counts",
     "window_first_last",
+    # the three r06-row re-seats the batch-7 cascade displaced from
+    # ROTATION_R10 (overdue at newest=9 → R10∪R11 envelope; R11 membership
+    # covers it). They take the seats of math_fns / q11_important_stock /
+    # union_all_counts (r07 rows, overdue at newest=10 → R11∪R12
+    # envelope), which re-seat in ROTATION_R12.
+    "parquet_file_chunks",
+    "parquet_reconstruction",
+    "semantic_dedup",
     # fills: alphabetically-first r08-window rows so freshness keeps
     # cycling, plus inverted_index_search (r06 row, displaced from R9 by
     # the flagship's re-seat — due again once CORRECTNESS_r09 lands, which
@@ -973,13 +993,19 @@ ROTATION_R12: list[str] = [
     "doc_token_stats",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
-    "embedding_norm_stats",
-    "embedding_pca_project",
+    # the r07-row trio the batch-7 cascade displaced from ROTATION_R11
+    # (overdue at newest=10 → R11∪R12 envelope; R12 membership covers
+    # it). They take the seats of embedding_norm_stats /
+    # embedding_pca_project / grouped_percentile, whose batch-7 R10
+    # re-seats refresh them to r10 rows (next overdue at newest=13,
+    # covered by the windows a later round prepares).
+    "math_fns",
+    "q11_important_stock",
+    "union_all_counts",
     "event_anomaly_zscore",
     "event_hypertable_rollup",
     "event_sliding_window",
     "event_watermark_filter",
-    "grouped_percentile",
     "having_filter",
     "join_anti",
     "join_inner",

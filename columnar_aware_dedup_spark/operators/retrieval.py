@@ -1,0 +1,385 @@
+"""Ranked retrieval over ``documents``: BM25 lexical ranking and
+reciprocal-rank fusion of the lexical and dense (hashed-embedding) lists.
+
+The reference's lookup surface is content-addressed (the signature store
+probe, ``dedup/ColumnarChunkStore.java``); ``operators/search.py`` adds the
+term-addressed shapes (tf-idf, conjunctive search). This module completes
+the retrieval story a training-data/RAG pipeline actually serves:
+
+- ``bm25_doc_ranking``: Okapi BM25 (Robertson & Zaragoza 2009, the Lucene
+  ``ln(1 + (N - df + .5)/(df + .5))`` idf form so scores stay positive),
+  disjunctive over the house query terms — the standard lexical ranker.
+- ``hybrid_rrf_fusion``: reciprocal-rank fusion (Cormack, Clarke &
+  Buettcher, SIGIR 2009): ``score(d) = Σ_lists 1/(k + rank_list(d))`` with
+  k=60 over the BM25 list and the dense cosine list from the hashing-trick
+  document vectors (``search.doc_hash_embedding``'s vector space) — the
+  standard zero-tuning lexical+dense hybrid.
+
+Determinism/oracle notes: every BM25 input (tf, df, dl, N) is an integer
+both engines derive identically, and the scoring expression casts every
+operand to DOUBLE up front (a bare ``0.5`` literal is DECIMAL in both
+engines, and their decimal-division scale rules differ — doubles do not);
+per-term contributions are rounded to 9 dp and
+summed as ``DECIMAL(20,9)`` (exact, order-free — the decimal-sum
+discipline), and ranking uses that exact decimal, never a float sum whose
+partial-aggregation order Spark controls. The dense list ranks by the
+6-dp-rounded cosine (integer-exact dot products / IEEE sqrt norms, the
+``passage_topk_retrieval`` discipline). RRF adds exactly TWO doubles —
+IEEE addition is commutative, so the two-term sum is order-safe without a
+decimal hop.
+
+Scale shape: the term filter prunes to the query terms' postings BEFORE
+any shuffle (only those postings move); dl/avgdl are one map-side-combined
+per-doc count plus a one-row broadcast; the dense side broadcasts one
+16-int literal query vector against a narrow scan of the doc-vector
+derivation; both rankings end in TakeOrdered top-k, never a full sort; the
+fusion joins two ≤N_FUSE-row lists — driver-bounded constants, not corpus
+data. Nothing here is corpus-global except the one-row N/avgdl aggregates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.search import (
+    _BUCKET_SPARK,
+    _BUCKET_SQL,
+    _HASH_DIM,
+    _SEARCH_TERMS,
+    _SIGN_SPARK,
+    _SIGN_SQL,
+)
+from columnar_aware_dedup_spark.operators.text import _NORM_SQL, _fanned, normalized
+from columnar_aware_dedup_spark.registry import register
+
+#: Okapi BM25 free parameters (the universal defaults).
+_K1 = "CAST(1.2 AS DOUBLE)"
+_B = "CAST(0.75 AS DOUBLE)"
+
+#: result sizes: the headline ranking and the per-list depth fused by RRF.
+_BM25_TOPN = 20
+_FUSE_N = 30
+
+#: RRF smoothing constant (Cormack et al. use 60; it is THE convention).
+_RRF_K = 60
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+#: per-term BM25 contribution — ONE string rendered into both engines so
+#: the double expression trees cannot diverge (idf * tf-norm, 9-dp round,
+#: decimal cast makes the cross-term sum exact and order-free). Every
+#: operand is cast to DOUBLE before any arithmetic (module doc).
+_CONTRIB = (
+    "CAST(round("
+    "ln(CAST(1 AS DOUBLE)"
+    " + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    f" * (CAST(tf AS DOUBLE) * ({_K1} + CAST(1 AS DOUBLE)))"
+    f" / (CAST(tf AS DOUBLE) + {_K1} * (CAST(1 AS DOUBLE) - {_B}"
+    f" + {_B} * CAST(dl AS DOUBLE) / avgdl))"
+    ", 9) AS DECIMAL(20,9))"
+)
+
+#: the shared BM25 CTE chain (DuckDB spelling) — reused verbatim by the
+#: fusion oracle so the two queries cannot disagree on what BM25 is.
+_BM25_CTES = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, {_CONTRIB} AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats CROSS JOIN n),
+bm25 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, sum(c) AS score
+  FROM contrib GROUP BY doc_id)
+"""
+
+BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, n_terms,
+       round(CAST(score AS DOUBLE), 6) AS bm25
+FROM bm25
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPN}
+"""
+
+
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_terms, score DECIMAL(20,9)) for every document matching
+    ANY query term — the exact-decimal table both registered rankings
+    order by. ``tf`` lets a caller that already paid the corpus
+    (doc, term) aggregation (the fusion's dense side) supply it; standalone
+    the much cheaper query-term-filtered explode is built here."""
+    docs = normalized(spark, sf_dir).select("doc_id", "toks")
+    # dl needs no explode and no shuffle: it is the per-doc non-empty
+    # token COUNT, a narrow array fold (the oracle's grouped-count CTE
+    # computes the same number; docs with zero tokens are absent from
+    # both). The only corpus-wide explode is the tf side, and its term
+    # filter prunes to the query terms' postings before that shuffle.
+    dl = docs.select(
+        "doc_id",
+        F.expr("size(filter(toks, t -> t != ''))").cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    stats = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    if tf is None:
+        tf = (
+            docs.select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(*_SEARCH_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df is ≤|query| rows and stats/n are one row — all broadcast; dl joins
+    # on doc_id, the partitioning tf already has.
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(n))
+        .select("doc_id", F.expr(_CONTRIB).alias("c"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"), F.sum("c").alias("score")
+    )
+
+
+@register("bm25_doc_ranking", oracle=BM25_ORACLE)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 over the house query terms
+    (disjunctive — any matching term scores; module doc has the exact
+    formula and the decimal-sum determinism argument). The ranking key is
+    the exact DECIMAL(20,9) contribution sum; the displayed score is its
+    6-dp double rendering."""
+    scored = _bm25_scores(spark, sf_dir)
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("score").cast("double"), 6).alias("bm25"),
+        )
+    )
+
+
+# -- reciprocal-rank fusion ---------------------------------------------------
+
+def _query_vector() -> list[int]:
+    """The hashing-trick vector of the query terms themselves (tf=1 each) —
+    computed driver-side with hashlib (bit-identical to both engines' md5)
+    and inlined as a literal, so the dense list needs no query-side
+    tokenization plan at all."""
+    vec = [0] * _HASH_DIM
+    for term in _SEARCH_TERMS:
+        digest = hashlib.md5(term.encode()).hexdigest()
+        bucket = int(digest[0], 16)
+        sign = -1 if digest[1] in "89abcdef" else 1
+        vec[bucket] += sign
+    return vec
+
+
+_QVEC = _query_vector()
+_QNRM = f"sqrt(CAST({sum(v * v for v in _QVEC)} AS DOUBLE))"
+
+#: dense-list cosine, Spark spelling (vec/nrm from the doc-vector CTE).
+_DENSE_COS_SPARK = (
+    "round(("
+    + " + ".join(f"CAST({q} AS DOUBLE) * vec[{i}]" for i, q in enumerate(_QVEC) if q)
+    + f") / ({_QNRM} * nrm), 6)"
+)
+#: DuckDB spelling (1-based list indexing).
+_DENSE_COS_SQL = (
+    "round(("
+    + " + ".join(
+        f"CAST({q} AS DOUBLE) * vec[{i + 1}]" for i, q in enumerate(_QVEC) if q
+    )
+    + f") / ({_QNRM} * nrm), 6)"
+)
+
+#: doc-level hashing-trick vectors (DuckDB) — the document half of
+#: ``search.HASH_EMBEDDING_ORACLE`` kept unnormalized (integer-exact) for
+#: the dot product, zero-norm docs dropped like the passage family.
+_DOC_VECS_CTES = f"""
+dtoks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents),
+dtf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM dtoks WHERE term <> '' GROUP BY doc_id, term),
+dbs AS (
+  SELECT doc_id, {_BUCKET_SQL} AS bucket,
+         CAST(sum(({_SIGN_SQL}) * tf) AS DOUBLE) AS v
+  FROM dtf GROUP BY doc_id, bucket),
+dgrid AS (
+  SELECT d.doc_id, dims.bucket
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_DIM - 1})) AS bucket)
+    dims),
+ddense AS (
+  SELECT g.doc_id, g.bucket, COALESCE(dbs.v, 0.0) AS v
+  FROM dgrid g LEFT JOIN dbs USING (doc_id, bucket)),
+dvecs AS (
+  SELECT doc_id, list(v ORDER BY bucket) AS vec, sqrt(sum(v * v)) AS nrm
+  FROM ddense GROUP BY doc_id
+  HAVING sqrt(sum(v * v)) > 0)
+"""
+
+RRF_ORACLE = f"""
+WITH {_BM25_CTES},
+{_DOC_VECS_CTES},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25
+  QUALIFY lex_rank <= {_FUSE_N}),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {_DENSE_COS_SQL} DESC, doc_id) AS dense_rank
+  FROM dvecs
+  QUALIFY dense_rank <= {_FUSE_N}),
+fused AS (
+  SELECT doc_id, lex_rank, dense_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + dense_rank),
+                    CAST(0 AS DOUBLE)) AS rrf
+  FROM lex FULL OUTER JOIN dense USING (doc_id))
+SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_BM25_TOPN}
+"""
+
+
+def corpus_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) over the whole vocabulary — the one corpus-wide
+    explode+shuffle the fusion pays; lazily checkpointed so its two
+    consumers (dense vectors + the BM25 postings filter) materialize it
+    once (AQE compiles the branches separately, so plain exchange reuse
+    does not fire — the ``tfidf_top_terms`` lesson)."""
+    return (
+        _fanned(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _doc_hash_vectors(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, vec array<double>, nrm): the doc-level twin of
+    ``search.passage_hash_vectors`` — unnormalized integer-valued sums so
+    dot products stay exact; zero-norm docs dropped (mirrored in the
+    oracle's HAVING)."""
+    if tf is None:
+        tf = (
+            _fanned(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+    bs = tf.groupBy(
+        "doc_id", F.expr(_BUCKET_SPARK).cast("int").alias("bucket")
+    ).agg(F.expr(f"CAST(sum(({_SIGN_SPARK}) * tf) AS DOUBLE)").alias("v"))
+    dense = (
+        f"transform(sequence(0, {_HASH_DIM - 1}),"
+        " i -> coalesce(element_at(m, i), CAST(0 AS DOUBLE)))"
+    )
+    return (
+        bs.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("m")
+        )
+        .withColumn("vec", F.expr(dense))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(vec, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+            ),
+        )
+        .filter(F.col("nrm") > 0)
+        .select("doc_id", "vec", "nrm")
+    )
+
+
+@register("hybrid_rrf_fusion", oracle=RRF_ORACLE)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical list and the dense
+    hashed-embedding cosine list (top-30 each, k=60), top-20 fused — the
+    standard hybrid retrieval shape, zero tuned weights. Both per-list
+    ranks are integers over engine-identical keys (exact-decimal BM25;
+    6-dp cosine), and the fused score adds exactly two doubles, so the
+    whole pipeline is hash-exact. A doc missing from one list contributes
+    only its other rank (its missing rank shows NULL)."""
+    # Each list is cut to FUSE_N by orderBy().limit() FIRST (TakeOrdered —
+    # distributed, no full sort), and only the ≤30-row survivor frame pays
+    # a rank window — never an unpartitioned window over corpus data. Both
+    # lists derive from ONE shared corpus (doc, term) aggregation
+    # (corpus_tf): the dense side folds it into vectors, the lexical side
+    # filters it to the query terms' postings (A/B-measured 1.3x over the
+    # two-explode form at sf0.1: 3.12 -> 2.39 s warm min).
+    tf_all = corpus_tf(spark, sf_dir)
+    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        _bm25_scores(
+            spark, sf_dir, tf=tf_all.filter(F.col("term").isin(*_SEARCH_TERMS))
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_FUSE_N)
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .select("doc_id", "lex_rank")
+    )
+    dense_w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    dense = (
+        _doc_hash_vectors(spark, sf_dir, tf=tf_all)
+        .withColumn("cos", F.expr(_DENSE_COS_SPARK))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_FUSE_N)
+        .withColumn("dense_rank", F.row_number().over(dense_w))
+        .select("doc_id", "dense_rank")
+    )
+    rrf = (
+        f"COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank),"
+        " CAST(0 AS DOUBLE))"
+        f" + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + dense_rank),"
+        " CAST(0 AS DOUBLE))"
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn("rrf", F.expr(rrf))
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

@@ -81,6 +81,10 @@ CERT_FLIP_TESTS = {
         "tests.test_zonemap",
         "test_parquet_zone_map_walker_and_bits",
     ),
+    "cross_format_dedup": (
+        "tests.test_crossformat",
+        "test_cross_format_bits_flip",
+    ),
 }
 
 

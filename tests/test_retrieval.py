@@ -1,0 +1,144 @@
+"""BM25 + RRF retrieval: formula wiring, driver-side literal parity, and
+independent hand recomputation (the oracle parity itself runs in
+``test_registry_oracles``)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+from columnar_aware_dedup_spark.operators.retrieval import (
+    _CONTRIB,
+    _FUSE_N,
+    _QVEC,
+    _RRF_K,
+    bm25_doc_ranking,
+    hybrid_rrf_fusion,
+)
+from columnar_aware_dedup_spark.operators.search import (
+    _BUCKET_SPARK,
+    _HASH_DIM,
+    _SEARCH_TERMS,
+    _SIGN_SPARK,
+)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    """The house normalization (text._NORM_SPARK) re-stated in Python —
+    a third, independent implementation for the hand oracle below."""
+    t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+    return [tok for tok in t.split(" ") if tok]
+
+
+def test_query_vector_matches_engine(spark):
+    """The driver-side hashlib query vector must equal the engine's
+    bucket/sign hashing of the same terms — the literal is load-bearing
+    for every dense cosine downstream."""
+    terms = spark.createDataFrame(
+        [(t,) for t in _SEARCH_TERMS], "term string"
+    )
+    got = (
+        terms.groupBy(F.expr(_BUCKET_SPARK).cast("int").alias("bucket"))
+        .agg(F.expr(f"sum({_SIGN_SPARK})").alias("v"))
+        .collect()
+    )
+    engine = [0] * _HASH_DIM
+    for r in got:
+        engine[r["bucket"]] = r["v"]
+    assert engine == _QVEC
+
+
+def test_bm25_contribution_monotonicity(spark):
+    """Formula wiring is falsifiable: a rarer term (lower df) must
+    contribute MORE than a common one at equal tf/dl, and higher tf more
+    than lower tf — flip either input and the certificate-grade ordering
+    breaks."""
+    rows = [
+        # (tf, df, dl, avgdl, n_docs)
+        (2, 5, 100, 100.0, 1000),   # base
+        (2, 500, 100, 100.0, 1000), # common term -> smaller
+        (6, 5, 100, 100.0, 1000),   # higher tf -> larger
+    ]
+    df = spark.createDataFrame(
+        rows, "tf long, df long, dl long, avgdl double, n_docs long"
+    ).select(F.expr(_CONTRIB).cast("double").alias("c"))
+    base, common, hot = [r["c"] for r in df.collect()]
+    assert common < base < hot
+
+
+def test_bm25_matches_hand_computation(spark, sf_dir):
+    """Full independent recomputation in plain Python (third engine):
+    tokenize with the regex restatement, score with the textbook formula,
+    compare the top-20 (doc ids AND 6-dp scores)."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    toks = {d: _norm_tokens(t or "") for d, t in docs}
+    n_docs = len(docs)
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    avgdl = sum(dl.values()) / len(dl)
+    tf: dict[tuple[int, str], int] = {}
+    for d, ts in toks.items():
+        for tok in ts:
+            if tok in _SEARCH_TERMS:
+                tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    df_ = {
+        t: len({d for (d, tt) in tf if tt == t}) for t in _SEARCH_TERMS
+    }
+    scores: dict[int, float] = {}
+    for (d, t), f_ in tf.items():
+        idf = math.log(1 + (n_docs - df_[t] + 0.5) / (df_[t] + 0.5))
+        norm = (f_ * 2.2) / (f_ + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl))
+        scores[d] = scores.get(d, 0.0) + round(idf * norm, 9)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["doc_id"], r["bm25"]) for r in bm25_doc_ranking(spark, sf_dir).collect()
+    ]
+    assert [d for d, _s in got] == [d for d, _s in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - round(es, 6)) < 1e-9, (gd, gs, es)
+
+
+def test_rrf_scores_self_consistent(spark, sf_dir):
+    """Every fused score equals 1/(k+lex) + 1/(k+dense) recomputed from
+    the emitted ranks; ranks stay within the per-list depth; and at least
+    one side is present on every row."""
+    rows = hybrid_rrf_fusion(spark, sf_dir).collect()
+    assert rows, "fusion returned nothing"
+    for r in rows:
+        lex, dense = r["lex_rank"], r["dense_rank"]
+        assert lex is not None or dense is not None
+        expect = (1.0 / (_RRF_K + lex) if lex else 0.0) + (
+            1.0 / (_RRF_K + dense) if dense else 0.0
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+        for rank in (lex, dense):
+            assert rank is None or 1 <= rank <= _FUSE_N
+    # both lists contribute somewhere in the fused top-20 (the hybrid is
+    # not degenerate on the fixtures): some row carries a lex rank and
+    # some row carries a dense rank.
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["dense_rank"] is not None for r in rows)
+
+
+def test_rrf_both_lists_winner_beats_single_list(spark, sf_dir):
+    """A document present in BOTH lists at ranks (a, b) must outscore any
+    document whose single rank is worse than both — the fusion property
+    RRF exists for. Verified on the real fixture output wherever such a
+    pair exists (and the fixtures do produce dual-list docs)."""
+    rows = hybrid_rrf_fusion(spark, sf_dir).collect()
+    dual = [r for r in rows if r["lex_rank"] and r["dense_rank"]]
+    single = [
+        r for r in rows if (r["lex_rank"] is None) != (r["dense_rank"] is None)
+    ]
+    assert dual, "fixtures produce no dual-list doc; planted premise broken"
+    for d in dual:
+        worst = max(d["lex_rank"], d["dense_rank"])
+        for s in single:
+            srank = s["lex_rank"] or s["dense_rank"]
+            if srank > worst:
+                assert d["rrf_score"] > s["rrf_score"]

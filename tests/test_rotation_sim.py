@@ -1,0 +1,53 @@
+"""Forward-simulated rotation guarantee (tools/derive_rotation.py).
+
+The live staleness tests only arm as archives land; this test replays the
+committed windows forward NOW and pins the guaranteed-green horizon, so a
+seat edit that silently shortens the forward guarantee fails today, not
+three driver rounds from now."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from derive_rotation import archive_state, committed_windows, simulate  # noqa: E402
+
+
+#: every check through this round must pass assuming scheduled windows
+#: land green. r08 batch 7 (three new registrations into a saturated
+#: 300-seat packing) moved the horizon from 12 to 11 — still one round
+#: beyond the r07 sessions' "forward-simulated through the predicted r10
+#: archive" standard; the expected residue beyond it is ONLY the r08
+#: registrations' own second-round seats, which round 9's R14 derivation
+#: provides.
+GREEN_THROUGH = 11
+
+
+def test_windows_green_through_pinned_horizon():
+    import __spark_entry__ as entry
+
+    latest, newest = archive_state()
+    problems = simulate(
+        committed_windows(), latest, set(entry.queries()), newest + 1, GREEN_THROUGH
+    )
+    assert not problems, problems
+
+
+def test_residue_beyond_horizon_is_only_new_registrations():
+    """Past the pinned horizon the ONLY acceptable gap is queries first
+    registered this round needing their second driver row — anything else
+    means a previously-covered query lost its seat."""
+    import __spark_entry__ as entry
+
+    latest, newest = archive_state()
+    never_checked = set(entry.queries()) - set(latest)
+    problems = simulate(
+        committed_windows(), latest, set(entry.queries()), newest + 1, GREEN_THROUGH + 1
+    )
+    offenders = {q for _k, _kind, who in problems for q in who}
+    assert offenders <= never_checked, (
+        f"non-new queries fall through the horizon: "
+        f"{sorted(offenders - never_checked)}"
+    )
