@@ -383,3 +383,92 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+# -- index-served BM25 ---------------------------------------------------------
+
+def write_bm25_index(
+    spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
+) -> None:
+    """Materialize the classic BM25 serving index: postings denormalized
+    with the document length — ``(term, doc_id, tf, dl)`` bucketed AND
+    sorted by term — plus ``{table}_df`` (term document frequencies, same
+    term bucketing) and ``{table}_stats`` (ONE row: corpus size + avgdl).
+
+    Denormalizing dl into the postings is what makes serving zero-join on
+    the corpus side: a query filters its terms' buckets, broadcasts the
+    (tiny, term-filtered) df rows and the one-row stats, and shuffles ONLY
+    the matched postings for the per-doc fold — the inverted-file shape
+    every IR engine ships. The write pays the corpus explode once.
+    """
+    import shutil
+
+    docs = normalized(spark, sf_dir).select("doc_id", "toks")
+    dl = docs.select(
+        "doc_id",
+        F.expr("size(filter(toks, t -> t != ''))").cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    postings = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .join(dl, "doc_id")
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix, frame, bucketed in (
+        ("", postings, True),
+        ("_df", postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")), True),
+        ("_stats", docs.agg(
+            F.count("*").alias("n_docs")).join(
+            dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))), False),
+    ):
+        name = table_name + suffix
+        # ephemeral-metastore hygiene (the write_postings_index pattern): a
+        # fresh Derby can orphan the physical location of an earlier process.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+        writer = frame.write.format("parquet").mode("overwrite")
+        if bucketed:
+            writer = (
+                frame.repartition(n_buckets, "term")
+                .write.format("parquet")
+                .bucketBy(n_buckets, "term")
+                .sortBy("term")
+                .mode("overwrite")
+            )
+        writer.saveAsTable(name)
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    table_name: str,
+    terms: tuple[str, ...] = _SEARCH_TERMS,
+    topn: int = _BM25_TOPN,
+) -> DataFrame:
+    """BM25 top-k served from :func:`write_bm25_index` — result-identical
+    to :func:`bm25_doc_ranking` over the same corpus (pytest-asserted)
+    with a plan that touches ONLY the searched terms' bucket-pruned
+    postings: df and stats broadcast, the sole data exchange is the
+    per-doc fold of matched postings, and the ranking is a TakeOrdered
+    heap over the exact decimal key."""
+    tf = spark.table(table_name).filter(F.col("term").isin(*terms))
+    df = spark.table(table_name + "_df").filter(F.col("term").isin(*terms))
+    stats = spark.table(table_name + "_stats")
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_CONTRIB).alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(topn)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("score").cast("double"), 6).alias("bm25"),
+        )
+    )

@@ -588,3 +588,63 @@ def test_cdc_parquet_report_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     n = explain.n_exchanges(df)
     assert n <= 6, f"cdc_dedup_report_parquet grew to {n} shuffles:\n{plan}"
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """bm25_doc_ranking: top-k is a TakeOrdered heap (never a global
+    sort), there is NO window anywhere (ranking happens in the heap), and
+    the shuffle budget holds — the only corpus-sized exchange is the
+    term-filtered tf grouping; dl is a narrow array fold and avgdl/N are
+    one-row aggregates."""
+    from columnar_aware_dedup_spark.operators import retrieval
+
+    df = retrieval.bm25_doc_ranking(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert explain.has_take_ordered(df), plan
+    assert not explain.has_global_sort(df), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 6, f"bm25 grew to {n} shuffles:\n{plan}"
+
+
+def test_rrf_windows_only_after_limits(spark, sf_dir):
+    """hybrid_rrf_fusion: both per-list rank windows run on ≤FUSE_N-row
+    frames — structurally, every Window in the plan sits ABOVE a
+    GlobalLimit (the TakeOrdered cut), so no unpartitioned window ever
+    sees corpus-sized data; the list cuts themselves are heaps."""
+    from columnar_aware_dedup_spark.operators import retrieval
+
+    df = retrieval.hybrid_rrf_fusion(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert explain.has_take_ordered(df), plan
+    assert not explain.has_global_sort(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 2, plan
+    # every Window operator must consume a limited (TakeOrdered) subtree:
+    # in the simple-mode tree, each Window line is eventually followed by
+    # the TakeOrderedAndProject that feeds it (children print below).
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line:
+            below = "\n".join(lines[i + 1 :])
+            assert "TakeOrdered" in below, (
+                "Window without a TakeOrdered input:\n" + plan
+            )
+    n = explain.n_exchanges(df)
+    assert n <= 7, f"rrf grew to {n} shuffles:\n{plan}"
+
+
+def test_cross_format_shuffle_budget(spark, sf_dir):
+    """cross_format_dedup: signature sums partial-aggregate map-side (one
+    exchange per format at one row per column), chunk tables parse in one
+    mapInPandas task per file, and the assembly joins 11-row frames — no
+    window, nothing pairwise, bounded exchanges."""
+    from columnar_aware_dedup_spark.sources import crossformat
+
+    df = crossformat.cross_format_dedup(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 8, f"cross_format_dedup grew to {n} shuffles:\n{plan}"

@@ -261,3 +261,38 @@ def test_passage_arithmetic_covers_any_length(n):
     rebuilt.extend(windows[-1])
     assert rebuilt == toks
     assert all(len(w) == _PASSAGE_W for w in windows[:-1])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_hex_sum_engines_agree_on_any_value(payload):
+    """The cross-format value signature folds the first 14 md5 hex chars
+    into an integer via Spark ``conv(h, 16, 10)`` on one side and DuckDB
+    ``CAST('0x' || h AS BIGINT)`` on the other. Pin the two conversions
+    (and the 56-bit no-overflow assumption) to each other for arbitrary
+    payloads — a silent divergence here would desynchronize every
+    signature downstream."""
+    import duckdb
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()[:14]
+    expect = int(h, 16)
+    got = duckdb.connect().execute(
+        f"SELECT CAST(('0x' || '{h}') AS BIGINT)"
+    ).fetchone()[0]
+    assert got == expect
+    assert expect < 2**63  # 14 hex chars always fit a signed BIGINT
+
+
+def test_hex_sum_spark_side_matches_python(spark):
+    """Spark half of the same pin: conv+DECIMAL over a handful of known
+    md5 prefixes must equal Python's int(h, 16) (hypothesis drives the
+    DuckDB half; one Spark job covers the engine half without paying a
+    session per example)."""
+    import hashlib
+
+    vals = [hashlib.md5(bytes([i])).hexdigest()[:14] for i in range(32)]
+    df = spark.createDataFrame([(v,) for v in vals], "h string").select(
+        F.conv("h", 16, 10).cast("decimal(38,0)").cast("string").alias("n")
+    )
+    assert [r["n"] for r in df.collect()] == [str(int(v, 16)) for v in vals]

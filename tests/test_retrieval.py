@@ -142,3 +142,29 @@ def test_rrf_both_lists_winner_beats_single_list(spark, sf_dir):
             srank = s["lex_rank"] or s["dense_rank"]
             if srank > worst:
                 assert d["rrf_score"] > s["rrf_score"]
+
+
+def test_bm25_index_serving_is_result_identical(spark, sf_dir):
+    """The materialized BM25 index (postings+dl / df / stats tables) must
+    serve the exact same top-20 as the from-scratch ranking, and the
+    serving plan must keep the index side exchange-free: the only data
+    exchange is the per-doc fold of the term-filtered postings."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        bm25_from_index,
+        write_bm25_index,
+    )
+    from columnar_aware_dedup_spark.plans import explain
+    from tests.conftest import rows_equal
+
+    write_bm25_index(spark, sf_dir, "bm25_idx_test")
+    served = bm25_from_index(spark, "bm25_idx_test")
+    # plan asserts run BEFORE collect: once AQE finalizes an executed plan
+    # the formatted output counts its re-planned shuffle nodes differently.
+    plan = explain.plan_string(served, "formatted")
+    n = explain.n_exchanges(served)
+    assert n <= 1, plan
+    assert explain.has_take_ordered(served), plan
+    # the searched terms' buckets are the ONLY postings read (3 terms ->
+    # 3 of 8 buckets), and the term filter reaches the scan.
+    assert "SelectedBucketsCount: 3 out of 8" in plan, plan
+    assert rows_equal(served, bm25_doc_ranking(spark, sf_dir))
