@@ -29,8 +29,9 @@ IEEE addition is commutative, so the two-term sum is order-safe without a
 decimal hop.
 
 Scale shape: the term filter prunes to the query terms' postings BEFORE
-any shuffle (only those postings move); dl/avgdl are one map-side-combined
-per-doc count plus a one-row broadcast; the dense side broadcasts one
+any shuffle (only those postings move); dl is a narrow per-doc array fold
+(no explode, no shuffle) and avgdl/N are one-row broadcast aggregates of
+it; the dense side broadcasts one
 16-int literal query vector against a narrow scan of the doc-vector
 derivation; both rankings end in TakeOrdered top-k, never a full sort; the
 fusion joins two ≤N_FUSE-row lists — driver-bounded constants, not corpus

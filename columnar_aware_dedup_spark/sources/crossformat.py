@@ -162,7 +162,7 @@ def cross_format_chunk_sigs(
 
 
 def cross_format_report(
-    spark: SparkSession, orc_sigs: DataFrame, pq_sigs: DataFrame,
+    orc_sigs: DataFrame, pq_sigs: DataFrame,
     orc_values: DataFrame, pq_values: DataFrame,
 ) -> DataFrame:
     """Assemble the per-column certificate from the four inputs (split out
@@ -222,6 +222,4 @@ def cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parquet",
     )
     orc_sigs, pq_sigs = cross_format_chunk_sigs(spark, orc_store, pq_store)
-    return cross_format_report(
-        spark, orc_sigs, pq_sigs, orc_values, pq_values
-    )
+    return cross_format_report(orc_sigs, pq_sigs, orc_values, pq_values)

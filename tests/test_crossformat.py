@@ -52,7 +52,7 @@ def test_cross_format_bits_flip(spark, sf_dir):
 
     # 1) same-format comparison: orc vs orc chunk signatures intersect.
     same = cross_format_report(
-        spark, orc_sigs, orc_sigs.select("column_name", "signature"),
+        orc_sigs, orc_sigs.select("column_name", "signature"),
         orc_values, orc_values.withColumnRenamed("sig_orc", "sig_parquet"),
     ).collect()
     assert all(r["n_shared_byte_sigs"] > 0 for r in same)
@@ -65,7 +65,7 @@ def test_cross_format_bits_flip(spark, sf_dir):
         "parquet",
     )
     mod = cross_format_report(
-        spark, orc_sigs, pq_sigs, orc_values, mod_values
+        orc_sigs, pq_sigs, orc_values, mod_values
     ).collect()
     agree = {r["column_name"]: r["formats_agree_ok"] for r in mod}
     assert not agree["l_partkey"]
@@ -74,7 +74,7 @@ def test_cross_format_bits_flip(spark, sf_dir):
     # 3) an empty chunk side flips the walker-ran guards.
     empty = pq_sigs.filter(F.lit(False))
     bare = cross_format_report(
-        spark, orc_sigs, empty, orc_values, pq_values
+        orc_sigs, empty, orc_values, pq_values
     ).collect()
     assert all(not r["parquet_pages_ok"] for r in bare)
     assert all(r["orc_chunks_ok"] for r in bare)
