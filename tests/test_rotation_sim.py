@@ -35,10 +35,21 @@ def test_windows_green_through_pinned_horizon():
     assert not problems, problems
 
 
+#: queries allowed to lack a second-round seat past the pinned horizon:
+#: the r08 batch-7 registrations, whose re-pack is round 9's R14
+#: derivation (they are named, not derived, so the allowance cannot
+#: silently widen as archives land and they stop being never-checked).
+RESIDUE_ALLOWLIST = {
+    "bm25_doc_ranking",
+    "hybrid_rrf_fusion",
+    "cross_format_dedup",
+}
+
+
 def test_residue_beyond_horizon_is_only_new_registrations():
-    """Past the pinned horizon the ONLY acceptable gap is queries first
-    registered this round needing their second driver row — anything else
-    means a previously-covered query lost its seat."""
+    """Past the pinned horizon the ONLY acceptable gap is this round's
+    new registrations needing their second driver row (named above) —
+    anything else means a previously-covered query lost its seat."""
     import __spark_entry__ as entry
 
     latest, newest = archive_state()
@@ -47,7 +58,8 @@ def test_residue_beyond_horizon_is_only_new_registrations():
         committed_windows(), latest, set(entry.queries()), newest + 1, GREEN_THROUGH + 1
     )
     offenders = {q for _k, _kind, who in problems for q in who}
-    assert offenders <= never_checked, (
+    allowed = never_checked | RESIDUE_ALLOWLIST
+    assert offenders <= allowed, (
         f"non-new queries fall through the horizon: "
-        f"{sorted(offenders - never_checked)}"
+        f"{sorted(offenders - allowed)}"
     )
