@@ -53,7 +53,12 @@ from columnar_aware_dedup_spark.operators.search import (
     _SIGN_SPARK,
     _SIGN_SQL,
 )
-from columnar_aware_dedup_spark.operators.text import _NORM_SQL, _fanned, normalized
+from columnar_aware_dedup_spark.operators.text import (
+    _NORM_SPARK,
+    _NORM_SQL,
+    _fanned,
+    normalized,
+)
 from columnar_aware_dedup_spark.registry import register
 
 #: Okapi BM25 free parameters (the universal defaults).
@@ -388,42 +393,74 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- index-served BM25 ---------------------------------------------------------
 
-def write_bm25_index(
-    spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
-) -> None:
-    """Materialize the classic BM25 serving index: postings denormalized
-    with the document length — ``(term, doc_id, tf, dl)`` bucketed AND
-    sorted by term — plus ``{table}_df`` (term document frequencies, same
-    term bucketing) and ``{table}_stats`` (ONE row: corpus size + avgdl).
-
-    Denormalizing dl into the postings is what makes serving zero-join on
-    the corpus side: a query filters its terms' buckets, broadcasts the
-    (tiny, term-filtered) df rows and the one-row stats, and shuffles ONLY
-    the matched postings for the per-doc fold — the inverted-file shape
-    every IR engine ships. The write pays the corpus explode once.
-    """
-    import shutil
-
-    docs = normalized(spark, sf_dir).select("doc_id", "toks")
-    dl = docs.select(
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) for documents-schema rows — the narrow no-explode
+    token count (dl=0 rows kept: they carry no postings but DO count into
+    the corpus size the idf reads)."""
+    return docs.withColumn("norm", F.expr(_NORM_SPARK)).select(
         "doc_id",
-        F.expr("size(filter(toks, t -> t != ''))").cast("long").alias("dl"),
-    ).filter(F.col("dl") > 0)
-    postings = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
+        F.expr("size(filter(split(norm, ' '), t -> t != ''))")
+        .cast("long")
+        .alias("dl"),
+    )
+
+
+def batch_bm25_postings(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) for one batch of documents-schema rows —
+    postings denormalized with the document length, so serving needs no
+    corpus-side join (the inverted-file layout every IR engine ships)."""
+    dl = doc_lengths(docs).filter(F.col("dl") > 0)
+    return (
+        docs.withColumn("norm", F.expr(_NORM_SPARK))
+        .select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
         .join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
     )
+
+
+def corpus_stats(registry: DataFrame) -> DataFrame:
+    """ONE row of exact-integer corpus sums from the (doc_id, dl)
+    registry: total docs, token-bearing docs, and their dl sum. Integer
+    sums (not a stored average) are what make the stats row incrementable
+    by the streaming maintainer without drift."""
+    return registry.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_dl_docs"
+        ),
+        F.sum("dl").cast("long").alias("dl_sum"),
+    )
+
+
+def write_bm25_index(
+    spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
+) -> None:
+    """Materialize the BM25 serving index: dl-denormalized postings
+    ``(term, doc_id, tf, dl)`` bucketed AND sorted by term, plus
+    ``{table}_docs`` (the (doc_id, dl) registry — every document ever
+    indexed, token-less ones included, which is both the corpus-size
+    input to idf and the streaming maintainer's replay guard) and
+    ``{table}_stats`` (ONE row of exact integer sums; see
+    :func:`corpus_stats`). Term document-frequencies are deliberately NOT
+    materialized: serving derives df from the same bucket-pruned postings
+    it already reads (a term-grouped aggregate on a term-bucketed scan is
+    exchange-free), so there is no df table for the streaming maintainer
+    to rewrite.
+    """
+    import shutil
+
+    from columnar_aware_dedup_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    registry = doc_lengths(docs)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for suffix, frame, bucketed in (
-        ("", postings, True),
-        ("_df", postings.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df")), True),
-        ("_stats", docs.agg(
-            F.count("*").alias("n_docs")).join(
-            dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))), False),
+        ("", batch_bm25_postings(docs), True),
+        ("_docs", registry, False),
+        ("_stats", corpus_stats(registry), False),
     ):
         name = table_name + suffix
         # ephemeral-metastore hygiene (the write_postings_index pattern): a
@@ -451,12 +488,19 @@ def bm25_from_index(
     """BM25 top-k served from :func:`write_bm25_index` — result-identical
     to :func:`bm25_doc_ranking` over the same corpus (pytest-asserted)
     with a plan that touches ONLY the searched terms' bucket-pruned
-    postings: df and stats broadcast, the sole data exchange is the
-    per-doc fold of matched postings, and the ranking is a TakeOrdered
+    postings: df derives exchange-free from that same pruned scan, avgdl
+    and N come from the one-row stats sums, and the sole data exchange is
+    the per-doc fold of matched postings; the ranking is a TakeOrdered
     heap over the exact decimal key."""
     tf = spark.table(table_name).filter(F.col("term").isin(*terms))
-    df = spark.table(table_name + "_df").filter(F.col("term").isin(*terms))
-    stats = spark.table(table_name + "_stats")
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # avgdl = exact-integer dl_sum / token-bearing doc count: equal to the
+    # from-scratch path's F.avg because dl doubles are integer-valued
+    # (exact sums at any aggregation order while dl_sum < 2^53).
+    stats = spark.table(table_name + "_stats").select(
+        "n_docs",
+        (F.col("dl_sum").cast("double") / F.col("n_dl_docs")).alias("avgdl"),
+    )
     contrib = (
         tf.join(F.broadcast(df), "term")
         .join(F.broadcast(stats))

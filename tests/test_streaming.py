@@ -1160,3 +1160,71 @@ def test_cluster_label_swap_crash_recovery(spark, sf_dir, tmp_path):
         clusters.clusters_from_index(spark, label_tbl),
         near_dup_clusters(spark, sf_dir),
     )
+
+
+def test_streaming_bm25_index_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental BM25 maintenance: seed the index from the first half of
+    the corpus, stream the second half in two waves (the second wave
+    REPLAYS the first file byte-identically and adds a planted TOKEN-LESS
+    document), and the served top-20 must equal a batch rebuild over the
+    same final corpus — postings, N (which the empty doc must still
+    bump), and avgdl all exact through the delta path."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        bm25_from_index,
+        write_bm25_index,
+    )
+    from columnar_aware_dedup_spark.streaming import bm25 as sbm25
+    from tests.conftest import rows_equal
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    docs_dir = tmp_path / "bm25_stream"
+    docs_dir.mkdir()
+    ck = str(tmp_path / "ck_bm25")
+    tbl = "test_streaming_bm25"
+
+    # seed: batch index over the first half, via a parquet dir the batch
+    # writer can read as a documents fixture.
+    seed_dir = tmp_path / "bm25_seed"
+    seed_dir.mkdir()
+    pq_.write_table(t.slice(0, half), seed_dir / "documents.parquet")
+    write_bm25_index(spark, str(seed_dir), tbl)
+
+    # wave 1: third quarter; wave 2: the rest + wave-1 replay + empty doc.
+    q3 = half + (t.num_rows - half) // 2
+    pq_.write_table(t.slice(half, q3 - half), docs_dir / "wave1.parquet")
+    q = sbm25.start_bm25_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+
+    pq_.write_table(t.slice(q3), docs_dir / "wave2.parquet")
+    pq_.write_table(t.slice(half, q3 - half), docs_dir / "wave1_replay.parquet")
+    empty_doc = spark.createDataFrame(
+        [(999_999, "", "en", "planted", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    empty_doc.toPandas().to_parquet(docs_dir / "wave3_empty.parquet")
+    q = sbm25.start_bm25_indexer(spark, str(docs_dir), tbl, ck)
+    q.awaitTermination(120)
+
+    # batch truth: rebuild over the final corpus (all docs + the empty one)
+    full_dir = tmp_path / "bm25_full"
+    full_dir.mkdir()
+    pq_.write_table(t, full_dir / "documents.parquet")
+    truth_tbl = "test_streaming_bm25_truth"
+    write_bm25_index(spark, str(full_dir), truth_tbl)
+    # fold the planted empty doc into the truth index the same delta way a
+    # batch re-run would see it (it changes only N).
+    sbm25.merge_bm25_delta(spark, empty_doc, truth_tbl)
+
+    got = bm25_from_index(spark, tbl)
+    want = bm25_from_index(spark, truth_tbl)
+    assert rows_equal(got, want)
+    # the replay absorbed to zero and the empty doc counted exactly once
+    stats = spark.table(tbl + "_stats").collect()[0]
+    truth = spark.table(truth_tbl + "_stats").collect()[0]
+    assert (stats["n_docs"], stats["n_dl_docs"], stats["dl_sum"]) == (
+        truth["n_docs"], truth["n_dl_docs"], truth["dl_sum"]
+    )
+    assert spark.table(tbl).count() == spark.table(truth_tbl).count()
