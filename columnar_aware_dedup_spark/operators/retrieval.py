@@ -435,6 +435,21 @@ def corpus_stats(registry: DataFrame) -> DataFrame:
     )
 
 
+def committed_bm25(
+    spark: SparkSession, table_name: str, suffix: str
+) -> DataFrame:
+    """``{table}{suffix}`` rows restricted to COMMITTED attempts — the
+    read discipline that makes the maintainer's multi-table appends
+    crash-safe (the ``streaming/sketches.py`` protocol): a crash between
+    appends leaves rows whose attempt never reached ``{table}_commits``,
+    and this semi-join makes them invisible to every reader."""
+    return spark.table(table_name + suffix).join(
+        F.broadcast(spark.table(table_name + "_commits")),
+        "attempt_id",
+        "left_semi",
+    )
+
+
 def write_bm25_index(
     spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
 ) -> None:
@@ -442,31 +457,42 @@ def write_bm25_index(
     ``(term, doc_id, tf, dl)`` bucketed AND sorted by term, plus
     ``{table}_docs`` (the (doc_id, dl) registry — every document ever
     indexed, token-less ones included, which is both the corpus-size
-    input to idf and the streaming maintainer's replay guard) and
-    ``{table}_stats`` (ONE row of exact integer sums; see
-    :func:`corpus_stats`). Term document-frequencies are deliberately NOT
-    materialized: serving derives df from the same bucket-pruned postings
-    it already reads (a term-grouped aggregate on a term-bucketed scan is
-    exchange-free), so there is no df table for the streaming maintainer
-    to rewrite.
+    input to idf and the streaming maintainer's replay guard),
+    ``{table}_stats`` (append-only per-attempt partial sums; the corpus
+    totals are the sum over committed attempts, so a merge never rewrites
+    anything), and ``{table}_commits`` (the single-table publication
+    point). Every row carries an ``attempt_id``; this batch build is the
+    genesis attempt, committed last like any other. Term
+    document-frequencies are deliberately NOT materialized: serving
+    derives df from the same bucket-pruned postings it already reads (a
+    term-grouped aggregate on a term-bucketed scan is exchange-free), so
+    there is no df table for the streaming maintainer to rewrite.
     """
     import shutil
+    import uuid
 
     from columnar_aware_dedup_spark.io import table
 
     docs = table(spark, sf_dir, "documents")
-    registry = doc_lengths(docs)
+    attempt = "genesis-" + uuid.uuid4().hex
+    tag = F.lit(attempt).alias("attempt_id")
+    registry = doc_lengths(docs).select("doc_id", "dl", tag)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for suffix, frame, bucketed in (
-        ("", batch_bm25_postings(docs), True),
+        ("", batch_bm25_postings(docs).select(
+            "term", "doc_id", "tf", "dl", tag), True),
         ("_docs", registry, False),
-        ("_stats", corpus_stats(registry), False),
+        ("_stats", corpus_stats(registry).select(
+            tag, "n_docs", "n_dl_docs", "dl_sum"), False),
+        ("_commits", None, False),  # built below, appended LAST
     ):
         name = table_name + suffix
         # ephemeral-metastore hygiene (the write_postings_index pattern): a
         # fresh Derby can orphan the physical location of an earlier process.
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+        if frame is None:
+            frame = spark.createDataFrame([(attempt,)], "attempt_id string")
         writer = frame.write.format("parquet").mode("overwrite")
         if bucketed:
             writer = (
@@ -489,17 +515,32 @@ def bm25_from_index(
     to :func:`bm25_doc_ranking` over the same corpus (pytest-asserted)
     with a plan that touches ONLY the searched terms' bucket-pruned
     postings: df derives exchange-free from that same pruned scan, avgdl
-    and N come from the one-row stats sums, and the sole data exchange is
-    the per-doc fold of matched postings; the ranking is a TakeOrdered
-    heap over the exact decimal key."""
-    tf = spark.table(table_name).filter(F.col("term").isin(*terms))
+    and N come from the committed stats partials, and the sole data
+    exchange is the per-doc fold of matched postings; the ranking is a
+    TakeOrdered heap over the exact decimal key. Every table read honors
+    the commit protocol (:func:`committed_bm25`), so a crashed merge's
+    debris never reaches a score."""
+    tf = committed_bm25(spark, table_name, "").filter(
+        F.col("term").isin(*terms)
+    )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # avgdl = exact-integer dl_sum / token-bearing doc count: equal to the
     # from-scratch path's F.avg because dl doubles are integer-valued
-    # (exact sums at any aggregation order while dl_sum < 2^53).
-    stats = spark.table(table_name + "_stats").select(
-        "n_docs",
-        (F.col("dl_sum").cast("double") / F.col("n_dl_docs")).alias("avgdl"),
+    # (exact sums at any aggregation order while dl_sum < 2^53). The
+    # per-attempt partials sum exactly for the same reason.
+    stats = (
+        committed_bm25(spark, table_name, "_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_dl_docs").cast("long").alias("n_dl_docs"),
+            F.sum("dl_sum").cast("long").alias("dl_sum"),
+        )
+        .select(
+            "n_docs",
+            (F.col("dl_sum").cast("double") / F.col("n_dl_docs")).alias(
+                "avgdl"
+            ),
+        )
     )
     contrib = (
         tf.join(F.broadcast(df), "term")

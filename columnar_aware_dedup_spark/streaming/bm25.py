@@ -1,21 +1,30 @@
 """Continuous BM25-index maintenance: new documents stream in, their
-dl-denormalized postings append to the term-bucketed index and the one-row
-corpus stats advance by exact integer sums — the ranked-retrieval twin of
-the postings maintainer (``streaming/indexer.py``), completing the house
-rule that every persisted index has an idempotent delta path (the store
-persistence the rule generalizes lives in the reference's receiver fields,
-``orc/net/StripePlusColumnORCReceiver.java:41-44``, and the server receive
-loop, ``net/SpeedupServer.java:66-81``).
+dl-denormalized postings append to the term-bucketed index and the corpus
+stats advance by appended exact-integer partials — the ranked-retrieval
+twin of the postings maintainer (``streaming/indexer.py``), completing the
+house rule that every persisted index has an idempotent delta path (the
+store persistence the rule generalizes lives in the reference's receiver
+fields, ``orc/net/StripePlusColumnORCReceiver.java:41-44``, and the server
+receive loop, ``net/SpeedupServer.java:66-81``).
+
+Atomic-commit protocol (the ``streaming/sketches.py`` pattern — this
+merge appends to THREE tables, and plain parquet gives no cross-table
+atomicity): every row of a merge carries a fresh ``attempt_id``; readers
+(``retrieval.bm25_from_index``) and the dedup anti-join only honor rows
+whose attempt reached ``{table}_commits`` — appended LAST as the single-
+table publication point. A crash between appends leaves invisible debris
+(physically reclaimed by :func:`sweep_uncommitted_bm25` at the next
+merge); the checkpoint replay re-derives the same documents under a NEW
+attempt and only that one commits.
 
 Idempotence: the ``{table}_docs`` registry records EVERY indexed document
 — including token-less ones, which carry no postings but do count into
-the corpus size idf reads — and each batch anti-joins against it, so
-at-least-once file delivery (or a checkpoint replay) can neither
-double-count a document's postings nor inflate N/avgdl. The stats row is
-advanced by adding the fresh batch's exact integer sums under the store
-lock (sums, not averages, so increments compose without drift); serving
-(``retrieval.bm25_from_index``) derives df from the bucket-pruned
-postings at query time, so there is no per-term table to rewrite here.
+the corpus size idf reads — and each batch anti-joins against its
+COMMITTED rows, so at-least-once file delivery can neither double-count a
+document's postings nor inflate N/avgdl. The stats table is append-only
+per-attempt partials (sums, not averages, so they compose without
+drift); serving derives df from the bucket-pruned postings at query
+time, so there is no per-term table to rewrite here.
 """
 
 from __future__ import annotations
@@ -25,75 +34,95 @@ from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.operators.retrieval import (
     batch_bm25_postings,
+    committed_bm25,
     corpus_stats,
     doc_lengths,
 )
 from columnar_aware_dedup_spark.sources.store import store_lock
 
-_POSTING_COLS = ["term", "doc_id", "tf", "dl"]
+#: suffixes of the partial-row tables the commit protocol guards.
+_PARTIAL_SUFFIXES = ("", "_docs", "_stats")
+
+
+def sweep_uncommitted_bm25(spark: SparkSession, table_name: str) -> int:
+    """Physically remove crash debris: rows whose ``attempt_id`` never
+    reached the commits table. Called under the store lock at the start
+    of each merge. Debris is invisible to readers regardless (the commits
+    semi-join), so this is a space reclaim, not a correctness step. The
+    rewrite localCheckpoints the committed subset before overwriting
+    (Spark cannot overwrite a table from a plan still reading it); the
+    postings overwrite goes through ``insertInto``, which honors the
+    catalog's term-bucketing spec. Returns debris rows removed."""
+    removed = 0
+    commits = F.broadcast(spark.table(table_name + "_commits"))
+    for suffix in _PARTIAL_SUFFIXES:
+        name = table_name + suffix
+        tbl = spark.table(name)
+        n_debris = tbl.join(commits, "attempt_id", "left_anti").count()
+        if not n_debris:
+            continue
+        kept = tbl.join(commits, "attempt_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        kept.select(*tbl.columns).write.format("parquet").mode(
+            "overwrite"
+        ).insertInto(name, overwrite=True)
+        spark.catalog.refreshTable(name)
+        removed += n_debris
+    return removed
 
 
 def merge_bm25_delta(
     spark: SparkSession, docs: DataFrame, table_name: str
 ) -> int:
     """Idempotently fold one batch of documents into the BM25 index;
-    returns the number of NEW documents indexed.
+    returns the number of NEW documents indexed (module doc has the
+    commit protocol and the replay argument)."""
+    import uuid
 
-    Replayed documents are dropped whole by the registry anti-join (a
-    replayed file re-derives identical postings and lengths, so skipping
-    the doc keeps tf, N, and avgdl all exact). Postings and registry rows
-    append; the stats row is rewritten as old + batch (exact integer
-    adds). Writers serialize on the store lock.
-    """
+    def _refresh_all() -> None:
+        for suffix in (*_PARTIAL_SUFFIXES, "_commits"):
+            spark.catalog.refreshTable(table_name + suffix)
+
     with store_lock(spark, table_name):
-        for t in (table_name, table_name + "_docs", table_name + "_stats"):
-            spark.catalog.refreshTable(t)
-        seen = spark.table(table_name + "_docs").select("doc_id")
+        _refresh_all()
+        sweep_uncommitted_bm25(spark, table_name)
+        seen = committed_bm25(spark, table_name, "_docs").select("doc_id")
         # localCheckpoint, NOT persist: the anti-join's lineage reads the
         # registry table this merge appends to, and an insert invalidates
         # caches over the inserted table — a persisted `fresh` silently
         # recomputes as EMPTY after the registry append (observed: the
-        # stats row went (old_n, NULL, NULL) because sum-of-empty is
-        # NULL). Checkpointing severs the lineage so the batch's delta is
-        # pinned before any write.
+        # old single-row stats went (old_n, NULL, NULL) because
+        # sum-of-empty is NULL). Checkpointing severs the lineage so the
+        # batch's delta is pinned before any write.
         fresh = docs.join(seen, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
         n = fresh.count()
         if not n:
             return 0
-        batch_bm25_postings(fresh).select(*_POSTING_COLS).write.format(
-            "parquet"
-        ).mode("append").insertInto(table_name)
-        registry_delta = doc_lengths(fresh)
+        attempt = uuid.uuid4().hex
+        tag = F.lit(attempt).alias("attempt_id")
+        registry_delta = doc_lengths(fresh).select("doc_id", "dl", tag)
+        batch_bm25_postings(fresh).select(
+            "term", "doc_id", "tf", "dl", tag
+        ).write.format("parquet").mode("append").insertInto(table_name)
         registry_delta.write.format("parquet").mode("append").insertInto(
             table_name + "_docs"
         )
-        # one-row driver fold: the stats table cannot be overwritten by a
-        # plan that reads it, so the merged row materializes driver-side
-        # first — O(1) data, the store.py DESCRIBE-read class, not a
-        # corpus collect.
-        old = spark.table(table_name + "_stats")
-        merged = (
-            old.join(
-                corpus_stats(registry_delta).select(
-                    F.col("n_docs").alias("d_n"),
-                    F.col("n_dl_docs").alias("d_ndl"),
-                    F.col("dl_sum").alias("d_dl"),
-                )
-            )
-            .select(
-                (F.col("n_docs") + F.col("d_n")).alias("n_docs"),
-                (F.col("n_dl_docs") + F.col("d_ndl")).alias("n_dl_docs"),
-                (F.col("dl_sum") + F.col("d_dl")).alias("dl_sum"),
-            )
-            .collect()
-        )
-        spark.createDataFrame(
-            merged, "n_docs long, n_dl_docs long, dl_sum long"
-        ).write.format("parquet").mode("overwrite").saveAsTable(
+        corpus_stats(registry_delta).select(
+            tag, "n_docs", "n_dl_docs", "dl_sum"
+        ).write.format("parquet").mode("append").insertInto(
             table_name + "_stats"
         )
+        # the publication point: everything above becomes visible in this
+        # one single-table append
+        spark.createDataFrame(
+            [(attempt,)], "attempt_id string"
+        ).write.format("parquet").mode("append").insertInto(
+            table_name + "_commits"
+        )
+        _refresh_all()
         return n
 
 
@@ -107,9 +136,8 @@ def start_bm25_indexer(
 
     ``availableNow`` drains everything present then stops (the
     test/backfill trigger); a deployment drops the trigger for continuous
-    tailing. The three index tables must exist (seed them with
-    ``retrieval.write_bm25_index`` over the initial corpus, or empty
-    frames in the same layout)."""
+    tailing. The four index tables must exist (seed them with
+    ``retrieval.write_bm25_index`` over the initial corpus)."""
     docs = (
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string, n_chars long"

@@ -160,9 +160,12 @@ def test_bm25_index_serving_is_result_identical(spark, sf_dir):
     served = bm25_from_index(spark, "bm25_idx_test")
     # plan asserts run BEFORE collect: once AQE finalizes an executed plan
     # the formatted output counts its re-planned shuffle nodes differently.
+    # Budget is 2: the per-doc fold of matched postings (the only DATA
+    # exchange) plus the single-partition sum of the O(attempts)-row
+    # committed stats partials.
     plan = explain.plan_string(served, "formatted")
     n = explain.n_exchanges(served)
-    assert n <= 1, plan
+    assert n <= 2, plan
     assert explain.has_take_ordered(served), plan
     # the searched terms' buckets are the ONLY postings read (3 terms ->
     # 3 of 8 buckets), and the term filter reaches the scan.

@@ -1221,10 +1221,90 @@ def test_streaming_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     got = bm25_from_index(spark, tbl)
     want = bm25_from_index(spark, truth_tbl)
     assert rows_equal(got, want)
-    # the replay absorbed to zero and the empty doc counted exactly once
-    stats = spark.table(tbl + "_stats").collect()[0]
-    truth = spark.table(truth_tbl + "_stats").collect()[0]
-    assert (stats["n_docs"], stats["n_dl_docs"], stats["dl_sum"]) == (
-        truth["n_docs"], truth["n_dl_docs"], truth["dl_sum"]
+    # the replay absorbed to zero and the empty doc counted exactly once:
+    # committed per-attempt stats partials sum to the same corpus totals.
+    from columnar_aware_dedup_spark.operators.retrieval import committed_bm25
+
+    def totals(name):
+        r = committed_bm25(spark, name, "_stats").groupBy().sum(
+            "n_docs", "n_dl_docs", "dl_sum"
+        ).collect()[0]
+        return tuple(r)
+
+    assert totals(tbl) == totals(truth_tbl)
+    assert (
+        committed_bm25(spark, tbl, "").count()
+        == committed_bm25(spark, truth_tbl, "").count()
     )
-    assert spark.table(tbl).count() == spark.table(truth_tbl).count()
+
+
+def test_streaming_bm25_crash_window(spark, sf_dir, tmp_path):
+    """A crash between the merge's appends must not corrupt the index:
+    partial rows under an uncommitted attempt are invisible to serving,
+    the next merge's sweep physically removes them, and a replay of the
+    crashed batch under a fresh attempt converges to the batch truth."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        batch_bm25_postings,
+        bm25_from_index,
+        corpus_stats,
+        doc_lengths,
+        write_bm25_index,
+    )
+    from columnar_aware_dedup_spark.streaming import bm25 as sbm25
+    from tests.conftest import rows_equal
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    tbl = "test_bm25_crash"
+    seed_dir = tmp_path / "crash_seed"
+    seed_dir.mkdir()
+    pq_.write_table(t.slice(0, half), seed_dir / "documents.parquet")
+    write_bm25_index(spark, str(seed_dir), tbl)
+    before = bm25_from_index(spark, tbl).collect()
+
+    # simulated crash: the second half's postings + registry + stats rows
+    # land under an attempt that NEVER commits (the writer died before the
+    # commits append).
+    rest_dir = tmp_path / "crash_rest"
+    rest_dir.mkdir()
+    pq_.write_table(t.slice(half), rest_dir / "documents.parquet")
+    rest = spark.read.parquet(str(rest_dir / "documents.parquet"))
+    from pyspark.sql import functions as F
+
+    tag = F.lit("dead-attempt").alias("attempt_id")
+    reg = doc_lengths(rest).select("doc_id", "dl", tag)
+    batch_bm25_postings(rest).select(
+        "term", "doc_id", "tf", "dl", tag
+    ).write.format("parquet").mode("append").insertInto(tbl)
+    reg.write.format("parquet").mode("append").insertInto(tbl + "_docs")
+    corpus_stats(reg).select(
+        tag, "n_docs", "n_dl_docs", "dl_sum"
+    ).write.format("parquet").mode("append").insertInto(tbl + "_stats")
+    for s in ("", "_docs", "_stats"):
+        spark.catalog.refreshTable(tbl + s)
+
+    # debris is invisible: serving is byte-identical to pre-crash.
+    assert rows_equal(bm25_from_index(spark, tbl),
+                      spark.createDataFrame(before))
+
+    # the replayed batch merges under a fresh attempt; the sweep reclaims
+    # the dead attempt's rows physically.
+    n = sbm25.merge_bm25_delta(spark, rest, tbl)
+    assert n == t.num_rows - half
+    dead = spark.table(tbl).filter("attempt_id = 'dead-attempt'").count()
+    dead += spark.table(tbl + "_docs").filter(
+        "attempt_id = 'dead-attempt'").count()
+    dead += spark.table(tbl + "_stats").filter(
+        "attempt_id = 'dead-attempt'").count()
+    assert dead == 0
+
+    # converged: equal to a batch rebuild over the full corpus.
+    full_dir = tmp_path / "crash_full"
+    full_dir.mkdir()
+    pq_.write_table(t, full_dir / "documents.parquet")
+    write_bm25_index(spark, str(full_dir), tbl + "_truth")
+    assert rows_equal(
+        bm25_from_index(spark, tbl), bm25_from_index(spark, tbl + "_truth")
+    )
