@@ -307,6 +307,24 @@ def _doc_hash_vectors(
             .groupBy("doc_id", "term")
             .agg(F.count("*").alias("tf"))
         )
+    return _vectors_from_tf(tf)
+
+
+def _doc_hash_vectors_of(docs: DataFrame) -> DataFrame:
+    """Hashing-trick vectors of one batch of documents-schema rows — the
+    frame-input twin of :func:`_doc_hash_vectors` the streaming vector
+    maintainer folds deltas through."""
+    tf = (
+        docs.withColumn("norm", F.expr(_NORM_SPARK))
+        .select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return _vectors_from_tf(tf)
+
+
+def _vectors_from_tf(tf: DataFrame) -> DataFrame:
     bs = tf.groupBy(
         "doc_id", F.expr(_BUCKET_SPARK).cast("int").alias("bucket")
     ).agg(F.expr(f"CAST(sum(({_SIGN_SPARK}) * tf) AS DOUBLE)").alias("v"))
@@ -350,20 +368,30 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filters it to the query terms' postings (A/B-measured 1.3x over the
     # two-explode form at sf0.1: 3.12 -> 2.39 s warm min).
     tf_all = corpus_tf(spark, sf_dir)
+    lex_scored = _bm25_scores(
+        spark, sf_dir, tf=tf_all.filter(F.col("term").isin(*_SEARCH_TERMS))
+    )
+    dense_vecs = _doc_hash_vectors(spark, sf_dir, tf=tf_all)
+    return fuse_rrf(lex_scored, dense_vecs)
+
+
+def fuse_rrf(lex_scored: DataFrame, dense_vecs: DataFrame) -> DataFrame:
+    """The fusion tail shared by the from-scratch and index-served paths
+    (so they cannot drift): rank each list, cut to FUSE_N with TakeOrdered
+    BEFORE the ≤30-row rank window, full-outer join on doc, two-term RRF.
+
+    ``lex_scored`` = (doc_id, ..., score DECIMAL); ``dense_vecs`` =
+    (doc_id, vec, nrm)."""
     lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
     lex = (
-        _bm25_scores(
-            spark, sf_dir, tf=tf_all.filter(F.col("term").isin(*_SEARCH_TERMS))
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
+        lex_scored.orderBy(F.col("score").desc(), "doc_id")
         .limit(_FUSE_N)
         .withColumn("lex_rank", F.row_number().over(lex_w))
         .select("doc_id", "lex_rank")
     )
     dense_w = Window.orderBy(F.col("cos").desc(), "doc_id")
     dense = (
-        _doc_hash_vectors(spark, sf_dir, tf=tf_all)
-        .withColumn("cos", F.expr(_DENSE_COS_SPARK))
+        dense_vecs.withColumn("cos", F.expr(_DENSE_COS_SPARK))
         .orderBy(F.col("cos").desc(), "doc_id")
         .limit(_FUSE_N)
         .withColumn("dense_rank", F.row_number().over(dense_w))
@@ -558,3 +586,63 @@ def bm25_from_index(
             F.round(F.col("score").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+# -- index-served hybrid fusion -------------------------------------------------
+
+def write_doc_vector_index(
+    spark: SparkSession, sf_dir: str, table_name: str
+) -> None:
+    """Materialize the dense side of the hybrid: the hashing-trick doc
+    vectors ``(doc_id, vec, nrm)`` — tokenize/hash/fold paid once at build
+    time, so a query-time dense scan reads 17 numeric columns instead of
+    re-deriving them from text. Single-table and per-doc independent, so
+    its delta path (``streaming/bm25.py::merge_doc_vectors_delta``) is the
+    inherently crash-safe single-append shape (the pqcodes pattern) and
+    needs no commit protocol."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    _doc_hash_vectors(spark, sf_dir).write.format("parquet").mode(
+        "overwrite"
+    ).saveAsTable(table_name)
+
+
+def rrf_from_index(
+    spark: SparkSession, bm25_table: str, vec_table: str
+) -> DataFrame:
+    """The hybrid fusion served ENTIRELY from persisted indexes —
+    result-identical to :func:`hybrid_rrf_fusion` over the same corpus
+    (pytest-asserted) through the shared :func:`fuse_rrf` tail: the
+    lexical list reads only the query terms' bucket-pruned postings
+    (:func:`bm25_from_index`'s scored frame) and the dense list is one
+    narrow TakeOrdered scan of the vector table. Query-time cost is
+    independent of document text size on both sides."""
+    tf = committed_bm25(spark, bm25_table, "").filter(
+        F.col("term").isin(*_SEARCH_TERMS)
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = (
+        committed_bm25(spark, bm25_table, "_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_dl_docs").cast("long").alias("n_dl_docs"),
+            F.sum("dl_sum").cast("long").alias("dl_sum"),
+        )
+        .select(
+            "n_docs",
+            (F.col("dl_sum").cast("double") / F.col("n_dl_docs")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    lex_scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.expr(_CONTRIB).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("score"))
+    )
+    return fuse_rrf(lex_scored, spark.table(vec_table))

@@ -154,3 +154,32 @@ def start_bm25_indexer(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_doc_vectors_delta(
+    spark: SparkSession, docs: DataFrame, table_name: str
+) -> int:
+    """Idempotently fold one batch's hashing-trick doc vectors into the
+    dense serving table (``retrieval.write_doc_vector_index``); returns
+    new vectors appended. Single-table and per-doc independent, so ONE
+    consuming append is the whole transaction — the pqcodes shape, no
+    commit protocol needed: a crash loses the un-appended batch, and the
+    replay's anti-join sees exactly the pre-crash state."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _doc_hash_vectors_of,
+    )
+
+    with store_lock(spark, table_name):
+        spark.catalog.refreshTable(table_name)
+        seen = spark.table(table_name).select("doc_id")
+        fresh = docs.join(seen, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n = fresh.count()
+        if not n:
+            return 0
+        _doc_hash_vectors_of(fresh).write.format("parquet").mode(
+            "append"
+        ).insertInto(table_name)
+        spark.catalog.refreshTable(table_name)
+        return n

@@ -171,3 +171,40 @@ def test_bm25_index_serving_is_result_identical(spark, sf_dir):
     # 3 of 8 buckets), and the term filter reaches the scan.
     assert "SelectedBucketsCount: 3 out of 8" in plan, plan
     assert rows_equal(served, bm25_doc_ranking(spark, sf_dir))
+
+
+def test_rrf_index_serving_is_result_identical(spark, sf_dir):
+    """The fully index-served hybrid (bucket-pruned BM25 postings + the
+    persisted doc-vector table, fused through the SHARED fuse_rrf tail)
+    must emit the exact same top-20 as the from-scratch fusion — and the
+    dense vector table must stay maintainable: a delta merge plus replay
+    converges to the batch-written table."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        rrf_from_index,
+        write_bm25_index,
+        write_doc_vector_index,
+    )
+    from columnar_aware_dedup_spark.streaming.bm25 import (
+        merge_doc_vectors_delta,
+    )
+    from tests.conftest import rows_equal
+
+    write_bm25_index(spark, sf_dir, "rrf_idx_bm25")
+    write_doc_vector_index(spark, sf_dir, "rrf_idx_vecs")
+    served = rrf_from_index(spark, "rrf_idx_bm25", "rrf_idx_vecs")
+    assert rows_equal(served, hybrid_rrf_fusion(spark, sf_dir))
+
+    # dense delta path: replaying the full corpus absorbs to zero; a
+    # genuinely new doc lands exactly once.
+    from columnar_aware_dedup_spark.io import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    assert merge_doc_vectors_delta(spark, docs, "rrf_idx_vecs") == 0
+    new_doc = spark.createDataFrame(
+        [(888_888, "vector stream merge vector", "en", "planted", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert merge_doc_vectors_delta(spark, new_doc, "rrf_idx_vecs") == 1
+    assert merge_doc_vectors_delta(spark, new_doc, "rrf_idx_vecs") == 0
+    got = spark.table("rrf_idx_vecs").filter("doc_id = 888888").count()
+    assert got == 1
