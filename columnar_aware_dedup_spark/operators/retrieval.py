@@ -146,8 +146,12 @@ def _bm25_scores(
     stats = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
     n = docs.agg(F.count("*").alias("n_docs"))
     if tf is None:
+        # _fanned: the single-file documents scan otherwise runs the
+        # CPU-bound explode+filter single-threaded (the house discipline
+        # every corpus explode follows).
         tf = (
-            docs.select("doc_id", F.explode("toks").alias("term"))
+            _fanned(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("term"))
             .filter(F.col("term").isin(*_SEARCH_TERMS))
             .groupBy("doc_id", "term")
             .agg(F.count("*").alias("tf"))
@@ -312,8 +316,13 @@ def _doc_hash_vectors(
 
 def _doc_hash_vectors_of(docs: DataFrame) -> DataFrame:
     """Hashing-trick vectors of one batch of documents-schema rows — the
-    frame-input twin of :func:`_doc_hash_vectors` the streaming vector
-    maintainer folds deltas through."""
+    frame-input twin of :func:`_doc_hash_vectors` that the persisted
+    vector table is built and delta-maintained through. Unlike the
+    query-path twin it KEEPS zero-norm documents (zero vector, nrm 0.0):
+    the table doubles as the maintainer's replay registry, and a
+    token-less doc that never lands would read as forever-fresh, making
+    every replay re-process it and the merge's appended-count lie.
+    Serving filters ``nrm > 0`` at read instead."""
     tf = (
         docs.withColumn("norm", F.expr(_NORM_SPARK))
         .select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
@@ -321,7 +330,16 @@ def _doc_hash_vectors_of(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    return _vectors_from_tf(tf)
+    zero = F.expr(f"array_repeat(CAST(0 AS DOUBLE), {_HASH_DIM})")
+    return (
+        docs.select("doc_id")
+        .join(_vectors_from_tf(tf), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("vec", zero).alias("vec"),
+            F.coalesce("nrm", F.lit(0.0)).alias("nrm"),
+        )
+    )
 
 
 def _vectors_from_tf(tf: DataFrame) -> DataFrame:
@@ -548,6 +566,25 @@ def bm25_from_index(
     TakeOrdered heap over the exact decimal key. Every table read honors
     the commit protocol (:func:`committed_bm25`), so a crashed merge's
     debris never reaches a score."""
+    return (
+        _bm25_scored_from_index(spark, table_name, terms)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(topn)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("score").cast("double"), 6).alias("bm25"),
+        )
+    )
+
+
+def _bm25_scored_from_index(
+    spark: SparkSession, table_name: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """The index-served scored frame (doc_id, n_terms, score DECIMAL) —
+    the ONE lexical scoring pipeline behind both :func:`bm25_from_index`
+    and :func:`rrf_from_index` (shared so the two serving paths cannot
+    drift, the same rule :func:`fuse_rrf` enforces for the fusion tail)."""
     tf = committed_bm25(spark, table_name, "").filter(
         F.col("term").isin(*terms)
     )
@@ -575,16 +612,8 @@ def bm25_from_index(
         .join(F.broadcast(stats))
         .select("doc_id", F.expr(_CONTRIB).alias("c"))
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(topn)
-        .select(
-            "doc_id",
-            "n_terms",
-            F.round(F.col("score").cast("double"), 6).alias("bm25"),
-        )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"), F.sum("c").alias("score")
     )
 
 
@@ -596,18 +625,21 @@ def write_doc_vector_index(
     """Materialize the dense side of the hybrid: the hashing-trick doc
     vectors ``(doc_id, vec, nrm)`` — tokenize/hash/fold paid once at build
     time, so a query-time dense scan reads 17 numeric columns instead of
-    re-deriving them from text. Single-table and per-doc independent, so
-    its delta path (``streaming/bm25.py::merge_doc_vectors_delta``) is the
-    inherently crash-safe single-append shape (the pqcodes pattern) and
-    needs no commit protocol."""
+    re-deriving them from text. EVERY document gets a row (zero-norm ones
+    carry a zero vector): the table is its own replay registry for the
+    delta path (``streaming/bm25.py::merge_doc_vectors_delta``), which is
+    the inherently crash-safe single-append shape (the pqcodes pattern)
+    and needs no commit protocol; serving filters ``nrm > 0``."""
     import shutil
+
+    from columnar_aware_dedup_spark.io import table
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
-    _doc_hash_vectors(spark, sf_dir).write.format("parquet").mode(
-        "overwrite"
-    ).saveAsTable(table_name)
+    _doc_hash_vectors_of(table(spark, sf_dir, "documents")).write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(table_name)
 
 
 def rrf_from_index(
@@ -618,31 +650,9 @@ def rrf_from_index(
     (pytest-asserted) through the shared :func:`fuse_rrf` tail: the
     lexical list reads only the query terms' bucket-pruned postings
     (:func:`bm25_from_index`'s scored frame) and the dense list is one
-    narrow TakeOrdered scan of the vector table. Query-time cost is
+    narrow TakeOrdered scan of the vector table (zero-norm rows filtered
+    at read, mirroring the from-scratch HAVING). Query-time cost is
     independent of document text size on both sides."""
-    tf = committed_bm25(spark, bm25_table, "").filter(
-        F.col("term").isin(*_SEARCH_TERMS)
-    )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    stats = (
-        committed_bm25(spark, bm25_table, "_stats")
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("n_dl_docs").cast("long").alias("n_dl_docs"),
-            F.sum("dl_sum").cast("long").alias("dl_sum"),
-        )
-        .select(
-            "n_docs",
-            (F.col("dl_sum").cast("double") / F.col("n_dl_docs")).alias(
-                "avgdl"
-            ),
-        )
-    )
-    lex_scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(F.broadcast(stats))
-        .select("doc_id", F.expr(_CONTRIB).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("score"))
-    )
-    return fuse_rrf(lex_scored, spark.table(vec_table))
+    lex_scored = _bm25_scored_from_index(spark, bm25_table, _SEARCH_TERMS)
+    dense_vecs = spark.table(vec_table).filter(F.col("nrm") > 0)
+    return fuse_rrf(lex_scored, dense_vecs)

@@ -88,15 +88,21 @@ def merge_bm25_delta(
         _refresh_all()
         sweep_uncommitted_bm25(spark, table_name)
         seen = committed_bm25(spark, table_name, "_docs").select("doc_id")
-        # localCheckpoint, NOT persist: the anti-join's lineage reads the
-        # registry table this merge appends to, and an insert invalidates
-        # caches over the inserted table — a persisted `fresh` silently
-        # recomputes as EMPTY after the registry append (observed: the
-        # old single-row stats went (old_n, NULL, NULL) because
-        # sum-of-empty is NULL). Checkpointing severs the lineage so the
-        # batch's delta is pinned before any write.
-        fresh = docs.join(seen, "doc_id", "left_anti").localCheckpoint(
-            eager=True
+        # dropDuplicates: a file AND its at-least-once replay can land in
+        # the SAME micro-batch (both present before the stream's first
+        # trigger), where the registry anti-join cannot see them — without
+        # the intra-batch dedup that doc's tf doubles and N/avgdl inflate
+        # permanently. localCheckpoint, NOT persist: the anti-join's
+        # lineage reads the registry table this merge appends to, and an
+        # insert invalidates caches over the inserted table — a persisted
+        # `fresh` silently recomputes as EMPTY after the registry append
+        # (observed: the old single-row stats went (old_n, NULL, NULL)
+        # because sum-of-empty is NULL). Checkpointing severs the lineage
+        # so the batch's delta is pinned before any write.
+        fresh = (
+            docs.dropDuplicates(["doc_id"])
+            .join(seen, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
         )
         n = fresh.count()
         if not n:
@@ -172,8 +178,12 @@ def merge_doc_vectors_delta(
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         seen = spark.table(table_name).select("doc_id")
-        fresh = docs.join(seen, "doc_id", "left_anti").localCheckpoint(
-            eager=True
+        # dropDuplicates: same intra-batch replay guard as merge_bm25_delta
+        # (a doc twice in one batch would append two vector rows).
+        fresh = (
+            docs.dropDuplicates(["doc_id"])
+            .join(seen, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
         )
         n = fresh.count()
         if not n:

@@ -48,8 +48,12 @@ def merge_postings(
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         seen = spark.table(table_name).select("doc_id").distinct()
+        # dropDuplicates: a file and its at-least-once replay can land in
+        # the SAME micro-batch, invisible to the seen anti-join — without
+        # the intra-batch dedup that doc's tf doubles (the
+        # ingest.merge_chunks_into_store discipline).
         fresh = (
-            batch_postings(docs)
+            batch_postings(docs.dropDuplicates(["doc_id"]))
             .join(seen, "doc_id", "left_anti")
             .select(*_POSTING_COLS)
             .persist()

@@ -63,7 +63,10 @@ def merge_vectors(
     from pyspark.errors import AnalysisException
 
     with store_lock(spark, "ivf_index_" + path.replace("/", "_")):
-        assigned = ivf_assign(batch, cent)
+        # dropDuplicates: intra-batch replay guard (the indexer/ingest
+        # discipline) — a vector twice in one batch would land twice in
+        # its cell partition.
+        assigned = ivf_assign(batch.dropDuplicates(["vec_id"]), cent)
         try:
             # filesystem-agnostic existence probe (the lock serializes
             # writers, so a successful read is a consistent snapshot)

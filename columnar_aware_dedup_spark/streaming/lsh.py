@@ -101,8 +101,10 @@ def merge_bands(spark: SparkSession, docs: DataFrame, table_name: str) -> int:
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         seen = spark.table(table_name).select("doc_id").distinct()
+        # dropDuplicates: intra-batch replay guard (the indexer/ingest
+        # discipline) — a doc twice in one batch would double its band rows.
         fresh = (
-            batch_bands(docs)
+            batch_bands(docs.dropDuplicates(["doc_id"]))
             .join(seen, "doc_id", "left_anti")
             .select(*_BAND_COLS)
             .persist()

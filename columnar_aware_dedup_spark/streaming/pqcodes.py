@@ -57,8 +57,11 @@ def merge_codes(
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         seen = spark.table(table_name).select("vec_id").distinct()
+        # dropDuplicates: intra-batch replay guard (the indexer/ingest
+        # discipline) — a vector twice in one batch would append two rows.
         fresh = (
-            batch.join(F.broadcast(cbs))
+            batch.dropDuplicates(["vec_id"])
+            .join(F.broadcast(cbs))
             .select("vec_id", encode_expr().alias("codes"))
             .join(seen, "vec_id", "left_anti")
             .persist()

@@ -175,7 +175,14 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
         _refresh_all()
         sweep_uncommitted(spark, prefix)
         seen = _committed(spark, prefix, "seen")
-        fresh = docs.join(seen, "doc_id", "left_anti").persist()
+        # dropDuplicates: intra-batch replay guard (the indexer/ingest
+        # discipline) — a doc twice in one batch would double its CMS/HLL
+        # contributions before the anti-join can see it.
+        fresh = (
+            docs.dropDuplicates(["doc_id"])
+            .join(seen, "doc_id", "left_anti")
+            .persist()
+        )
         try:
             n = fresh.count()
             if n:

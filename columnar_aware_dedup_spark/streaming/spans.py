@@ -68,8 +68,10 @@ def merge_spans(spark: SparkSession, docs: DataFrame, table_name: str) -> int:
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         seen = spark.table(table_name).select("doc_id").distinct()
+        # dropDuplicates: intra-batch replay guard (the indexer/ingest
+        # discipline) — a doc twice in one batch would double its span rows.
         fresh = (
-            batch_spans(docs)
+            batch_spans(docs.dropDuplicates(["doc_id"]))
             .join(seen, "doc_id", "left_anti")
             .select(*_SPAN_COLS)
             .persist()

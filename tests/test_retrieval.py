@@ -208,3 +208,14 @@ def test_rrf_index_serving_is_result_identical(spark, sf_dir):
     assert merge_doc_vectors_delta(spark, new_doc, "rrf_idx_vecs") == 0
     got = spark.table("rrf_idx_vecs").filter("doc_id = 888888").count()
     assert got == 1
+    # zero-norm convergence (review finding): a token-less doc must land
+    # in the table (as a zero vector) so replays absorb to zero instead
+    # of re-processing it forever; serving filters it out by nrm > 0.
+    empty_doc = spark.createDataFrame(
+        [(777_777, "", "en", "planted", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert merge_doc_vectors_delta(spark, empty_doc, "rrf_idx_vecs") == 1
+    assert merge_doc_vectors_delta(spark, empty_doc, "rrf_idx_vecs") == 0
+    row = spark.table("rrf_idx_vecs").filter("doc_id = 777777").collect()[0]
+    assert row["nrm"] == 0.0 and all(x == 0.0 for x in row["vec"])

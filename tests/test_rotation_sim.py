@@ -12,17 +12,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from derive_rotation import archive_state, committed_windows, simulate  # noqa: E402
-
-
-#: every check through this round must pass assuming scheduled windows
-#: land green. r08 batch 7 (three new registrations into a saturated
-#: 300-seat packing) moved the horizon from 12 to 11 — still one round
-#: beyond the r07 sessions' "forward-simulated through the predicted r10
-#: archive" standard; the expected residue beyond it is ONLY the r08
-#: registrations' own second-round seats, which round 9's R14 derivation
-#: provides.
-GREEN_THROUGH = 11
+from derive_rotation import (  # noqa: E402
+    GREEN_THROUGH,
+    RESIDUE_ALLOWLIST,
+    archive_state,
+    committed_windows,
+    simulate,
+)
 
 
 def test_windows_green_through_pinned_horizon():
@@ -33,17 +29,6 @@ def test_windows_green_through_pinned_horizon():
         committed_windows(), latest, set(entry.queries()), newest + 1, GREEN_THROUGH
     )
     assert not problems, problems
-
-
-#: queries allowed to lack a second-round seat past the pinned horizon:
-#: the r08 batch-7 registrations, whose re-pack is round 9's R14
-#: derivation (they are named, not derived, so the allowance cannot
-#: silently widen as archives land and they stop being never-checked).
-RESIDUE_ALLOWLIST = {
-    "bm25_doc_ranking",
-    "hybrid_rrf_fusion",
-    "cross_format_dedup",
-}
 
 
 def test_residue_beyond_horizon_is_only_new_registrations():

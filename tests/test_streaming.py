@@ -1308,3 +1308,47 @@ def test_streaming_bm25_crash_window(spark, sf_dir, tmp_path):
     assert rows_equal(
         bm25_from_index(spark, tbl), bm25_from_index(spark, tbl + "_truth")
     )
+
+
+def test_bm25_intra_batch_replay_cannot_double_count(spark, sf_dir, tmp_path):
+    """A file AND its at-least-once replay copy present BEFORE the
+    stream's first trigger land in the SAME micro-batch, where the
+    registry anti-join cannot see them — the intra-batch dedup must keep
+    tf, N, and avgdl exact (review finding: without it the doc's postings
+    doubled permanently)."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        bm25_from_index,
+        write_bm25_index,
+    )
+    from columnar_aware_dedup_spark.streaming import bm25 as sbm25
+    from tests.conftest import rows_equal
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    half = t.num_rows // 2
+    tbl = "test_bm25_intrabatch"
+    seed_dir = tmp_path / "ib_seed"
+    seed_dir.mkdir()
+    pq_.write_table(t.slice(0, half), seed_dir / "documents.parquet")
+    write_bm25_index(spark, str(seed_dir), tbl)
+
+    # one stream run over a directory that ALREADY holds the second half
+    # twice (byte-identical copies) -> one micro-batch with every doc
+    # duplicated.
+    docs_dir = tmp_path / "ib_stream"
+    docs_dir.mkdir()
+    pq_.write_table(t.slice(half), docs_dir / "rest.parquet")
+    pq_.write_table(t.slice(half), docs_dir / "rest_replay.parquet")
+    q = sbm25.start_bm25_indexer(
+        spark, str(docs_dir), tbl, str(tmp_path / "ib_ck")
+    )
+    q.awaitTermination(120)
+
+    full_dir = tmp_path / "ib_full"
+    full_dir.mkdir()
+    pq_.write_table(t, full_dir / "documents.parquet")
+    write_bm25_index(spark, str(full_dir), tbl + "_truth")
+    assert rows_equal(
+        bm25_from_index(spark, tbl), bm25_from_index(spark, tbl + "_truth")
+    )
