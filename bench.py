@@ -202,6 +202,12 @@ SCALING_QUERIES = [
     # r08: the passage-level banded self-join — candidate volume grows with
     # cross-doc passage duplication, the classic LSH growth the probe pins.
     "passage_near_dup",
+    # r08 session 3: the hybrid fusion (two TakeOrdered lists + a constant
+    # fusion join — the ratio should approach the scan cost alone) and the
+    # cross-format certificate (two structural parses + per-column decimal
+    # sums, linear in bytes by construction).
+    "hybrid_rrf_fusion",
+    "cross_format_dedup",
 ]
 
 
