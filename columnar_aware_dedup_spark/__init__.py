@@ -1106,6 +1106,73 @@ ROTATION_R13: list[str] = [
     "pq_train_codebooks",
 ]
 
+#: r14 rotation (PREPARED six ahead, derived in r08 session 3 BY THE
+#: SIMULATOR — tools/derive_rotation.py against the PREDICTED archive
+#: state after r08..r13 land as composed): the 19 queries whose newest
+#: predicted row hits the staleness wall at newest=12 and which R13
+#: cannot hold (including the r08 batch-7 trio's second driver rows —
+#: the known horizon residue this window retires), plus the
+#: oldest-predicted-row fills, EDF order. Rounds 9+ MUST re-derive
+#: against the real archives before activating (a FAIL re-check or new
+#: registration shifts the sets) — run `python tools/derive_rotation.py`
+#: after any edit; the conditional freshness test arms on
+#: CORRECTNESS_r13.
+ROTATION_R14: list[str] = [
+    # k=13-deadline demand (overdue at predicted newest=12, not in R13)
+    "bm25_doc_ranking",
+    "cross_format_dedup",
+    "hybrid_rrf_fusion",
+    "q18_large_volume",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "salted_groupby",
+    "simhash_hamming_pairs",
+    "simhash_signature",
+    "small_chunk_policy",
+    "text_exact_dedup",
+    "text_normalize",
+    "token_count_bpe",
+    "token_topk",
+    "transfer_stats_rollup",
+    "transfer_stats_taxonomy",
+    "window_lag_frame",
+    "window_ntile_dist",
+    "window_rank",
+    # fills: oldest predicted rows (r10-window members due again by 15),
+    # alphabetical within equal age
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
+    "cohort_retention",
+    "corpus_split",
+    "crawl_admission_report",
+    "dedup_savings_by_source",
+    "doc_length_outliers",
+    "edit_distance_verify",
+    "embedding_norm_stats",
+    "embedding_pca_project",
+    "embedding_prototypicality",
+    "grouped_percentile",
+    "grouping_sets_agg",
+    "image_ahash_near_dup",
+    "image_ahash_signature",
+    "lang_id_heuristic",
+    "line_dedup_corpus",
+    "minhash_near_dup",
+    "minhash_signature",
+    "near_dup_cluster_stats",
+    "orc_linked_reconstruction",
+    "orc_reconstruction",
+    "perplexity_bucket_report",
+    "pipeline_dedup_all",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+]
+
 # r08: the prepared window goes ACTIVE (VERDICT r07 brief #2) — the r01
 # stragglers, transfer_stats_rollup_approx's first real driver hash-check,
 # and this round's streaming-parity registrations.

@@ -352,3 +352,26 @@ def test_rotation_r13_is_prepared_and_fresh():
             "queries with no driver row must be in the prepared r13 "
             f"window: {sorted(missing)}"
         )
+
+
+def test_rotation_r14_is_prepared_and_fresh():
+    """ROTATION_R14 (prepared six ahead, simulator-derived in r08
+    session 3) must be 50 unique registered names; once
+    CORRECTNESS_r13.json lands, it must also cover every query still
+    lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R14) == 50
+    assert len(set(pkg.ROTATION_R14)) == 50
+    assert set(pkg.ROTATION_R14) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r13.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R14)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r14 "
+            f"window: {sorted(missing)}"
+        )
