@@ -219,3 +219,49 @@ def test_rrf_index_serving_is_result_identical(spark, sf_dir):
     assert merge_doc_vectors_delta(spark, empty_doc, "rrf_idx_vecs") == 0
     row = spark.table("rrf_idx_vecs").filter("doc_id = 777777").collect()[0]
     assert row["nrm"] == 0.0 and all(x == 0.0 for x in row["vec"])
+
+
+def test_bm25_index_compaction_preserves_serving(spark, sf_dir, tmp_path):
+    """The generic store compaction applies to the BM25 postings table
+    unchanged (key='term', dedupe=False — posting rows are unique and
+    must all survive): after several small delta merges accrete files,
+    compaction collapses them to one sorted file per bucket, the
+    term-bucketed layout survives (bucket pruning still fires), and the
+    served top-20 is byte-identical."""
+    import pyarrow.parquet as pq_
+
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        bm25_from_index,
+        write_bm25_index,
+    )
+    from columnar_aware_dedup_spark.plans import explain
+    from columnar_aware_dedup_spark.sources.store import compact_store
+    from columnar_aware_dedup_spark.streaming.bm25 import merge_bm25_delta
+    from tests.conftest import rows_equal
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet")
+    tbl = "test_bm25_compact"
+    seed_dir = tmp_path / "cp_seed"
+    seed_dir.mkdir()
+    pq_.write_table(t.slice(0, 200), seed_dir / "documents.parquet")
+    write_bm25_index(spark, str(seed_dir), tbl)
+    # several small merges -> many small files per bucket
+    for lo in range(200, 500, 100):
+        rest_dir = tmp_path / f"cp_{lo}"
+        rest_dir.mkdir()
+        pq_.write_table(t.slice(lo, 100), rest_dir / "d.parquet")
+        merge_bm25_delta(
+            spark, spark.read.parquet(str(rest_dir / "d.parquet")), tbl
+        )
+    before_rows = bm25_from_index(spark, tbl).collect()
+
+    files_before, files_after = compact_store(
+        spark, tbl, n_buckets=8, key="term", dedupe=False
+    )
+    assert files_after < files_before
+    assert files_after <= 8  # one sorted file per term bucket
+
+    served = bm25_from_index(spark, tbl)
+    plan = explain.plan_string(served, "formatted")
+    assert "SelectedBucketsCount: 3 out of 8" in plan, plan
+    assert rows_equal(served, spark.createDataFrame(before_rows))
