@@ -46,11 +46,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.operators.search import (
-    _BUCKET_SPARK,
     _BUCKET_SQL,
     _HASH_DIM,
     _SEARCH_TERMS,
-    _SIGN_SPARK,
     _SIGN_SQL,
 )
 from columnar_aware_dedup_spark.operators.text import (
@@ -296,33 +294,19 @@ def corpus_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_hash_vectors(
-    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
-) -> DataFrame:
-    """(doc_id, vec array<double>, nrm): the doc-level twin of
-    ``search.passage_hash_vectors`` — unnormalized integer-valued sums so
-    dot products stay exact; zero-norm docs dropped (mirrored in the
-    oracle's HAVING)."""
-    if tf is None:
-        tf = (
-            _fanned(spark, sf_dir)
-            .select("doc_id", F.explode("toks").alias("term"))
-            .filter(F.col("term") != "")
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").alias("tf"))
-        )
-    return _vectors_from_tf(tf)
-
-
 def _doc_hash_vectors_of(docs: DataFrame) -> DataFrame:
-    """Hashing-trick vectors of one batch of documents-schema rows — the
-    frame-input twin of :func:`_doc_hash_vectors` that the persisted
-    vector table is built and delta-maintained through. Unlike the
-    query-path twin it KEEPS zero-norm documents (zero vector, nrm 0.0):
-    the table doubles as the maintainer's replay registry, and a
-    token-less doc that never lands would read as forever-fresh, making
-    every replay re-process it and the merge's appended-count lie.
-    Serving filters ``nrm > 0`` at read instead."""
+    """Hashing-trick vectors of one batch of documents-schema rows,
+    through the ONE shared fold (``search.hash_vectors_from_tf``) — the
+    frame the persisted vector table is built and delta-maintained
+    through. Unlike the query path it KEEPS zero-norm documents (zero
+    vector, nrm 0.0): the table doubles as the maintainer's replay
+    registry, and a token-less doc that never lands would read as
+    forever-fresh, making every replay re-process it and the merge's
+    appended-count lie. Serving filters ``nrm > 0`` at read instead."""
+    from columnar_aware_dedup_spark.operators.search import (
+        hash_vectors_from_tf,
+    )
+
     tf = (
         docs.withColumn("norm", F.expr(_NORM_SPARK))
         .select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
@@ -333,39 +317,12 @@ def _doc_hash_vectors_of(docs: DataFrame) -> DataFrame:
     zero = F.expr(f"array_repeat(CAST(0 AS DOUBLE), {_HASH_DIM})")
     return (
         docs.select("doc_id")
-        .join(_vectors_from_tf(tf), "doc_id", "left")
+        .join(hash_vectors_from_tf(tf), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("vec", zero).alias("vec"),
             F.coalesce("nrm", F.lit(0.0)).alias("nrm"),
         )
-    )
-
-
-def _vectors_from_tf(tf: DataFrame) -> DataFrame:
-    bs = tf.groupBy(
-        "doc_id", F.expr(_BUCKET_SPARK).cast("int").alias("bucket")
-    ).agg(F.expr(f"CAST(sum(({_SIGN_SPARK}) * tf) AS DOUBLE)").alias("v"))
-    dense = (
-        f"transform(sequence(0, {_HASH_DIM - 1}),"
-        " i -> coalesce(element_at(m, i), CAST(0 AS DOUBLE)))"
-    )
-    return (
-        bs.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bucket", "v"))
-            ).alias("m")
-        )
-        .withColumn("vec", F.expr(dense))
-        .withColumn(
-            "nrm",
-            F.expr(
-                "sqrt(aggregate(vec, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
-            ),
-        )
-        .filter(F.col("nrm") > 0)
-        .select("doc_id", "vec", "nrm")
     )
 
 
@@ -385,12 +342,15 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (corpus_tf): the dense side folds it into vectors, the lexical side
     # filters it to the query terms' postings (A/B-measured 1.3x over the
     # two-explode form at sf0.1: 3.12 -> 2.39 s warm min).
+    from columnar_aware_dedup_spark.operators.search import (
+        hash_vectors_from_tf,
+    )
+
     tf_all = corpus_tf(spark, sf_dir)
     lex_scored = _bm25_scores(
         spark, sf_dir, tf=tf_all.filter(F.col("term").isin(*_SEARCH_TERMS))
     )
-    dense_vecs = _doc_hash_vectors(spark, sf_dir, tf=tf_all)
-    return fuse_rrf(lex_scored, dense_vecs)
+    return fuse_rrf(lex_scored, hash_vectors_from_tf(tf_all))
 
 
 def fuse_rrf(lex_scored: DataFrame, dense_vecs: DataFrame) -> DataFrame:
@@ -442,10 +402,14 @@ def fuse_rrf(lex_scored: DataFrame, dense_vecs: DataFrame) -> DataFrame:
 def doc_lengths(docs: DataFrame) -> DataFrame:
     """(doc_id, dl) for documents-schema rows — the narrow no-explode
     token count (dl=0 rows kept: they carry no postings but DO count into
-    the corpus size the idf reads)."""
+    the corpus size the idf reads). NULL text coalesces to dl=0, never
+    -1: Spark's ``size(NULL)`` is -1, which would poison the registry's
+    dl_sum and shift every served avgdl off the from-scratch path."""
     return docs.withColumn("norm", F.expr(_NORM_SPARK)).select(
         "doc_id",
-        F.expr("size(filter(split(norm, ' '), t -> t != ''))")
+        F.expr(
+            "greatest(size(filter(split(norm, ' '), t -> t != '')), 0)"
+        )
         .cast("long")
         .alias("dl"),
     )
@@ -486,13 +450,14 @@ def committed_bm25(
 ) -> DataFrame:
     """``{table}{suffix}`` rows restricted to COMMITTED attempts — the
     read discipline that makes the maintainer's multi-table appends
-    crash-safe (the ``streaming/sketches.py`` protocol): a crash between
-    appends leaves rows whose attempt never reached ``{table}_commits``,
-    and this semi-join makes them invisible to every reader."""
-    return spark.table(table_name + suffix).join(
-        F.broadcast(spark.table(table_name + "_commits")),
-        "attempt_id",
-        "left_semi",
+    crash-safe: a crash between appends leaves rows whose attempt never
+    reached ``{table}_commits``, and the semi-join (the shared protocol
+    machinery, ``streaming/commitlog.py``) makes them invisible to every
+    reader."""
+    from columnar_aware_dedup_spark.streaming.commitlog import committed_rows
+
+    return committed_rows(
+        spark, table_name + suffix, table_name + "_commits"
     )
 
 

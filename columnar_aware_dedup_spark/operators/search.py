@@ -429,35 +429,27 @@ ORDER BY q_doc, q_passage, cosine_sim DESC, n_doc, n_passage
 """
 
 
-def passage_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(doc_id, passage_idx, vec array<double>, nrm)``: the hashing-trick
-    embedding of every passage — the passage-level twin of
-    ``doc_hash_embedding`` (same bucket/sign hashes, UNNORMALIZED integer
-    sums kept internal so downstream dot products stay exact), from the
-    shared ``passage_tokens`` window derivation. Zero-norm (empty-text)
-    passages are dropped, mirrored in the oracle."""
-    from columnar_aware_dedup_spark.operators.curation import passage_tokens
-
-    pt = passage_tokens(spark, sf_dir)
-    tf = (
-        pt.select(
-            "doc_id", "passage_idx", F.explode("ptoks").alias("term")
-        )
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "passage_idx", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+def hash_vectors_from_tf(
+    tf: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """``(*keys, vec array<double>, nrm)``: the ONE hashing-trick dense
+    fold — (key, term, tf) rows hash into md5-nibble buckets with ±1 sign
+    bits, sum into a dense ``_HASH_DIM`` array, and carry their L2 norm —
+    shared by the doc-level vector space (``operators/retrieval.py``) and
+    the passage-level one (:func:`passage_hash_vectors`), generalized
+    over the group key so the two spaces cannot drift. Sums stay
+    UNNORMALIZED integer-valued doubles (downstream dot products exact);
+    zero-norm keys are dropped (callers that need them as a registry
+    re-attach zero rows, e.g. ``retrieval._doc_hash_vectors_of``)."""
     bs = tf.groupBy(
-        "doc_id",
-        "passage_idx",
-        F.expr(_BUCKET_SPARK).cast("int").alias("bucket"),
+        *keys, F.expr(_BUCKET_SPARK).cast("int").alias("bucket")
     ).agg(F.expr(f"CAST(sum(({_SIGN_SPARK}) * tf) AS DOUBLE)").alias("v"))
     dense = (
         f"transform(sequence(0, {_HASH_DIM - 1}),"
         " i -> coalesce(element_at(m, i), CAST(0 AS DOUBLE)))"
     )
     return (
-        bs.groupBy("doc_id", "passage_idx")
+        bs.groupBy(*keys)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("bucket", "v"))
@@ -471,8 +463,30 @@ def passage_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("nrm") > 0)
-        .select("doc_id", "passage_idx", "vec", "nrm")
+        .select(*keys, "vec", "nrm")
     )
+
+
+def passage_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, passage_idx, vec array<double>, nrm)``: the hashing-trick
+    embedding of every passage — the passage-level twin of
+    ``doc_hash_embedding`` (same bucket/sign hashes, UNNORMALIZED integer
+    sums kept internal so downstream dot products stay exact), from the
+    shared ``passage_tokens`` window derivation through the shared
+    :func:`hash_vectors_from_tf` fold. Zero-norm (empty-text) passages
+    are dropped, mirrored in the oracle."""
+    from columnar_aware_dedup_spark.operators.curation import passage_tokens
+
+    pt = passage_tokens(spark, sf_dir)
+    tf = (
+        pt.select(
+            "doc_id", "passage_idx", F.explode("ptoks").alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "passage_idx", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return hash_vectors_from_tf(tf, ("doc_id", "passage_idx"))
 
 
 @register("passage_topk_retrieval", oracle=PASSAGE_TOPK_ORACLE)

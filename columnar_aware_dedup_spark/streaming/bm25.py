@@ -45,31 +45,19 @@ _PARTIAL_SUFFIXES = ("", "_docs", "_stats")
 
 
 def sweep_uncommitted_bm25(spark: SparkSession, table_name: str) -> int:
-    """Physically remove crash debris: rows whose ``attempt_id`` never
-    reached the commits table. Called under the store lock at the start
-    of each merge. Debris is invisible to readers regardless (the commits
-    semi-join), so this is a space reclaim, not a correctness step. The
-    rewrite localCheckpoints the committed subset before overwriting
-    (Spark cannot overwrite a table from a plan still reading it); the
-    postings overwrite goes through ``insertInto``, which honors the
-    catalog's term-bucketing spec. Returns debris rows removed."""
-    removed = 0
-    commits = F.broadcast(spark.table(table_name + "_commits"))
-    for suffix in _PARTIAL_SUFFIXES:
-        name = table_name + suffix
-        tbl = spark.table(name)
-        n_debris = tbl.join(commits, "attempt_id", "left_anti").count()
-        if not n_debris:
-            continue
-        kept = tbl.join(commits, "attempt_id", "left_semi").localCheckpoint(
-            eager=True
-        )
-        kept.select(*tbl.columns).write.format("parquet").mode(
-            "overwrite"
-        ).insertInto(name, overwrite=True)
-        spark.catalog.refreshTable(name)
-        removed += n_debris
-    return removed
+    """Physically remove crash debris from the three partial tables.
+    Called under the store lock at the start of each merge. Semantics
+    and the materialize-before-overwrite discipline live in the ONE
+    shared implementation, ``streaming/commitlog.py::sweep_uncommitted``
+    (which overwrites through ``insertInto``, honoring the postings
+    table's term-bucketing spec)."""
+    from columnar_aware_dedup_spark.streaming import commitlog
+
+    return commitlog.sweep_uncommitted(
+        spark,
+        [table_name + s for s in _PARTIAL_SUFFIXES],
+        table_name + "_commits",
+    )
 
 
 def merge_bm25_delta(

@@ -100,43 +100,26 @@ def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
 
 
 def _committed(spark: SparkSession, prefix: str, suffix: str) -> DataFrame:
-    """The ``suffix`` partial rows restricted to COMMITTED attempts."""
-    return spark.table(f"{prefix}_{suffix}").join(
-        F.broadcast(spark.table(f"{prefix}_commits")), "attempt_id", "left_semi"
-    )
+    """The ``suffix`` partial rows restricted to COMMITTED attempts
+    (through the shared protocol machinery, ``streaming/commitlog.py``)."""
+    from columnar_aware_dedup_spark.streaming.commitlog import committed_rows
+
+    return committed_rows(spark, f"{prefix}_{suffix}", f"{prefix}_commits")
 
 
 def sweep_uncommitted(spark: SparkSession, prefix: str) -> int:
-    """Physically remove crash debris: partial rows whose ``attempt_id``
-    never reached the commits table. Must be called under the store lock
-    (``merge_sketches`` does, opportunistically, before each merge).
+    """Physically remove crash debris from the three partial tables.
+    Must be called under the store lock (``merge_sketches`` does,
+    opportunistically, before each merge). Semantics and the
+    materialize-before-overwrite discipline live in the ONE shared
+    implementation, ``streaming/commitlog.py::sweep_uncommitted``."""
+    from columnar_aware_dedup_spark.streaming import commitlog
 
-    Debris is invisible to readers regardless (the commits semi-join), so
-    this is a space reclaim, not a correctness step — but without it an
-    often-crashing writer accretes dead rows forever. The rewrite
-    localCheckpoints the committed subset first (materialize-before-
-    overwrite: Spark cannot overwrite a table from a plan still reading
-    it), then overwrites in place; a crash mid-overwrite loses only
-    already-invisible rows plus committed rows that the NEXT stream replay
-    re-derives under a fresh attempt. Returns debris rows removed.
-    """
-    removed = 0
-    commits = F.broadcast(spark.table(f"{prefix}_commits"))
-    for suffix in ("seen", "cms", "hll"):
-        name = f"{prefix}_{suffix}"
-        tbl = spark.table(name)
-        n_debris = tbl.join(commits, "attempt_id", "left_anti").count()
-        if not n_debris:
-            continue
-        kept = tbl.join(commits, "attempt_id", "left_semi").localCheckpoint(
-            eager=True
-        )
-        kept.select(*tbl.columns).write.format("parquet").mode(
-            "overwrite"
-        ).insertInto(name, overwrite=True)
-        spark.catalog.refreshTable(name)
-        removed += n_debris
-    return removed
+    return commitlog.sweep_uncommitted(
+        spark,
+        [f"{prefix}_{s}" for s in ("seen", "cms", "hll")],
+        f"{prefix}_commits",
+    )
 
 
 def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:

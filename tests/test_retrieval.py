@@ -265,3 +265,23 @@ def test_bm25_index_compaction_preserves_serving(spark, sf_dir, tmp_path):
     plan = explain.plan_string(served, "formatted")
     assert "SelectedBucketsCount: 3 out of 8" in plan, plan
     assert rows_equal(served, spark.createDataFrame(before_rows))
+
+
+def test_doc_lengths_null_text_is_zero_not_minus_one(spark):
+    """Spark's size(NULL) is -1; a NULL-text document must register dl=0
+    (review finding: -1 would poison dl_sum and shift every served
+    avgdl off the from-scratch path, which drops NULL docs before its
+    average)."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        corpus_stats,
+        doc_lengths,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["dl"] for r in doc_lengths(docs).collect()}
+    assert rows == {1: 0, 2: 0, 3: 2}
+    stats = corpus_stats(doc_lengths(docs)).collect()[0]
+    assert (stats["n_docs"], stats["n_dl_docs"], stats["dl_sum"]) == (3, 1, 2)

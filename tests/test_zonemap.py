@@ -115,7 +115,7 @@ def test_stripe_table_against_pyarrow(sf_dir):
     assert any(r["n_band_matches"] > 0 for r in rows)  # kept stripes
 
 
-def test_parquet_zone_map_walker_and_bits(spark):
+def test_parquet_zone_map_walker_and_bits():
     """The parquet twin's falsifiability, both layers: (a) the from-scratch
     Thrift-compact footer walker must agree with pyarrow's independent
     footer read on every integer column statistic of every fixture file
