@@ -205,6 +205,14 @@ def _query_vector() -> list[int]:
 
 
 _QVEC = _query_vector()
+# loud import-time guard (ADVICE r08): the cosine SQL below renders only the
+# NONZERO query components, so an all-zero _QVEC (possible if a future
+# _SEARCH_TERMS edit hash-cancels every bucket) would emit malformed SQL
+# ("round(() / ...)") that fails obscurely at plan time in both engines.
+assert sum(abs(v) for v in _QVEC) > 0, (
+    "_SEARCH_TERMS hash to an all-zero query vector; the dense-cosine SQL "
+    "cannot be rendered — pick different search terms"
+)
 _QNRM = f"sqrt(CAST({sum(v * v for v in _QVEC)} AS DOUBLE))"
 
 #: dense-list cosine, Spark spelling (vec/nrm from the doc-vector CTE).
@@ -461,6 +469,50 @@ def committed_bm25(
     )
 
 
+#: the five-table BM25 index family: suffix -> (schema, bucketed-by-term?).
+#: ONE spelling of the physical layout, shared by the genesis build and the
+#: empty init the streaming parity certificate folds into — so the two
+#: creation paths cannot diverge on a schema or bucketing change.
+_BM25_TABLE_SPECS: dict[str, tuple[str, bool]] = {
+    "_attempts": ("attempt_id string", False),
+    "": ("term string, doc_id long, tf bigint, dl bigint, attempt_id string",
+         True),
+    "_docs": ("doc_id long, dl bigint, attempt_id string", False),
+    "_stats": ("attempt_id string, n_docs bigint, n_dl_docs bigint,"
+               " dl_sum bigint", False),
+    "_commits": ("attempt_id string", False),
+}
+
+
+def init_bm25_tables(
+    spark: SparkSession, table_name: str, n_buckets: int = 8
+) -> str:
+    """(Re-)create the five EMPTY BM25 index tables (postings bucketed and
+    sorted by term; docs registry; per-attempt stats partials; attempts
+    manifest; commits) — the zero-state the streaming maintainer
+    (``streaming/bm25.py::merge_bm25_delta``) folds deltas into, and the
+    one place besides :func:`write_bm25_index`'s genesis where the layout
+    contract is exercised (both render ``_BM25_TABLE_SPECS``). Crash
+    debris from earlier sessions is cleaned through the catalog-resolving
+    ``store.drop_table_and_dir``."""
+    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
+
+    for suffix, (schema, bucketed) in _BM25_TABLE_SPECS.items():
+        name = table_name + suffix
+        drop_table_and_dir(spark, name)
+        empty = spark.createDataFrame([], schema)
+        writer = empty.write.format("parquet").mode("overwrite")
+        if bucketed:
+            writer = (
+                empty.write.format("parquet")
+                .bucketBy(n_buckets, "term")
+                .sortBy("term")
+                .mode("overwrite")
+            )
+        writer.saveAsTable(name)
+    return table_name
+
+
 def write_bm25_index(
     spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
 ) -> None:
@@ -471,9 +523,11 @@ def write_bm25_index(
     input to idf and the streaming maintainer's replay guard),
     ``{table}_stats`` (append-only per-attempt partial sums; the corpus
     totals are the sum over committed attempts, so a merge never rewrites
-    anything), and ``{table}_commits`` (the single-table publication
-    point). Every row carries an ``attempt_id``; this batch build is the
-    genesis attempt, committed last like any other. Term
+    anything), ``{table}_attempts`` (the manifest, written FIRST — the
+    tiny table the debris sweep diffs against commits so a no-crash merge
+    reads zero data rows), and ``{table}_commits`` (the single-table
+    publication point). Every row carries an ``attempt_id``; this batch
+    build is the genesis attempt, committed last like any other. Term
     document-frequencies are deliberately NOT materialized: serving
     derives df from the same bucket-pruned postings it already reads (a
     term-grouped aggregate on a term-bucketed scan is exchange-free), so
@@ -488,22 +542,26 @@ def write_bm25_index(
     attempt = "genesis-" + uuid.uuid4().hex
     tag = F.lit(attempt).alias("attempt_id")
     registry = doc_lengths(docs).select("doc_id", "dl", tag)
+    one_attempt = spark.createDataFrame([(attempt,)], "attempt_id string")
+    frames = {
+        "_attempts": one_attempt,
+        "": batch_bm25_postings(docs).select(
+            "term", "doc_id", "tf", "dl", tag
+        ),
+        "_docs": registry,
+        "_stats": corpus_stats(registry).select(
+            tag, "n_docs", "n_dl_docs", "dl_sum"
+        ),
+        "_commits": one_attempt,  # the publication point, written LAST
+    }
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for suffix, frame, bucketed in (
-        ("", batch_bm25_postings(docs).select(
-            "term", "doc_id", "tf", "dl", tag), True),
-        ("_docs", registry, False),
-        ("_stats", corpus_stats(registry).select(
-            tag, "n_docs", "n_dl_docs", "dl_sum"), False),
-        ("_commits", None, False),  # built below, appended LAST
-    ):
+    for suffix, (_schema, bucketed) in _BM25_TABLE_SPECS.items():
         name = table_name + suffix
         # ephemeral-metastore hygiene (the write_postings_index pattern): a
         # fresh Derby can orphan the physical location of an earlier process.
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
-        if frame is None:
-            frame = spark.createDataFrame([(attempt,)], "attempt_id string")
+        frame = frames[suffix]
         writer = frame.write.format("parquet").mode("overwrite")
         if bucketed:
             writer = (
@@ -583,6 +641,20 @@ def _bm25_scored_from_index(
 
 
 # -- index-served hybrid fusion -------------------------------------------------
+
+def init_doc_vector_table(spark: SparkSession, table_name: str) -> str:
+    """(Re-)create the EMPTY doc-vector serving table — the zero-state the
+    single-append maintainer (``streaming/bm25.py::merge_doc_vectors_delta``)
+    folds deltas into; same schema as :func:`write_doc_vector_index`'s
+    genesis build."""
+    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
+
+    drop_table_and_dir(spark, table_name)
+    spark.createDataFrame(
+        [], "doc_id long, vec array<double>, nrm double"
+    ).write.format("parquet").mode("overwrite").saveAsTable(table_name)
+    return table_name
+
 
 def write_doc_vector_index(
     spark: SparkSession, sf_dir: str, table_name: str

@@ -319,6 +319,74 @@ def drop_table_and_dir(spark: SparkSession, tbl: str) -> None:
     fs.delete(path, True)
 
 
+def bucket_spec(
+    spark: SparkSession, table_name: str
+) -> tuple[int | None, str | None]:
+    """(n_buckets, bucket_key) of a catalog table, from DESCRIBE FORMATTED
+    — (None, None) for an unbucketed table. Lets a generic rewriter (the
+    commit-protocol sweep) preserve whatever physical layout a table was
+    created with instead of every caller re-declaring it (single-key
+    buckets only, which is all this repo's stores use)."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+
+    def field(name: str) -> str | None:
+        return next(
+            (r["data_type"] for r in rows if r["col_name"].strip() == name),
+            None,
+        )
+
+    n, cols = field("Num Buckets"), field("Bucket Columns")
+    if n is None or cols is None:
+        return None, None
+    return int(n), cols.strip("[] ").strip("`")
+
+
+def staged_swap_overwrite(
+    spark: SparkSession,
+    table_name: str,
+    df: DataFrame,
+    n_buckets: int | None = None,
+    key: str | None = None,
+) -> None:
+    """Crash-safe full overwrite of a catalog table: materialize ``df``
+    into ``{table}__compacting`` (bucketed+sorted iff ``n_buckets``/``key``
+    given), then rename-aside / rename-in / drop-aside — the
+    :func:`compact_store` swap protocol factored out so any writer that
+    must REPLACE a table's contents (the commit-protocol debris sweep,
+    ``streaming/commitlog.py``) gets the same guarantee: committed rows
+    are never exposed to a half-written file set, because the staging
+    table is fully materialized before the first rename (``df`` may
+    therefore read ``table_name`` itself — no checkpoint needed). A crash
+    between the renames leaves the canonical name briefly unbound with
+    BOTH versions intact; :func:`recover_compaction` rebinds either. Call
+    under the table family's store lock."""
+    import shutil
+
+    tmp = f"{table_name}__compacting"
+    aside = f"{table_name}__precompact"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    shutil.rmtree(f"{warehouse}/{tmp.lower()}", ignore_errors=True)
+    if n_buckets and key:
+        (
+            df.repartition(n_buckets, key)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(tmp)
+        )
+    else:
+        df.write.format("parquet").mode("overwrite").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE IF EXISTS {aside}")
+    shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {aside}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {aside}")
+    shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
+    spark.catalog.refreshTable(table_name)
+
+
 def _n_data_files(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -358,18 +426,10 @@ def compact_store(
     ``tests/test_store.py``). Readers in other sessions re-resolve on
     their next ``refreshTable``.
     """
-    import shutil
-
-    tmp = f"{table_name}__compacting"
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         location = _store_location(spark, table_name)
         before = _n_data_files(location)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-            "file:"
-        )
-        shutil.rmtree(f"{warehouse}/{tmp.lower()}", ignore_errors=True)
         # read the FILES, not the catalog table: a bucketed-table scan
         # reports HashPartitioning(key, n), so Catalyst elides the
         # repartition below as redundant — and the auto-bucketed-scan
@@ -380,22 +440,7 @@ def compact_store(
         df = spark.read.parquet(location)
         if dedupe:
             df = df.dropDuplicates([key])
-        (
-            df.repartition(n_buckets, key)
-            .write.bucketBy(n_buckets, key)
-            .sortBy(key)
-            .format("parquet")
-            .mode("overwrite")
-            .saveAsTable(tmp)
-        )
-        aside = f"{table_name}__precompact"
-        spark.sql(f"DROP TABLE IF EXISTS {aside}")
-        shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
-        spark.sql(f"ALTER TABLE {table_name} RENAME TO {aside}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-        spark.sql(f"DROP TABLE {aside}")
-        shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
-        spark.catalog.refreshTable(table_name)
+        staged_swap_overwrite(spark, table_name, df, n_buckets, key)
         after = _n_data_files(_store_location(spark, table_name))
     return before, after
 
@@ -420,6 +465,18 @@ def recover_compaction(
       compacted table is completely materialized), drop the other, return
       which one was bound.
     """
+    with store_lock(spark, table_name):
+        return recover_compaction_unlocked(spark, table_name, prefer)
+
+
+def recover_compaction_unlocked(
+    spark: SparkSession, table_name: str, prefer: str = "new"
+) -> str | None:
+    """:func:`recover_compaction`'s body without the lock acquisition —
+    for callers that ALREADY hold the relevant family lock (the
+    commit-protocol sweep runs under its merge's lock, whose name can be
+    the very table being recovered; re-acquiring would deadlock the
+    non-reentrant mkdir mutex)."""
     import shutil
 
     if prefer not in ("new", "old"):
@@ -432,20 +489,19 @@ def recover_compaction(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
 
-    with store_lock(spark, table_name):
-        if spark.catalog.tableExists(table_name):
-            _drop(tmp)
-            _drop(aside)
-            return None
-        candidates = {"new": tmp, "old": aside}
-        pick = candidates[prefer]
+    if spark.catalog.tableExists(table_name):
+        _drop(tmp)
+        _drop(aside)
+        return None
+    candidates = {"new": tmp, "old": aside}
+    pick = candidates[prefer]
+    if not spark.catalog.tableExists(pick):
+        pick = candidates["old" if prefer == "new" else "new"]
         if not spark.catalog.tableExists(pick):
-            pick = candidates["old" if prefer == "new" else "new"]
-            if not spark.catalog.tableExists(pick):
-                raise ValueError(
-                    f"nothing to recover: neither {tmp} nor {aside} exists"
-                )
-        spark.sql(f"ALTER TABLE {pick} RENAME TO {table_name}")
-        _drop(tmp if pick == aside else aside)
-        spark.catalog.refreshTable(table_name)
-        return "new" if pick == tmp else "old"
+            raise ValueError(
+                f"nothing to recover: neither {tmp} nor {aside} exists"
+            )
+    spark.sql(f"ALTER TABLE {pick} RENAME TO {table_name}")
+    _drop(tmp if pick == aside else aside)
+    spark.catalog.refreshTable(table_name)
+    return "new" if pick == tmp else "old"

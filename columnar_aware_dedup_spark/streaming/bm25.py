@@ -46,17 +46,19 @@ _PARTIAL_SUFFIXES = ("", "_docs", "_stats")
 
 def sweep_uncommitted_bm25(spark: SparkSession, table_name: str) -> int:
     """Physically remove crash debris from the three partial tables.
-    Called under the store lock at the start of each merge. Semantics
-    and the materialize-before-overwrite discipline live in the ONE
-    shared implementation, ``streaming/commitlog.py::sweep_uncommitted``
-    (which overwrites through ``insertInto``, honoring the postings
-    table's term-bucketing spec)."""
+    Called under the store lock at the start of each merge — cheap when
+    nothing crashed, because the shared implementation
+    (``streaming/commitlog.py::sweep_uncommitted``) answers "any debris?"
+    from the attempts/commits manifests alone and reclaims through the
+    crash-safe staged swap (preserving the postings table's
+    term-bucketing spec via the catalog)."""
     from columnar_aware_dedup_spark.streaming import commitlog
 
     return commitlog.sweep_uncommitted(
         spark,
         [table_name + s for s in _PARTIAL_SUFFIXES],
         table_name + "_commits",
+        table_name + "_attempts",
     )
 
 
@@ -69,7 +71,7 @@ def merge_bm25_delta(
     import uuid
 
     def _refresh_all() -> None:
-        for suffix in (*_PARTIAL_SUFFIXES, "_commits"):
+        for suffix in (*_PARTIAL_SUFFIXES, "_attempts", "_commits"):
             spark.catalog.refreshTable(table_name + suffix)
 
     with store_lock(spark, table_name):
@@ -96,6 +98,13 @@ def merge_bm25_delta(
         if not n:
             return 0
         attempt = uuid.uuid4().hex
+        # manifest first (the protocol's step zero): a crash anywhere past
+        # this line is detectable from the attempts/commits diff alone
+        from columnar_aware_dedup_spark.streaming.commitlog import (
+            record_attempt,
+        )
+
+        record_attempt(spark, table_name + "_attempts", attempt)
         tag = F.lit(attempt).alias("attempt_id")
         registry_delta = doc_lengths(fresh).select("doc_id", "dl", tag)
         batch_bm25_postings(fresh).select(

@@ -77,11 +77,12 @@ def batch_hll_regs(docs: DataFrame) -> DataFrame:
 
 
 def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
-    """Create the four empty state tables (seen docs, CMS cells, HLL
-    register partials, commit markers) under ``prefix``, replacing any
-    previous state — including a leftover warehouse directory from a
-    session whose metastore no longer lists the table (DROP TABLE can't see
-    it, and ``saveAsTable`` would fail with LOCATION_ALREADY_EXISTS)."""
+    """Create the five empty state tables (seen docs, CMS cells, HLL
+    register partials, attempts manifest, commit markers) under
+    ``prefix``, replacing any previous state — including a leftover
+    warehouse directory from a session whose metastore no longer lists
+    the table (DROP TABLE can't see it, and ``saveAsTable`` would fail
+    with LOCATION_ALREADY_EXISTS)."""
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
@@ -89,6 +90,7 @@ def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
         ("seen", "doc_id long, attempt_id string"),
         ("cms", "d int, b int, n long, attempt_id string"),
         ("hll", "reg int, mr int, attempt_id string"),
+        ("attempts", "attempt_id string"),
         ("commits", "attempt_id string"),
     ):
         name = f"{prefix}_{suffix}"
@@ -110,15 +112,18 @@ def _committed(spark: SparkSession, prefix: str, suffix: str) -> DataFrame:
 def sweep_uncommitted(spark: SparkSession, prefix: str) -> int:
     """Physically remove crash debris from the three partial tables.
     Must be called under the store lock (``merge_sketches`` does,
-    opportunistically, before each merge). Semantics and the
-    materialize-before-overwrite discipline live in the ONE shared
-    implementation, ``streaming/commitlog.py::sweep_uncommitted``."""
+    opportunistically, before each merge — cheap when nothing crashed:
+    the shared implementation,
+    ``streaming/commitlog.py::sweep_uncommitted``, answers "any debris?"
+    from the attempts/commits manifests alone and reclaims through the
+    crash-safe staged swap)."""
     from columnar_aware_dedup_spark.streaming import commitlog
 
     return commitlog.sweep_uncommitted(
         spark,
         [f"{prefix}_{s}" for s in ("seen", "cms", "hll")],
         f"{prefix}_commits",
+        f"{prefix}_attempts",
     )
 
 
@@ -151,7 +156,7 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
     import uuid
 
     def _refresh_all() -> None:
-        for suffix in ("seen", "cms", "hll", "commits"):
+        for suffix in ("seen", "cms", "hll", "attempts", "commits"):
             spark.catalog.refreshTable(f"{prefix}_{suffix}")
 
     with store_lock(spark, f"{prefix}_seen"):
@@ -170,6 +175,13 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
             n = fresh.count()
             if n:
                 attempt = uuid.uuid4().hex
+                # manifest first (the protocol's step zero): a crash past
+                # this line is detectable from attempts ∖ commits alone
+                from columnar_aware_dedup_spark.streaming.commitlog import (
+                    record_attempt,
+                )
+
+                record_attempt(spark, f"{prefix}_attempts", attempt)
                 tag = F.lit(attempt).alias("attempt_id")
                 batch_cms_cells(fresh).select("d", "b", "n", tag).write.format(
                     "parquet"

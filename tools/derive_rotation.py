@@ -139,7 +139,19 @@ def main() -> int:
     allowed = (queries - set(latest)) | RESIDUE_ALLOWLIST
     for k, kind, who in beyond:
         extra = sorted(set(who) - allowed)
-        marker = "NEEDS RE-PACK" if extra else "expected residue"
+        # ADVICE r08: the overdue check at the LAST prepared window consults
+        # R{horizon} ∪ R{horizon+1}, and R{horizon+1} does not exist yet —
+        # every healthy repo shows residue there, so labeling it "NEEDS
+        # RE-PACK" made the marker fire on a non-problem and gave a real
+        # gap the same non-failing channel. Name the horizon edge as its
+        # own category; NEEDS RE-PACK now means a gap INSIDE the prepared
+        # horizon only.
+        if not extra:
+            marker = "expected residue"
+        elif k == horizon and kind == "overdue unscheduled":
+            marker = f"horizon edge (R{horizon + 1} not yet prepared)"
+        else:
+            marker = "NEEDS RE-PACK"
         print(f"  info r{k} ({marker}): {kind}: {who[:8]}"
               f"{'...' if len(who) > 8 else ''}")
     return 0
