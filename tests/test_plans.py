@@ -559,19 +559,27 @@ def test_balanced_sample_single_window_shuffle(spark, sf_dir):
     assert n == 1, f"expected one window shuffle, got {n}:\n" + explain.plan_string(df)
 
 
-def test_passage_near_dup_stays_banded(spark, sf_dir):
-    """passage_near_dup: per-passage hashing is a narrow map after the
-    parallelism repartition, candidates come ONLY from the (band, band_key)
-    bucket self-join, and the pair rollup reuses the join partitioning —
-    two exchanges total, no cartesian product, no window. The banded
-    discipline is what keeps passage near-dup affordable when the passage
-    table is ~n/S times the corpus row count."""
+def test_passage_near_dup_stays_banded_and_collapsed(spark, sf_dir):
+    """passage_near_dup after the r09 pre-collapse: the class table
+    (ONE map-side-combined psig shuffle after the parallelism
+    repartition — asserted on the class frame, whose lineage the
+    operator's lazy checkpoint hides from the outer plan) feeds a
+    (band, band_key) bucket self-join and a map-side-combined pair
+    rollup; no cartesian product, no window, and no distinct-expand
+    (shared_bands is a plain count — class rows are band-unique)."""
     from columnar_aware_dedup_spark.operators import curation
 
+    cls = curation.passage_signature_classes(spark, sf_dir)
+    n_cls = explain.n_exchanges(cls)
+    assert n_cls <= 2, (
+        f"class collapse grew to {n_cls} shuffles:\n"
+        + explain.plan_string(cls)
+    )
     df = curation.passage_near_dup(spark, sf_dir)
     plan = explain.plan_string(df, mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+    assert "Expand" not in plan, plan
     n = explain.n_exchanges(df)
     assert n <= 3, f"passage_near_dup grew to {n} shuffles:\n{plan}"
 

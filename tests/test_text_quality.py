@@ -188,3 +188,58 @@ def test_sweep_bucket_cap_binds(spark, sf_dir, monkeypatch):
     assert capped[1]["n_candidates"] > 0
     # and the truth side is cap-independent by construction
     assert all(r["n_truth"] == base[1]["n_truth"] for r in capped.values())
+
+
+def test_minhash_collapse_bands_one_row_per_distinct_text(spark, tmp_path):
+    """The r09 pre-collapse (VERDICT r08 "What's wrong" #1): m exact
+    copies of a document contribute ONE row to the band self-join input
+    (quadratic in distinct texts, never in duplicate multiplicity), while
+    the member-pair OUTPUT contract is reconstructed exactly — all
+    m(m-1)/2 within-class pairs at shared_bands=4, and cross-class
+    near-dup pairs inheriting the class pair's band count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnar_aware_dedup_spark.operators.text import (
+        minhash_near_dup,
+        minhash_signature_classes,
+    )
+
+    m = 10
+    words = [f"w{i}" for i in range(40)]
+    hot = " ".join(words)                      # the boilerplate text
+    near = " ".join(words[:39] + ["changed"])  # 39/40 tokens shared
+    rows_in = [(i, hot) for i in range(1, m + 1)]
+    rows_in.append((50, near))
+    rows_in.append((60, " ".join(f"z{i}" for i in range(30))))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows_in], pa.int64()),
+            "text": pa.array([r[1] for r in rows_in]),
+            "lang": pa.array(["en"] * len(rows_in)),
+            "source": pa.array(["s"] * len(rows_in)),
+            "n_chars": pa.array([len(r[1]) for r in rows_in], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    # the collapse: 3 distinct texts -> 3 band-join input rows, rep = min
+    classes = minhash_signature_classes(spark, str(tmp_path)).collect()
+    assert len(classes) == 3
+    reps = {r["doc_id"] for r in classes}
+    assert reps == {1, 50, 60}
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_bands"]
+        for r in minhash_near_dup(spark, str(tmp_path)).collect()
+    }
+    # contract preserved: every within-class member pair, all 4 bands
+    for i in range(1, m + 1):
+        for j in range(i + 1, m + 1):
+            assert pairs.get((i, j)) == 4, (i, j, pairs.get((i, j)))
+    # the near-variant pairs with EVERY member of the hot class, at the
+    # class pair's shared-band count (>= 1 or it would not be a candidate)
+    near_counts = {pairs.get((i, 50)) for i in range(1, m + 1)}
+    assert len(near_counts) == 1 and 1 <= near_counts.pop() <= 4
+    # unrelated doc pairs with nothing
+    assert not any(60 in p for p in pairs)
