@@ -37,6 +37,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from columnar_aware_dedup_spark.registry import register
@@ -361,3 +362,211 @@ def parquet_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_parquet_zone_walker_*`` (the walker itself). The per-row-group
     numeric audit stays available via :func:`zone_map_row_group_audit`."""
     return zone_map_bits_df(zone_map_row_group_audit(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# the zone maps' dedup consumer: stats-pruned incremental stripe chunking
+# ---------------------------------------------------------------------------
+
+_PRUNE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("stripe_idx", T.IntegerType(), False),
+        T.StructField("stats_key", T.StringType(), True),
+        T.StructField("signature", T.StringType(), False),
+        T.StructField("data_size", T.LongType(), False),
+    ]
+)
+
+
+def stripe_stats_key_rows(file_name: str, data: bytes) -> list[dict]:
+    """(stripe_idx, stats_key, signature, data_size) per stripe of one ORC
+    file. ``stats_key`` serializes the Metadata section's FULL per-column
+    statistics vector (n_values + integer min/max per column, our protobuf
+    walker — ``functions/orcmeta.py:read_stripe_column_stats``); the
+    signature is the s+p data-region md5 the dedup store keys on
+    (``sources/orcfixtures.py:chunk_orc_stripes_linked``). Byte-identical
+    stripes decode to identical rows and therefore identical statistics,
+    so a stats-key mismatch PROVES a signature mismatch — the direction
+    that makes skipping the hash sound. A stripe without statistics gets a
+    NULL key and is always treated as a candidate (never pruned)."""
+    import hashlib
+
+    from columnar_aware_dedup_spark.functions.orcmeta import (
+        read_orc_structure,
+        read_stripe_column_stats,
+    )
+
+    s = read_orc_structure(data)
+    stats = read_stripe_column_stats(data)
+    rows: list[dict] = []
+    for i, st in enumerate(s.stripes):
+        data_start = st.offset + st.index_length
+        key = None
+        if i < len(stats) and stats[i]:
+            key = "|".join(
+                f"{c['n_values']}:{c['int_min']}:{c['int_max']}"
+                for c in stats[i]
+            )
+        rows.append(
+            {
+                "file_name": file_name,
+                "stripe_idx": i,
+                "stats_key": key,
+                "signature": hashlib.md5(
+                    data[data_start : data_start + st.data_length]
+                ).hexdigest(),
+                "data_size": st.data_length,
+            }
+        )
+    return rows
+
+
+def stripe_stats_key_table(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan -> per-stripe (stats_key, signature, data_size)
+    rows, one parse task per file (the chunker discipline)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _PRUNE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                rows.extend(stripe_stats_key_rows(name, bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.orc")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_batches, _PRUNE_SCHEMA)
+
+
+#: the certificate bits, with the fixture's guaranteed per-file truth:
+#: - lineitem.orc (snapshot B, append layout): A's prefix stripes
+#:   stats-match the store -> candidates -> hash -> HIT; the appended /
+#:   boundary stripes carry new key ranges -> pruned unhashed;
+#: - lineitem_mod.orc (l_partkey + 7): the perturbed column shifts every
+#:   stripe's statistics vector -> ALL stripes pruned, zero bytes hashed
+#:   (the s+p column-level fallback for such files stays
+#:   ``orc_hierarchical_dedup``'s job — stats pruning is the stripe-level
+#:   front door);
+#: - orders_new.orc (different table): nothing stats-matches -> all
+#:   pruned, zero bytes hashed.
+_PRUNE_ROWS = {
+    "lineitem.orc": ("TRUE", "TRUE"),
+    "lineitem_mod.orc": ("FALSE", "FALSE"),
+    "orders_new.orc": ("FALSE", "FALSE"),
+}
+
+ORC_STATS_PRUNED_ORACLE = (
+    "SELECT file_name, TRUE AS stats_prune_sound_ok,"
+    " TRUE AS dedup_bytes_match_full_ok, has_candidates, has_hits,"
+    " TRUE AS has_pruned, TRUE AS hashed_lt_total_ok"
+    " FROM (VALUES "
+    + ", ".join(
+        f"('{f}', {cand}, {hits})"
+        for f, (cand, hits) in sorted(_PRUNE_ROWS.items())
+    )
+    + ") t(file_name, has_candidates, has_hits) ORDER BY file_name"
+)
+
+
+@register("orc_stats_pruned_dedup", oracle=ORC_STATS_PRUNED_ORACLE)
+def orc_stats_pruned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned incremental chunking — the zone maps' DEDUP consumer
+    (VERDICT r08 "What's missing" #4: the certificates proved the
+    statistics sound but nothing used them to SKIP work). The two-snapshot
+    flagship's stripe probe, with the reference's metadata-only thesis
+    (ref ``README.md:5-7``) applied to the hashing itself: an incoming
+    stripe whose per-column statistics vector matches NO store stripe
+    cannot be byte-identical to any of them (identical bytes => identical
+    rows => identical statistics), so it is a DEFINITE transfer miss
+    decided from footer metadata alone — only stats-colliding candidates
+    get their data region hashed and probed against the signature store.
+
+    The certificate verifies, per incoming file, that the shortcut
+    changed nothing and saved work: ``stats_prune_sound_ok`` (no pruned
+    stripe was a signature hit — checked by hashing EVERYTHING in this
+    audit run; a production pruner reads footers plus candidate regions
+    only), ``dedup_bytes_match_full_ok`` (the pruned path's per-file
+    dedup byte account equals the full probe's),
+    ``hashed_lt_total_ok`` (bytes hashed strictly below bytes total —
+    the saving is real for every incoming file), plus the fixture-shaped
+    ``has_candidates`` / ``has_hits`` / ``has_pruned`` rows (constants
+    restated by the DuckDB oracle — the trainer-certificate pattern this
+    ORC family established).
+
+    Scale shape: at 100 TB the store side is the persisted signature
+    store plus a tiny per-stripe stats-key index (both bucketable); the
+    incoming side reads file TAILS for the keys and data regions only for
+    candidates. Here both sides derive in one parse task per file and the
+    probes are two equi-joins (AQE broadcasts the fixture-sized store
+    side at runtime; unhinted, the ``lsh_parameter_sweep`` lesson).
+    """
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    store = stripe_stats_key_table(spark, store_dir).localCheckpoint(
+        eager=False
+    )
+    inc = stripe_stats_key_table(spark, incoming_dir)
+    store_keys = (
+        store.select("stats_key")
+        .filter(F.col("stats_key").isNotNull())
+        .distinct()
+        .withColumn("_cand", F.lit(1))
+    )
+    store_sigs = (
+        store.select("signature").distinct().withColumn("_hit", F.lit(1))
+    )
+    probed = (
+        inc.join(store_keys, "stats_key", "left")
+        .join(store_sigs, "signature", "left")
+        .select(
+            "file_name",
+            "data_size",
+            # a stripe with no statistics is never pruned (must hash)
+            (
+                F.col("_cand").isNotNull() | F.col("stats_key").isNull()
+            ).alias("cand"),
+            F.col("_hit").isNotNull().alias("hit"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    per_file = probed.groupBy("file_name").agg(
+        F.sum(F.when(F.col("hit") & ~F.col("cand"), 1).otherwise(0)).alias(
+            "_unsound"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("hit"), F.col("data_size"))), zero
+        ).alias("_dedup_full"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("hit") & F.col("cand"), F.col("data_size"))
+            ),
+            zero,
+        ).alias("_dedup_pruned"),
+        F.coalesce(
+            F.sum(F.when(F.col("cand"), F.col("data_size"))), zero
+        ).alias("_hashed"),
+        F.sum("data_size").alias("_total"),
+        F.max(F.col("cand").cast("int")).alias("_any_cand"),
+        F.max(F.col("hit").cast("int")).alias("_any_hit"),
+        F.max((~F.col("cand")).cast("int")).alias("_any_pruned"),
+    )
+    return per_file.select(
+        "file_name",
+        (F.col("_unsound") == 0).alias("stats_prune_sound_ok"),
+        (F.col("_dedup_full") == F.col("_dedup_pruned")).alias(
+            "dedup_bytes_match_full_ok"
+        ),
+        (F.col("_any_cand") == 1).alias("has_candidates"),
+        (F.col("_any_hit") == 1).alias("has_hits"),
+        (F.col("_any_pruned") == 1).alias("has_pruned"),
+        (F.col("_hashed") < F.col("_total")).alias("hashed_lt_total_ok"),
+    ).orderBy("file_name")

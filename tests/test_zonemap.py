@@ -180,3 +180,82 @@ def test_parquet_zone_map_walker_and_bits():
     unsound = dict(far, n_band_matches=2)  # pruned range hides matches
     assert not zone_map_bits([row, unsound])["pruning_sound_ok"]
     assert not zone_map_bits([row, row])["pruning_effective_ok"]  # none pruned
+
+
+# -- the stats-pruned dedup consumer (r09) -----------------------------------
+
+
+def test_stripe_stats_keys_cover_every_stripe(spark, sf_dir):
+    """Every fixture stripe gets a non-null stats key (the fixtures carry
+    full Metadata sections) and the per-stripe data sizes are positive —
+    the inputs the pruner's candidate join relies on."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        stripe_stats_key_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    for d in (store_dir, incoming_dir):
+        rows = stripe_stats_key_table(spark, d).collect()
+        assert rows
+        assert all(r["stats_key"] is not None for r in rows)
+        assert all(r["data_size"] > 0 for r in rows)
+
+
+def test_identical_stripes_have_identical_stats_keys(spark, sf_dir):
+    """The pruner's soundness premise, verified directly on the real
+    bytes: every signature-equal stripe pair across store and incoming
+    carries an equal stats key (identical bytes => identical rows =>
+    identical statistics). A signature collision with differing keys
+    would make stats pruning unsound — this is the flip direction the
+    certificate's stats_prune_sound_ok aggregates."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        stripe_stats_key_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    store = stripe_stats_key_table(spark, store_dir).select(
+        "signature", F.col("stats_key").alias("store_key")
+    )
+    inc = stripe_stats_key_table(spark, incoming_dir).select(
+        "signature", F.col("stats_key").alias("inc_key")
+    )
+    joined = inc.join(store, "signature")
+    assert joined.count() > 0  # the fixture plants signature hits
+    assert (
+        joined.filter(F.col("store_key") != F.col("inc_key")).count() == 0
+    )
+
+
+def test_stats_pruned_dedup_saves_bytes_and_changes_nothing(spark, sf_dir):
+    """The certificate rows at fixture scale: sound + byte-identical to
+    the full probe for every file, with real savings (the perturbed and
+    brand-new files hash ZERO bytes; snapshot B hashes only its A-prefix
+    candidates)."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        orc_stats_pruned_dedup,
+    )
+
+    rows = {
+        r["file_name"]: r
+        for r in orc_stats_pruned_dedup(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "lineitem.orc", "lineitem_mod.orc", "orders_new.orc",
+    }
+    for r in rows.values():
+        assert r["stats_prune_sound_ok"]
+        assert r["dedup_bytes_match_full_ok"]
+        assert r["has_pruned"]
+        assert r["hashed_lt_total_ok"]
+    assert rows["lineitem.orc"]["has_candidates"]
+    assert rows["lineitem.orc"]["has_hits"]
+    assert not rows["lineitem_mod.orc"]["has_candidates"]
+    assert not rows["orders_new.orc"]["has_candidates"]
