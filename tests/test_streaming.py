@@ -638,10 +638,14 @@ def test_sweep_fast_path_reads_no_data_rows(spark):
     structurally: the guarded data tables here DO NOT EXIST, so any
     attempt to read (or even resolve) them would raise — the fast path
     returns 0 without touching them."""
+    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
     from columnar_aware_dedup_spark.streaming import commitlog
 
     for name in ("fastpath_attempts", "fastpath_commits"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # drop_table_and_dir, not bare DROP: a leftover warehouse dir from
+        # another session's metastore fails saveAsTable with
+        # LOCATION_ALREADY_EXISTS
+        drop_table_and_dir(spark, name)
         spark.createDataFrame(
             [("a1",), ("a2",)], "attempt_id string"
         ).write.format("parquet").mode("overwrite").saveAsTable(name)

@@ -259,3 +259,42 @@ def test_stats_pruned_dedup_saves_bytes_and_changes_nothing(spark, sf_dir):
     assert rows["lineitem.orc"]["has_hits"]
     assert not rows["lineitem_mod.orc"]["has_candidates"]
     assert not rows["orders_new.orc"]["has_candidates"]
+
+
+def test_stats_pruned_bits_flip(spark):
+    """Falsifiability of the stats-pruned dedup certificate: each bit
+    must be computable FALSE through the shipped derivation — a
+    pruned-but-hit stripe (the unsound case the pruner's premise forbids)
+    flips stats_prune_sound_ok AND the dedup-byte parity; a file whose
+    every stripe is a candidate flips hashed_lt_total_ok."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        stats_pruned_certificate,
+    )
+
+    rows = [
+        # healthy file: one pruned miss, one candidate hit, one candidate
+        # miss -> every bit true
+        ("good.orc", 100, False, False),
+        ("good.orc", 200, True, True),
+        ("good.orc", 300, True, False),
+        # unsound file: a HIT outside the candidate set (stats pruning
+        # skipped a stripe the store actually contains)
+        ("unsound.orc", 100, False, True),
+        ("unsound.orc", 200, True, True),
+        # no-saving file: everything is a candidate -> hashed == total
+        ("allcand.orc", 100, True, False),
+        ("allcand.orc", 200, True, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "file_name string, data_size long, cand boolean, hit boolean"
+    )
+    got = {r["file_name"]: r for r in stats_pruned_certificate(df).collect()}
+    g = got["good.orc"]
+    assert g["stats_prune_sound_ok"] and g["dedup_bytes_match_full_ok"]
+    assert g["hashed_lt_total_ok"] and g["has_pruned"]
+    u = got["unsound.orc"]
+    assert not u["stats_prune_sound_ok"]
+    assert not u["dedup_bytes_match_full_ok"]
+    a = got["allcand.orc"]
+    assert a["stats_prune_sound_ok"] and not a["hashed_lt_total_ok"]
+    assert not a["has_pruned"]

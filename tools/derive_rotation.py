@@ -42,21 +42,18 @@ STALE_AFTER = 3
 
 #: every check through this round must pass assuming scheduled windows
 #: land green (tests/test_rotation_sim.py pins the committed windows to
-#: it). r08 batch 7 (three new registrations into a saturated 300-seat
-#: packing) moved this from 12 to 11 — the last enforced check is
-#: therefore at the predicted newest=10 archive, the r07 sessions'
-#: standard. Residue beyond it is tolerated only for RESIDUE_ALLOWLIST.
-GREEN_THROUGH = 11
+#: it). The r09 re-pack (ROTATION_R15 prepared; the bm25-trio residue
+#: promoted into R13) moved this from 11 to 14: every enforced check up
+#: to the last fully-enveloped window passes with ZERO allowlisted
+#: residue — the only tolerated info line is the horizon edge at
+#: round 15 (R16 does not exist yet; round 10 derives it).
+GREEN_THROUGH = 14
 
-#: queries allowed to lack a second-round seat past the pinned horizon:
-#: the r08 batch-7 registrations, whose re-pack is round 9's R14
-#: derivation (named, not derived, so the allowance cannot silently
-#: widen as archives land and they stop being never-checked).
-RESIDUE_ALLOWLIST = {
-    "bm25_doc_ranking",
-    "hybrid_rrf_fusion",
-    "cross_format_dedup",
-}
+#: queries allowed to lack a second-round seat past the pinned horizon.
+#: EMPTY since r09 (the r08 batch-7 trio re-seated in ROTATION_R13);
+#: name queries here only while a registration's re-pack is genuinely
+#: deferred to the next round's window derivation.
+RESIDUE_ALLOWLIST: set[str] = set()
 
 
 def archive_state(repo: str = REPO) -> tuple[dict[str, int], int]:
@@ -127,6 +124,21 @@ def main() -> int:
     windows = committed_windows()
     horizon = max(windows)
     print(f"archives: newest=r{newest}; windows prepared through R{horizon}")
+    # schema-changed rule (VERDICT r08 "Next round" #3): a query whose
+    # output contract changed since its newest driver row must hold a
+    # seat in the NEXT active window — a stale driver hash for a
+    # reshaped query is worse than a stale row, because the archived
+    # record no longer describes the code that ships.
+    import columnar_aware_dedup_spark as pkg
+
+    changed = getattr(pkg, "SCHEMA_CHANGED", {}).get(newest + 1, [])
+    missing_changed = sorted(set(changed) - set(windows.get(newest + 1, [])))
+    if missing_changed:
+        print(
+            f"FIRST VIOLATION: schema-changed queries not seated in "
+            f"R{newest + 1}: {missing_changed}"
+        )
+        return 1
     probs = simulate(windows, latest, queries, newest + 1, GREEN_THROUGH)
     if probs:
         first = min(p[0] for p in probs)
