@@ -163,6 +163,7 @@ HEADLINE = [
     "streaming_bm25_parity",
     "streaming_rrf_parity",
     "orc_stats_pruned_dedup",
+    "parquet_stats_pruned_dedup",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

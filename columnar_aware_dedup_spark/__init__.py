@@ -759,6 +759,12 @@ ROTATION_R9: list[str] = [
     "orc_stats_pruned_dedup",
     "semantic_dedup",
     "passage_near_dup",
+    # r09 late registration (never driver-checked, so mandatory here):
+    # the parquet row-group twin of the zone-map dedup consumer. It takes
+    # the seat of multimodal_dedup_report (r06 row, overdue at newest=10
+    # -> re-seated in ROTATION_R11 via semantic_dedup's now-redundant
+    # seat there; simulator repair run, green through 14).
+    "parquet_stats_pruned_dedup",
     # r04-row quartet displaced from ROTATION_R7 by the r07 registrations
     # (substring dedup pair + streaming parity certificates) — overdue once
     # r07 lands, so R9 membership keeps the staleness invariant green; the
@@ -777,11 +783,9 @@ ROTATION_R9: list[str] = [
     # in ROTATION_R11)
     "dedup_hit_miss",
     # (ivf_train_kmeans / lsh_parameter_sweep / minhash_recall_report /
-    # multimodal_audio_features yielded their seats here to the r09
-    # batch — r06 rows, next overdue at newest=10, re-seated in
-    # ROTATION_R11 via the simulator-derived swap with four r08-row
-    # holders that move to ROTATION_R13)
-    "multimodal_dedup_report",
+    # multimodal_audio_features / multimodal_dedup_report yielded their
+    # seats here to the r09 batch — r06 rows, next overdue at newest=10,
+    # re-seated in ROTATION_R11 via the simulator-derived swaps)
     "orc_file_chunks",
     "orc_hierarchical_dedup",
 ]
@@ -965,7 +969,12 @@ ROTATION_R11: list[str] = [
     # envelope), which re-seat in ROTATION_R12.
     "parquet_file_chunks",
     "parquet_reconstruction",
-    "semantic_dedup",
+    # (semantic_dedup's seat here became redundant when its
+    # schema-changed rule seated it in R9; the fifth r09 evictee,
+    # multimodal_dedup_report, takes it — overdue at newest=10, inside
+    # the R10∪R11 envelope. semantic_dedup's next deadline moved to a
+    # ROTATION_R14 seat.)
+    "multimodal_dedup_report",
     # fills: alphabetically-first r08-window rows so freshness keeps
     # cycling, plus inverted_index_search (r06 row, displaced from R9 by
     # the flagship's re-seat — due again once CORRECTNESS_r09 lands, which
@@ -1219,10 +1228,13 @@ ROTATION_R14: list[str] = [
     "perplexity_bucket_report",
     "pipeline_dedup_all",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    # (q17_small_qty_revenue / q20_part_promotion yielded their fill
-    # seats to the r09 cascade and re-seat in ROTATION_R15)
+    # (q15_top_supplier / q16_parts_supplier_cnt / q17_small_qty_revenue
+    # / q20_part_promotion yielded their fill seats to the r09 cascades
+    # and re-seat in ROTATION_R15)
+    # the r09 schema-changed re-seat's SECOND row (overdue at newest=13
+    # after its R9 refresh) and the parquet pruner twin's second row:
+    "semantic_dedup",
+    "parquet_stats_pruned_dedup",
 ]
 
 #: r15 rotation (PREPARED six ahead, derived in r09 BY THE SIMULATOR'S
@@ -1289,8 +1301,11 @@ ROTATION_R15: list[str] = [
     "q10_returned_item",
     "q12_priority_class",
     "q14_promo_effect",
-    "q19_bracketed_or",
-    "rollup_agg",
+    # (q19_bracketed_or / rollup_agg yielded their fill seats to the
+    # late-r09 cascade — their r11-projected rows join the round-15
+    # horizon edge, i.e. ROTATION_R16's derivation demand)
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
 ]
 
 #: queries whose OUTPUT CONTRACT (schema or semantics) changed since

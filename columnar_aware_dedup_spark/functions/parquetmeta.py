@@ -243,6 +243,9 @@ _CC_META_DATA = 3
 _CMD_TYPE = 1
 _CMD_PATH = 3
 _CMD_NUM_VALUES = 5
+_CMD_TOTAL_COMPRESSED_SIZE = 7
+_CMD_DATA_PAGE_OFFSET = 9
+_CMD_DICT_PAGE_OFFSET = 11
 _CMD_STATISTICS = 12
 _ST_NULL_COUNT = 3
 _ST_MAX_VALUE = 5
@@ -333,6 +336,9 @@ def _take_column_meta(buf: bytes, pos: int, ftype: int) -> tuple[dict, int]:
             _CMD_TYPE: _take_int,
             _CMD_PATH: _path,
             _CMD_NUM_VALUES: _take_int,
+            _CMD_TOTAL_COMPRESSED_SIZE: _take_int,
+            _CMD_DATA_PAGE_OFFSET: _take_int,
+            _CMD_DICT_PAGE_OFFSET: _take_int,
             _CMD_STATISTICS: _take_statistics,
         },
     )
@@ -396,6 +402,13 @@ def read_footer_zone_maps(data: bytes) -> list[list[dict]]:
         for cmd in rg.get(_RG_COLUMNS, []):
             st = cmd.get(_CMD_STATISTICS, {})
             ptype = cmd.get(_CMD_TYPE)
+            data_off = cmd.get(_CMD_DATA_PAGE_OFFSET)
+            dict_off = cmd.get(_CMD_DICT_PAGE_OFFSET)
+            start = (
+                min(v for v in (data_off, dict_off) if v is not None)
+                if data_off is not None or dict_off is not None
+                else None
+            )
             cols.append(
                 {
                     "path": cmd.get(_CMD_PATH),
@@ -404,6 +417,13 @@ def read_footer_zone_maps(data: bytes) -> list[list[dict]]:
                     "min": decode_stat_value(st.get(_ST_MIN_VALUE), ptype),
                     "max": decode_stat_value(st.get(_ST_MAX_VALUE), ptype),
                     "num_rows": rg.get(_RG_NUM_ROWS),
+                    # the column chunk's physical span — what lets a
+                    # pruner (operators/zonemap.py stats-pruned dedup)
+                    # hash a row group's bytes without pyarrow: first
+                    # page offset (dict page precedes data pages when
+                    # present) + total compressed size
+                    "start": start,
+                    "nbytes": cmd.get(_CMD_TOTAL_COMPRESSED_SIZE),
                 }
             )
         out.append(cols)

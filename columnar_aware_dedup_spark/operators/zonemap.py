@@ -511,10 +511,20 @@ def orc_stats_pruned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
-    store = stripe_stats_key_table(spark, store_dir).localCheckpoint(
-        eager=False
+    return stats_pruned_certificate(
+        _stats_pruned_probe(
+            stripe_stats_key_table(spark, incoming_dir),
+            stripe_stats_key_table(spark, store_dir),
+        )
     )
-    inc = stripe_stats_key_table(spark, incoming_dir)
+
+
+def _stats_pruned_probe(inc: DataFrame, store: DataFrame) -> DataFrame:
+    """(file_name, data_size, cand, hit) per incoming region from two
+    ``(file_name, *, stats_key, signature, data_size)`` tables — the
+    format-agnostic middle of the stats-pruned dedup (ORC stripes and
+    parquet row groups feed the same probe + certificate)."""
+    store = store.localCheckpoint(eager=False)
     store_keys = (
         store.select("stats_key")
         .filter(F.col("stats_key").isNotNull())
@@ -524,20 +534,19 @@ def orc_stats_pruned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_sigs = (
         store.select("signature").distinct().withColumn("_hit", F.lit(1))
     )
-    probed = (
+    return (
         inc.join(store_keys, "stats_key", "left")
         .join(store_sigs, "signature", "left")
         .select(
             "file_name",
             "data_size",
-            # a stripe with no statistics is never pruned (must hash)
+            # a region with no statistics is never pruned (must hash)
             (
                 F.col("_cand").isNotNull() | F.col("stats_key").isNull()
             ).alias("cand"),
             F.col("_hit").isNotNull().alias("hit"),
         )
     )
-    return stats_pruned_certificate(probed)
 
 
 def stats_pruned_certificate(probed: DataFrame) -> DataFrame:
@@ -581,3 +590,111 @@ def stats_pruned_certificate(probed: DataFrame) -> DataFrame:
         (F.col("_any_pruned") == 1).alias("has_pruned"),
         (F.col("_hashed") < F.col("_total")).alias("hashed_lt_total_ok"),
     ).orderBy("file_name")
+
+
+def parquet_rg_stats_key_rows(file_name: str, data: bytes) -> list[dict]:
+    """The parquet twin of :func:`stripe_stats_key_rows`: per row group,
+    the FULL per-column statistics vector (path, value count, decoded
+    int min/max, row count — ``read_footer_zone_maps``, our
+    Thrift-compact walker) serialized as the stats key, plus the md5 of
+    the row group's physical byte span (first page offset across its
+    column chunks through the sum of their compressed sizes — offsets
+    also from OUR walker, no pyarrow in the claim path). Identical row
+    groups byte-for-byte decode to identical rows and therefore identical
+    statistics, so a stats-key mismatch proves a signature mismatch —
+    same soundness direction as the ORC side."""
+    import hashlib
+
+    from columnar_aware_dedup_spark.functions.parquetmeta import (
+        read_footer_zone_maps,
+    )
+
+    rows: list[dict] = []
+    for i, cols in enumerate(read_footer_zone_maps(data)):
+        key = "|".join(
+            f"{c['path']}:{c['num_values']}:{c['min']}:{c['max']}"
+            f":{c['num_rows']}"
+            for c in cols
+        ) or None
+        starts = [c["start"] for c in cols if c["start"] is not None]
+        nbytes = sum(c["nbytes"] or 0 for c in cols)
+        start = min(starts) if starts else 0
+        rows.append(
+            {
+                "file_name": file_name,
+                "stripe_idx": i,
+                "stats_key": key,
+                "signature": hashlib.md5(
+                    data[start : start + nbytes]
+                ).hexdigest(),
+                "data_size": nbytes,
+            }
+        )
+    return rows
+
+
+def parquet_rg_stats_key_table(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan -> per-row-group (stats_key, signature, data_size)
+    rows, one parse task per file."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _PRUNE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                rows.extend(parquet_rg_stats_key_rows(name, bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_batches, _PRUNE_SCHEMA)
+
+
+_PRUNE_ROWS_PARQUET = {
+    "lineitem.parquet": ("TRUE", "TRUE"),
+    "lineitem_mod.parquet": ("FALSE", "FALSE"),
+    "orders_new.parquet": ("FALSE", "FALSE"),
+}
+
+PARQUET_STATS_PRUNED_ORACLE = (
+    "SELECT file_name, TRUE AS stats_prune_sound_ok,"
+    " TRUE AS dedup_bytes_match_full_ok, has_candidates, has_hits,"
+    " TRUE AS has_pruned, TRUE AS hashed_lt_total_ok"
+    " FROM (VALUES "
+    + ", ".join(
+        f"('{f}', {cand}, {hits})"
+        for f, (cand, hits) in sorted(_PRUNE_ROWS_PARQUET.items())
+    )
+    + ") t(file_name, has_candidates, has_hits) ORDER BY file_name"
+)
+
+
+@register("parquet_stats_pruned_dedup", oracle=PARQUET_STATS_PRUNED_ORACLE)
+def parquet_stats_pruned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned incremental chunking over PARQUET row groups — the
+    other-format twin of ``orc_stats_pruned_dedup`` (this repo's house
+    rule: the reference walks both formats, so every scan-side discipline
+    ships in both). Same probe, same certificate, same fixture truth: an
+    incoming row group whose per-column statistics vector matches no
+    store row group is a definite miss decided from the footer alone
+    (the perturbed ``l_partkey + 7`` shifts that column's min/max in
+    EVERY row group, so lineitem_mod hashes ZERO bytes); snapshot B's
+    A-prefix row groups stats-collide, hash, and hit. Both the statistics
+    and the hashed byte spans come from OUR Thrift-compact footer walker
+    — pyarrow appears nowhere in the claim path."""
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        parquet_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = parquet_fixture_dirs(sf_dir)
+    return stats_pruned_certificate(
+        _stats_pruned_probe(
+            parquet_rg_stats_key_table(spark, incoming_dir),
+            parquet_rg_stats_key_table(spark, store_dir),
+        )
+    )

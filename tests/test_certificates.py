@@ -81,6 +81,10 @@ CERT_FLIP_TESTS = {
         "tests.test_zonemap",
         "test_stats_pruned_bits_flip",
     ),
+    "parquet_stats_pruned_dedup": (
+        "tests.test_zonemap",
+        "test_stats_pruned_bits_flip",  # shared derivation, one flip test
+    ),
     "parquet_zone_map_pruning": (
         "tests.test_zonemap",
         "test_parquet_zone_map_walker_and_bits",

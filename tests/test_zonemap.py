@@ -298,3 +298,57 @@ def test_stats_pruned_bits_flip(spark):
     a = got["allcand.orc"]
     assert a["stats_prune_sound_ok"] and not a["hashed_lt_total_ok"]
     assert not a["has_pruned"]
+
+
+def test_parquet_identical_row_groups_have_identical_stats_keys(
+    spark, sf_dir
+):
+    """The parquet pruner's soundness premise on real fixture bytes:
+    every signature-equal row-group pair across store and incoming
+    carries an equal stats key (the ORC premise test's format twin)."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        parquet_rg_stats_key_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        parquet_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = parquet_fixture_dirs(sf_dir)
+    store = parquet_rg_stats_key_table(spark, store_dir).select(
+        "signature", F.col("stats_key").alias("store_key")
+    )
+    inc = parquet_rg_stats_key_table(spark, incoming_dir).select(
+        "signature", F.col("stats_key").alias("inc_key")
+    )
+    joined = inc.join(store, "signature")
+    assert joined.count() > 0  # the fixture plants row-group hits
+    assert (
+        joined.filter(F.col("store_key") != F.col("inc_key")).count() == 0
+    )
+
+
+def test_parquet_stats_pruned_dedup_shape(spark, sf_dir):
+    """Fixture-shaped certificate rows: sound + byte-identical + real
+    savings for every file; the perturbed-column and brand-new files
+    hash zero bytes (no candidates)."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        parquet_stats_pruned_dedup,
+    )
+
+    rows = {
+        r["file_name"]: r
+        for r in parquet_stats_pruned_dedup(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "lineitem.parquet", "lineitem_mod.parquet", "orders_new.parquet",
+    }
+    for r in rows.values():
+        assert r["stats_prune_sound_ok"]
+        assert r["dedup_bytes_match_full_ok"]
+        assert r["has_pruned"] and r["hashed_lt_total_ok"]
+    assert rows["lineitem.parquet"]["has_candidates"]
+    assert rows["lineitem.parquet"]["has_hits"]
+    assert not rows["lineitem_mod.parquet"]["has_candidates"]
+    assert not rows["orders_new.parquet"]["has_candidates"]
