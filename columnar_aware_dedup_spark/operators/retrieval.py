@@ -361,27 +361,35 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuse_rrf(lex_scored, hash_vectors_from_tf(tf_all))
 
 
-def fuse_rrf(lex_scored: DataFrame, dense_vecs: DataFrame) -> DataFrame:
+def fuse_rrf(
+    lex_scored: DataFrame,
+    dense_vecs: DataFrame,
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
     """The fusion tail shared by the from-scratch and index-served paths
     (so they cannot drift): rank each list, cut to FUSE_N with TakeOrdered
-    BEFORE the ≤30-row rank window, full-outer join on doc, two-term RRF.
+    BEFORE the ≤30-row rank window, full-outer join on the item key,
+    two-term RRF. Generalized over the item key (``("doc_id",)`` for the
+    document hybrid, ``("doc_id", "passage_idx")`` for the passage-level
+    one) so every granularity fuses through ONE tail.
 
-    ``lex_scored`` = (doc_id, ..., score DECIMAL); ``dense_vecs`` =
-    (doc_id, vec, nrm)."""
-    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    ``lex_scored`` = (*keys, ..., score DECIMAL); ``dense_vecs`` =
+    (*keys, vec, nrm)."""
+    keycols = list(keys)
+    lex_w = Window.orderBy(F.col("score").desc(), *keycols)
     lex = (
-        lex_scored.orderBy(F.col("score").desc(), "doc_id")
+        lex_scored.orderBy(F.col("score").desc(), *keycols)
         .limit(_FUSE_N)
         .withColumn("lex_rank", F.row_number().over(lex_w))
-        .select("doc_id", "lex_rank")
+        .select(*keycols, "lex_rank")
     )
-    dense_w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    dense_w = Window.orderBy(F.col("cos").desc(), *keycols)
     dense = (
         dense_vecs.withColumn("cos", F.expr(_DENSE_COS_SPARK))
-        .orderBy(F.col("cos").desc(), "doc_id")
+        .orderBy(F.col("cos").desc(), *keycols)
         .limit(_FUSE_N)
         .withColumn("dense_rank", F.row_number().over(dense_w))
-        .select("doc_id", "dense_rank")
+        .select(*keycols, "dense_rank")
     )
     rrf = (
         f"COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank),"
@@ -390,14 +398,14 @@ def fuse_rrf(lex_scored: DataFrame, dense_vecs: DataFrame) -> DataFrame:
         " CAST(0 AS DOUBLE))"
     )
     fused = (
-        lex.join(dense, "doc_id", "full_outer")
+        lex.join(dense, keycols, "full_outer")
         .withColumn("rrf", F.expr(rrf))
     )
     return (
-        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        fused.orderBy(F.col("rrf").desc(), *keycols)
         .limit(_BM25_TOPN)
         .select(
-            "doc_id",
+            *keycols,
             "lex_rank",
             "dense_rank",
             F.round("rrf", 6).alias("rrf_score"),
@@ -693,3 +701,90 @@ def rrf_from_index(
     lex_scored = _bm25_scored_from_index(spark, bm25_table, _SEARCH_TERMS)
     dense_vecs = spark.table(vec_table).filter(F.col("nrm") > 0)
     return fuse_rrf(lex_scored, dense_vecs)
+
+
+# -- passage-level hybrid fusion ------------------------------------------------
+
+def passage_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, passage_idx, n_terms, score DECIMAL) — Okapi BM25 at
+    PASSAGE granularity over the house query terms: the lexical half of
+    the passage-level hybrid. Same ``_CONTRIB`` expression, same decimal
+    discipline, with the corpus statistics re-read at passage scope
+    (N = passage count, dl = passage token count, df = passages
+    containing the term) from the SHARED ``passage_tokens`` window
+    derivation — so passage splitting, dedup, retrieval and fusion all
+    agree on what a passage is. Scale shape mirrors ``_bm25_scores``:
+    the term filter prunes to query-term postings before the only
+    corpus-sized shuffle; dl is a narrow array fold; df/stats/N are
+    broadcast-sized."""
+    from columnar_aware_dedup_spark.operators.curation import passage_tokens
+
+    pt = passage_tokens(spark, sf_dir)
+    dl = pt.select(
+        "doc_id",
+        "passage_idx",
+        F.expr("size(filter(ptoks, t -> t != ''))").cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    stats = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    n = pt.agg(F.count("*").alias("n_docs"))
+    tf = (
+        pt.select(
+            "doc_id", "passage_idx", F.explode("ptoks").alias("term")
+        )
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "passage_idx", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id", "passage_idx").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, ["doc_id", "passage_idx"])
+        .join(F.broadcast(stats))
+        .join(F.broadcast(n))
+        .select("doc_id", "passage_idx", F.expr(_CONTRIB).alias("c"))
+    )
+    return contrib.groupBy("doc_id", "passage_idx").agg(
+        F.count("*").alias("n_terms"), F.sum("c").alias("score")
+    )
+
+
+def passage_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion at PASSAGE granularity: the passage BM25
+    list fused with the passage hashed-embedding cosine list through the
+    SAME ``fuse_rrf`` tail as the document hybrid (keys generalized) —
+    the retrieval unit a passage-RAG pipeline actually serves.
+    Unregistered (the rotation is seat-saturated and the doc-level
+    hybrid holds the driver row); pytest-pinned in
+    ``tests/test_retrieval.py`` alongside its index-served twin."""
+    from columnar_aware_dedup_spark.operators.search import (
+        passage_hash_vectors,
+    )
+
+    return fuse_rrf(
+        passage_bm25_scores(spark, sf_dir),
+        passage_hash_vectors(spark, sf_dir),
+        keys=("doc_id", "passage_idx"),
+    )
+
+
+def passage_rrf_from_index(
+    spark: SparkSession, sf_dir: str, ivf_index_path: str
+) -> DataFrame:
+    """The passage hybrid with its DENSE list served from the persisted
+    cell-partitioned passage-vector index
+    (``search.write_passage_ivf_index``) instead of re-deriving vectors
+    from text — result-identical to :func:`passage_rrf_fusion` over the
+    same corpus (pytest-asserted): the index holds exactly the
+    ``passage_hash_vectors`` rows, so the fused ranking cannot differ.
+    The lexical list stays in-plan (no passage-postings index exists
+    yet; the doc-level ``rrf_from_index`` is the fully-indexed shape)."""
+    dense = spark.read.parquet(ivf_index_path).select(
+        "doc_id", "passage_idx", "vec", "nrm"
+    )
+    return fuse_rrf(
+        passage_bm25_scores(spark, sf_dir),
+        dense,
+        keys=("doc_id", "passage_idx"),
+    )

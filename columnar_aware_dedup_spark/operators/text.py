@@ -597,13 +597,18 @@ ORDER BY doc_a, doc_b
 def _text_class_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tsig): every document keyed by its exact normalized-text
     signature — the membership table of the exact-duplicate classes the
-    banded near-dup queries pre-collapse on. A cheap pruned derivation
-    (one md5 of the text, no shingling), recomputed rather than
-    checkpointed. NULL-text docs carry a NULL tsig, which every
-    downstream equi-join drops — matching the pre-collapse behavior
-    (their NULL band keys never matched either)."""
-    return normalized(spark, sf_dir).select(
-        "doc_id", F.md5("norm").alias("tsig")
+    banded near-dup queries pre-collapse on (one md5 of the text, no
+    shingling). Lazily checkpointed: the expansion reads it FOUR times
+    (two cross-join sides + the within self-join's two aliases), and
+    without the pin each reference re-scans and re-normalizes the corpus
+    (measured 3x on minhash_near_dup at sf0.1 — the corpus_tf lesson).
+    NULL-text docs carry a NULL tsig, which every downstream equi-join
+    drops — matching the pre-collapse behavior (their NULL band keys
+    never matched either)."""
+    return (
+        normalized(spark, sf_dir)
+        .select("doc_id", F.md5("norm").alias("tsig"))
+        .localCheckpoint(eager=False)
     )
 
 

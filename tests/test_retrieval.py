@@ -285,3 +285,50 @@ def test_doc_lengths_null_text_is_zero_not_minus_one(spark):
     assert rows == {1: 0, 2: 0, 3: 2}
     stats = corpus_stats(doc_lengths(docs)).collect()[0]
     assert (stats["n_docs"], stats["n_dl_docs"], stats["dl_sum"]) == (3, 1, 2)
+
+
+def test_passage_rrf_fusion_and_index_twin(spark, sf_dir, tmp_path):
+    """The passage-level hybrid (r09, unregistered — the rotation is
+    seat-saturated; the doc-level hybrid holds the driver row): fusion
+    through the SAME generalized fuse_rrf tail must produce a top-20
+    with both list ranks populated somewhere, and serving the dense list
+    from the persisted cell-partitioned passage index must be
+    result-identical (the index holds exactly the passage_hash_vectors
+    rows)."""
+    from columnar_aware_dedup_spark.operators import retrieval, search
+
+    fused = retrieval.passage_rrf_fusion(spark, sf_dir)
+    rows = fused.collect()
+    assert 0 < len(rows) <= 20
+    assert {"doc_id", "passage_idx", "lex_rank", "dense_rank", "rrf_score"} \
+        <= set(fused.columns)
+    # both sides contribute: some row carries a lexical rank, some a dense
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["dense_rank"] is not None for r in rows)
+
+    path = str(tmp_path / "prrf_ivf")
+    search.write_passage_ivf_index(spark, sf_dir, path)
+    served = retrieval.passage_rrf_from_index(spark, sf_dir, path).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, rows))
+
+
+def test_doc_fuse_rrf_key_generalization_is_identity(spark, sf_dir):
+    """The r09 key generalization of fuse_rrf must be a NO-OP for the
+    registered doc-level hybrid: explicit ("doc_id",) keys produce the
+    identical fused table (guards the default-arg path against drift)."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators import retrieval
+    from columnar_aware_dedup_spark.operators.search import (
+        hash_vectors_from_tf,
+    )
+
+    tf_all = retrieval.corpus_tf(spark, sf_dir)
+    lex = retrieval._bm25_scores(
+        spark, sf_dir,
+        tf=tf_all.filter(F.col("term").isin(*retrieval._SEARCH_TERMS)),
+    )
+    dense = hash_vectors_from_tf(tf_all)
+    a = retrieval.fuse_rrf(lex, dense).collect()
+    b = retrieval.fuse_rrf(lex, dense, keys=("doc_id",)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
