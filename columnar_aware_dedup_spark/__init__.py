@@ -1308,6 +1308,72 @@ ROTATION_R15: list[str] = [
     "q16_parts_supplier_cnt",
 ]
 
+#: r16 rotation (PREPARED seven ahead, derived in r09 session 2 BY
+#: THE SIMULATOR against the projected r09..r15 archives): the 13
+#: queries whose projected newest row hits the staleness wall at
+#: newest=15 and which R15 cannot hold (the round-15 horizon edge the
+#: r09 GREEN_THROUGH=14 derivation named as this window's demand),
+#: then fills with the oldest projected (r12) rows, alphabetical.
+#: Preparing R16 moves the enforced horizon to GREEN_THROUGH=15; the
+#: only remaining info line is the edge at 16 (R17 = round 10's
+#: derivation). Rounds 10+ re-derive before activating, the same
+#: contract as R9..R15.
+ROTATION_R16: list[str] = [
+    # newest=15-deadline demand (not holdable by R15)
+    "q19_bracketed_or",
+    "rollup_agg",
+    "row_signature",
+    "scan_project",
+    "sequence_pack",
+    "set_except",
+    "set_intersect",
+    "stratified_sample",
+    "streaming_cluster_parity",
+    "streaming_lsh_parity",
+    "substring_dedup_apply",
+    "substring_dedup_delta",
+    "substring_dedup_ranges",
+    # fills: oldest projected rows (r12-window members), alphabetical
+    "ann_ivf_nprobe_topk",
+    "ann_pq_recall",
+    "apply_in_pandas_group",
+    "argminmax_agg",
+    "array_fns",
+    "balanced_sample_exact_k",
+    "bpe_train_merges",
+    "cdc_dedup_report",
+    "cdc_file_chunks",
+    "corpus_report",
+    "corpus_shuffle",
+    "date_fns",
+    "decontaminate_ngram_overlap",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "domain_mix_sample",
+    "embedding_cosine_topk",
+    "event_anomaly_zscore",
+    "event_hypertable_rollup",
+    "event_sliding_window",
+    "event_tumbling_window",
+    "event_watermark_filter",
+    "except_all",
+    "filter_pred",
+    "grouped_percentile_approx",
+    "having_filter",
+    "hot_span_census",
+    "join_anti",
+    "join_inner",
+    "join_semi",
+    "math_fns",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+]
+
+
 #: queries whose OUTPUT CONTRACT (schema or semantics) changed since
 #: their newest driver row, keyed by the round whose window must re-check
 #: them (VERDICT r08 "Next round" #3: the r08 cap fix reshaped

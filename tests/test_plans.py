@@ -656,3 +656,27 @@ def test_cross_format_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     n = explain.n_exchanges(df)
     assert n <= 8, f"cross_format_dedup grew to {n} shuffles:\n{plan}"
+
+
+def test_stats_pruned_dedup_plan_shape(spark, sf_dir):
+    """Both stats-pruned dedup certificates: one mapInPandas parse per
+    side (footer stats + spans in a single Arrow pass per file), the
+    candidate/hit probes are two equi-joins (no cartesian product, no
+    window), and the whole certificate stays inside a bounded shuffle
+    budget — the metadata-only thesis must not smuggle in a corpus-sized
+    exchange."""
+    from columnar_aware_dedup_spark.operators import zonemap
+
+    for fn in (
+        zonemap.orc_stats_pruned_dedup,
+        zonemap.parquet_stats_pruned_dedup,
+    ):
+        df = fn(spark, sf_dir)
+        plan = explain.plan_string(df, mode="simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "Window" not in plan, plan
+        # incoming-side parse is visible; the store side sits behind the
+        # lazy checkpoint (materialized once for keys + signatures)
+        assert "MapInPandas" in plan, plan
+        n = explain.n_exchanges(df)
+        assert n <= 5, f"{fn.__name__} grew to {n} shuffles:\n{plan}"

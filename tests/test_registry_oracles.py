@@ -400,6 +400,31 @@ def test_rotation_r15_is_prepared_and_fresh():
         )
 
 
+def test_rotation_r16_is_prepared_and_fresh():
+    """ROTATION_R16 (prepared seven ahead, derived by the r09 session-2
+    simulator run) must be 50 unique registered names; once
+    CORRECTNESS_r15.json lands, it must also cover every query still
+    lacking a driver row."""
+    from pathlib import Path
+
+    import columnar_aware_dedup_spark as pkg
+
+    assert len(pkg.ROTATION_R16) == 50
+    assert len(set(pkg.ROTATION_R16)) == 50
+    assert set(pkg.ROTATION_R16) <= set(_QUERIES)
+
+    root = Path(__file__).resolve().parent.parent
+    if (root / "CORRECTNESS_r15.json").exists() and not (
+        root / "CORRECTNESS_r16.json"
+    ).exists():
+        never_checked = set(_QUERIES) - _driver_checked_queries()
+        missing = never_checked - set(pkg.ROTATION_R16)
+        assert not missing, (
+            "queries with no driver row must be in the prepared r16 "
+            f"window: {sorted(missing)}"
+        )
+
+
 def test_schema_changed_queries_seat_in_next_window():
     """VERDICT r08 "Next round" #3: a query whose output contract changed
     since its newest driver row must hold a seat in the NEXT active

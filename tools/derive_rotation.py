@@ -42,12 +42,12 @@ STALE_AFTER = 3
 
 #: every check through this round must pass assuming scheduled windows
 #: land green (tests/test_rotation_sim.py pins the committed windows to
-#: it). The r09 re-pack (ROTATION_R15 prepared; the bm25-trio residue
-#: promoted into R13) moved this from 11 to 14: every enforced check up
-#: to the last fully-enveloped window passes with ZERO allowlisted
-#: residue — the only tolerated info line is the horizon edge at
-#: round 15 (R16 does not exist yet; round 10 derives it).
-GREEN_THROUGH = 14
+#: it). The r09 re-pack (ROTATION_R15 + R16 prepared; the bm25-trio
+#: residue promoted into R13) moved this from 11 to 15: every enforced
+#: check up to the last fully-enveloped window passes with ZERO
+#: allowlisted residue — the only tolerated info line is the horizon
+#: edge at round 16 (R17 does not exist yet; round 10 derives it).
+GREEN_THROUGH = 15
 
 #: queries allowed to lack a second-round seat past the pinned horizon.
 #: EMPTY since r09 (the r08 batch-7 trio re-seated in ROTATION_R13);
