@@ -698,3 +698,77 @@ def parquet_stats_pruned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             parquet_rg_stats_key_table(spark, store_dir),
         )
     )
+
+
+def stats_pruned_census(probed: DataFrame) -> DataFrame:
+    """The numeric per-file census behind the certificate booleans — the
+    unregistered ``*_full`` twin (house pattern: the driver hashes the
+    certificate, the raw numbers stay pytest-pinned): per incoming file,
+    region and byte counts for total / pruned / candidate / hit, plus
+    the two headline fractions a capacity planner reads —
+    ``hash_savings_frac`` (bytes the stats pruner never hashed) and
+    ``dedup_frac`` (bytes the signature probe then eliminated)."""
+    zero = F.lit(0).cast("bigint")
+    return (
+        probed.groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_regions"),
+            F.sum((~F.col("cand")).cast("long")).alias("n_pruned"),
+            F.sum(F.col("cand").cast("long")).alias("n_candidates"),
+            F.sum(F.col("hit").cast("long")).alias("n_hits"),
+            F.sum("data_size").alias("bytes_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("cand"), F.col("data_size"))), zero
+            ).alias("bytes_hashed"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit"), F.col("data_size"))), zero
+            ).alias("dedup_bytes"),
+        )
+        .withColumn(
+            "hash_savings_frac",
+            F.round(
+                1 - F.col("bytes_hashed") / F.col("bytes_total"), 6
+            ),
+        )
+        .withColumn(
+            "dedup_frac",
+            F.round(F.col("dedup_bytes") / F.col("bytes_total"), 6),
+        )
+        .orderBy("file_name")
+    )
+
+
+def orc_stats_pruned_dedup_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Numeric twin of ``orc_stats_pruned_dedup`` (see
+    :func:`stats_pruned_census`)."""
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    return stats_pruned_census(
+        _stats_pruned_probe(
+            stripe_stats_key_table(spark, incoming_dir),
+            stripe_stats_key_table(spark, store_dir),
+        )
+    )
+
+
+def parquet_stats_pruned_dedup_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Numeric twin of ``parquet_stats_pruned_dedup`` (see
+    :func:`stats_pruned_census`)."""
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        parquet_fixture_dirs,
+    )
+
+    store_dir, incoming_dir = parquet_fixture_dirs(sf_dir)
+    return stats_pruned_census(
+        _stats_pruned_probe(
+            parquet_rg_stats_key_table(spark, incoming_dir),
+            parquet_rg_stats_key_table(spark, store_dir),
+        )
+    )

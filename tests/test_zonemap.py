@@ -352,3 +352,32 @@ def test_parquet_stats_pruned_dedup_shape(spark, sf_dir):
     assert rows["lineitem.parquet"]["has_hits"]
     assert not rows["lineitem_mod.parquet"]["has_candidates"]
     assert not rows["orders_new.parquet"]["has_candidates"]
+
+
+def test_stats_pruned_census_numbers(spark, sf_dir):
+    """The numeric twin's accounting must tie out against itself and the
+    fixture shape in BOTH formats: counts partition (pruned + candidates
+    = regions), bytes partition, hits only among candidates, the
+    perturbed/new files save 100% of hashing, and snapshot B saves a
+    positive fraction while still deduplicating a positive fraction."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        orc_stats_pruned_dedup_full,
+        parquet_stats_pruned_dedup_full,
+    )
+
+    for fn, mod_name in (
+        (orc_stats_pruned_dedup_full, "lineitem_mod.orc"),
+        (parquet_stats_pruned_dedup_full, "lineitem_mod.parquet"),
+    ):
+        rows = {r["file_name"]: r for r in fn(spark, sf_dir).collect()}
+        assert len(rows) == 3
+        for r in rows.values():
+            assert r["n_pruned"] + r["n_candidates"] == r["n_regions"]
+            assert r["n_hits"] <= r["n_candidates"]
+            assert 0 <= r["bytes_hashed"] <= r["bytes_total"]
+            assert r["dedup_bytes"] <= r["bytes_hashed"]
+            assert r["hash_savings_frac"] > 0
+        assert rows[mod_name]["hash_savings_frac"] == 1.0
+        b = rows[mod_name.replace("_mod", "")]
+        assert 0 < b["hash_savings_frac"] < 1
+        assert b["dedup_frac"] > 0
