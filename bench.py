@@ -363,14 +363,17 @@ def _write_scaling_artifact(
         "  at real scale the multi-file scan parallelizes the explode",
         "  naturally. Plan kept as-is; ratio explained.",
         "- `minhash_near_dup` / `simhash_band_near_dup` /",
-        "  `passage_near_dup` (r09): absolute times carry the exact-",
-        "  duplicate pre-collapse's extra class shuffle + (doc-level)",
-        "  member-pair expansion joins — a deliberate trade: the band",
-        "  bucket join is now quadratic in DISTINCT texts instead of",
-        "  duplicate multiplicity, which is what survives a boilerplate-",
-        "  heavy 100x corpus. The membership table rides one lazy",
-        "  checkpoint (4 consumers; unpinned it re-scanned the corpus",
-        "  per consumer — measured 2.12 -> 1.14 s at sf0.1).",
+        "  `passage_near_dup` (r09) — and their consumers",
+        "  `minhash_recall_report` / `near_dup_clusters`: absolute",
+        "  times carry the exact-duplicate pre-collapse's extra class",
+        "  shuffle + (doc-level) member-pair expansion joins — a",
+        "  deliberate trade: the band bucket join is now quadratic in",
+        "  DISTINCT texts instead of duplicate multiplicity, which is",
+        "  what survives a boilerplate-heavy 100x corpus. One tagged-sig",
+        "  scan + two lazy checkpoints feed classes AND members (the",
+        "  unpinned form re-scanned the corpus per expansion consumer:",
+        "  2.12 -> 1.14 s at sf0.1); dual-SF ratios stay sublinear for",
+        "  every query in the family.",
         "",
     ]
     here = os.path.dirname(os.path.abspath(__file__))

@@ -594,24 +594,6 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _text_class_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tsig): every document keyed by its exact normalized-text
-    signature — the membership table of the exact-duplicate classes the
-    banded near-dup queries pre-collapse on (one md5 of the text, no
-    shingling). Lazily checkpointed: the expansion reads it FOUR times
-    (two cross-join sides + the within self-join's two aliases), and
-    without the pin each reference re-scans and re-normalizes the corpus
-    (measured 3x on minhash_near_dup at sf0.1 — the corpus_tf lesson).
-    NULL-text docs carry a NULL tsig, which every downstream equi-join
-    drops — matching the pre-collapse behavior (their NULL band keys
-    never matched either)."""
-    return (
-        normalized(spark, sf_dir)
-        .select("doc_id", F.md5("norm").alias("tsig"))
-        .localCheckpoint(eager=False)
-    )
-
-
 def _expand_member_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
@@ -656,14 +638,31 @@ def _expand_member_pairs(
     return cross.unionByName(within)
 
 
+def _minhash_tagged_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tsig, mh0..mh7): per-doc MinHash slots tagged with the
+    exact-text signature — ONE corpus scan feeding both the class
+    collapse and the membership table (deriving members from a separate
+    ``normalized`` scan paid the normalize+md5 pass twice; the simhash
+    twin always derived both from its sig frame). Lazily checkpointed
+    for its two consumers. NULL-text docs carry a NULL tsig, which every
+    downstream equi-join drops — matching the pre-collapse behavior
+    (their NULL band keys never matched either)."""
+    return (
+        _fanned(spark, sf_dir)
+        .select("doc_id", F.md5("norm").alias("tsig"), *_minhash_slots_spark())
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_signature_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id=rep, tsig, mh0..mh7): one row per DISTINCT normalized text
     — the pre-collapse stage of :func:`minhash_near_dup` (identical text
     ⇒ identical slots, so the per-class min IS every member's value; the
     rep is the min doc id). One map-side-combined tsig shuffle."""
-    sigs = _fanned(spark, sf_dir).select(
-        "doc_id", F.md5("norm").alias("tsig"), *_minhash_slots_spark()
-    )
+    return _classes_of(_minhash_tagged_sigs(spark, sf_dir))
+
+
+def _classes_of(sigs: DataFrame) -> DataFrame:
     return sigs.groupBy("tsig").agg(
         F.min("doc_id").alias("doc_id"),
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MINHASH_K)],
@@ -695,11 +694,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``passage_near_dup``'s pair-class contract is the scale path when
     the listing itself is the bottleneck.
     """
-    # lazy checkpoint: the class table feeds both band self-join sides
+    # one tagged-sig scan feeds classes AND members; the class table gets
+    # its own lazy checkpoint because it feeds both band self-join sides
     # (the passage_near_dup lesson — exchange reuse does not fire here)
-    classes = minhash_signature_classes(spark, sf_dir).localCheckpoint(
-        eager=False
-    )
+    sigs = _minhash_tagged_sigs(spark, sf_dir)
+    classes = _classes_of(sigs).localCheckpoint(eager=False)
     bands = _band_rows(classes, "doc_id", "tsig")
     a, b = bands.alias("a"), bands.alias("b")
     rep_pairs = (
@@ -717,7 +716,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _expand_member_pairs(
         rep_pairs,
-        _text_class_members(spark, sf_dir),
+        sigs.select("doc_id", "tsig"),
         "shared_bands",
         F.lit(_MINHASH_BANDS).cast("long"),
     )
