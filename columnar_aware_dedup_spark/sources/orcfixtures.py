@@ -200,6 +200,90 @@ def parquet_fixture_dirs(sf_dir: str) -> tuple[str, str]:
     )
 
 
+def _strmod_incoming_dir(
+    sf_dir: str, cache_name: str, ext: str, write_fn
+) -> str:
+    """One EXTRA incoming file for the stats-pruned dedup certificates
+    (r10, VERDICT r09 "Next round" #2): snapshot A with a STRING column
+    perturbed value-for-value at constant byte length
+    (``l_returnflag``: 'A' -> 'B') — every integer/double statistic stays
+    identical to the store, so integer-only stats keys would make every
+    region a hash candidate; string statistics shift in every region, so
+    the extended keys prune ALL of it from footer metadata alone. Same
+    byte lengths keep encoded stream sizes — and therefore stripe /
+    row-group boundaries and the OTHER columns' physical bytes —
+    identical to the store, which is also what lets the column-level
+    fallback recover the unperturbed columns as signature hits. Kept in
+    its OWN cache dir (not the four-file snapshot workload) so the many
+    structural queries globbing the main incoming dir are untouched.
+    Same atomic mkdtemp + os.replace publish as the main builder."""
+    import shutil
+
+    import duckdb
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        cache_name,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    incoming = os.path.join(base, "incoming")
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        return incoming
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        prefix=os.path.basename(base) + ".", dir=os.path.dirname(base)
+    )
+    os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
+    con = duckdb.connect()
+    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
+    od = f"read_parquet('{sf_dir}/orders.parquet')"
+    in_a = (
+        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
+        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
+    )
+    tbl = con.execute(
+        "SELECT * REPLACE (replace(l_returnflag, 'A', 'B') AS l_returnflag)"
+        f" FROM {li} WHERE {in_a} ORDER BY l_orderkey, l_linenumber"
+    ).arrow()
+    write_fn(tbl, os.path.join(tmp, "incoming", f"lineitem_strmod.{ext}"))
+    con.close()
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.replace(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            raise
+    return incoming
+
+
+def orc_strmod_incoming_dir(sf_dir: str) -> str:
+    """The string-perturbed extra incoming file, ORC rendering (same
+    writer parameters as :func:`orc_fixture_dirs` so boundaries match the
+    store)."""
+    import pyarrow.orc as orc
+
+    def _write(tbl, path):
+        orc.write_table(tbl, path, stripe_size=_STRIPE_SIZE)
+
+    return _strmod_incoming_dir(sf_dir, "cawd_orc_strmod", "orc", _write)
+
+
+def parquet_strmod_incoming_dir(sf_dir: str) -> str:
+    """The string-perturbed extra incoming file, parquet rendering (same
+    writer parameters as :func:`parquet_fixture_dirs`)."""
+    import pyarrow.parquet as pq
+
+    def _write(tbl, path):
+        pq.write_table(
+            tbl, path, row_group_size=_ROW_GROUP_ROWS, use_dictionary=False
+        )
+
+    return _strmod_incoming_dir(
+        sf_dir, "cawd_parquet_strmod_plain_rg500", "parquet", _write
+    )
+
+
 # ---------------------------------------------------------------------------
 # linked chunker (pure function over bytes)
 # ---------------------------------------------------------------------------
