@@ -45,9 +45,14 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from columnar_aware_dedup_spark.operators.curation import (
+    _PASSAGE_S,
+    _PASSAGE_W,
+)
 from columnar_aware_dedup_spark.operators.search import (
     _BUCKET_SQL,
     _HASH_DIM,
+    _PASSAGE_VECS_CTES,
     _SEARCH_TERMS,
     _SIGN_SQL,
 )
@@ -705,6 +710,99 @@ def rrf_from_index(
 
 # -- passage-level hybrid fusion ------------------------------------------------
 
+#: the passage BM25 CTE chain (DuckDB spelling): the SAME window/stride
+#: arithmetic as ``curation.PASSAGE_SPLIT_ORACLE`` (one passage definition
+#: corpus-wide) feeding the SAME per-term contribution expression as the
+#: document chain — re-scoped so N = passage count, dl = passage token
+#: count, df = passages containing the term. CTE names are p-prefixed so
+#: the fusion oracle can splice this next to ``_PASSAGE_VECS_CTES``
+#: without collisions.
+_PASSAGE_BM25_CTES = f"""
+pd AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL}, ' ') AS dtoks,
+         len(string_split({_NORM_SQL}, ' ')) AS n
+  FROM documents),
+pp AS (
+  SELECT doc_id, dtoks,
+         unnest(generate_series(
+             0,
+             CASE WHEN n <= {_PASSAGE_W} THEN 0
+                  ELSE (n - {_PASSAGE_W} + {_PASSAGE_S - 1}) // {_PASSAGE_S}
+             END)) AS passage_idx
+  FROM pd),
+ppt AS (
+  SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx,
+         dtoks[passage_idx * {_PASSAGE_S} + 1 :
+               passage_idx * {_PASSAGE_S} + {_PASSAGE_W}] AS ptoks
+  FROM pp),
+pterms AS (
+  SELECT doc_id, passage_idx, unnest(ptoks) AS term FROM ppt),
+pdl AS (
+  SELECT doc_id, passage_idx, CAST(count(*) AS BIGINT) AS dl
+  FROM pterms WHERE term <> '' GROUP BY doc_id, passage_idx),
+pstats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM pdl),
+pn AS (SELECT count(*) AS n_docs FROM ppt),
+ptf AS (
+  SELECT doc_id, passage_idx, term, CAST(count(*) AS BIGINT) AS tf
+  FROM pterms WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id, passage_idx, term),
+pdf AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT term, doc_id, passage_idx FROM ptf)
+  GROUP BY term),
+pcontrib AS (
+  SELECT ptf.doc_id, ptf.passage_idx, {_CONTRIB} AS c
+  FROM ptf JOIN pdf USING (term) JOIN pdl USING (doc_id, passage_idx)
+  CROSS JOIN pstats CROSS JOIN pn),
+pbm25 AS (
+  SELECT doc_id, passage_idx, CAST(count(*) AS BIGINT) AS n_terms,
+         sum(c) AS score
+  FROM pcontrib GROUP BY doc_id, passage_idx)
+"""
+
+PASSAGE_BM25_ORACLE = f"""
+WITH {_PASSAGE_BM25_CTES}
+SELECT doc_id, passage_idx, n_terms,
+       round(CAST(score AS DOUBLE), 6) AS bm25
+FROM pbm25
+ORDER BY score DESC, doc_id, passage_idx
+LIMIT {_BM25_TOPN}
+"""
+
+#: the passage fusion oracle — passage BM25 + the passage-vector chain
+#: (``search._PASSAGE_VECS_CTES``) fused exactly like ``RRF_ORACLE`` with
+#: the (doc_id, passage_idx) key.
+PASSAGE_RRF_ORACLE = f"""
+WITH {_PASSAGE_BM25_CTES},
+{_PASSAGE_VECS_CTES},
+plex AS (
+  SELECT doc_id, passage_idx,
+         row_number() OVER (
+           ORDER BY score DESC, doc_id, passage_idx) AS lex_rank
+  FROM pbm25
+  QUALIFY lex_rank <= {_FUSE_N}),
+pdense AS (
+  SELECT doc_id, passage_idx,
+         row_number() OVER (
+           ORDER BY {_DENSE_COS_SQL} DESC, doc_id, passage_idx)
+           AS dense_rank
+  FROM vecs
+  QUALIFY dense_rank <= {_FUSE_N}),
+pfused AS (
+  SELECT doc_id, passage_idx, lex_rank, dense_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + dense_rank),
+                    CAST(0 AS DOUBLE)) AS rrf
+  FROM plex FULL OUTER JOIN pdense USING (doc_id, passage_idx))
+SELECT doc_id, passage_idx, lex_rank, dense_rank, round(rrf, 6) AS rrf_score
+FROM pfused
+ORDER BY rrf DESC, doc_id, passage_idx
+LIMIT {_BM25_TOPN}
+"""
+
+
 def passage_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, passage_idx, n_terms, score DECIMAL) — Okapi BM25 at
     PASSAGE granularity over the house query terms: the lexical half of
@@ -750,14 +848,37 @@ def passage_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("passage_bm25_scores", oracle=PASSAGE_BM25_ORACLE)
+def passage_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PASSAGES by Okapi BM25 over the house query terms — the
+    registered presentation of :func:`passage_bm25_scores` (r10, VERDICT
+    r09 "What's missing" #1: the passage hybrid family was built and
+    pytest-pinned in r09 but held no registry entry, so no driver row was
+    possible). Exact-decimal ranking key, 6-dp double rendering, the
+    ``bm25_doc_ranking`` contract at passage granularity."""
+    return (
+        passage_bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id", "passage_idx")
+        .limit(_BM25_TOPN)
+        .select(
+            "doc_id",
+            "passage_idx",
+            "n_terms",
+            F.round(F.col("score").cast("double"), 6).alias("bm25"),
+        )
+    )
+
+
+@register("passage_rrf_fusion", oracle=PASSAGE_RRF_ORACLE)
 def passage_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion at PASSAGE granularity: the passage BM25
     list fused with the passage hashed-embedding cosine list through the
     SAME ``fuse_rrf`` tail as the document hybrid (keys generalized) —
     the retrieval unit a passage-RAG pipeline actually serves.
-    Unregistered (the rotation is seat-saturated and the doc-level
-    hybrid holds the driver row); pytest-pinned in
-    ``tests/test_retrieval.py`` alongside its index-served twin."""
+    Registered r10 with a full DuckDB oracle (the passage-window, BM25
+    and vector CTE chains spliced from their single-copy definitions);
+    pytest-pinned in ``tests/test_retrieval.py`` alongside its
+    index-served twin."""
     from columnar_aware_dedup_spark.operators.search import (
         passage_hash_vectors,
     )
@@ -788,3 +909,27 @@ def passage_rrf_from_index(
         dense,
         keys=("doc_id", "passage_idx"),
     )
+
+
+@register("passage_rrf_from_index", oracle=PASSAGE_RRF_ORACLE)
+def passage_rrf_from_index_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered end-to-end form of :func:`passage_rrf_from_index`
+    (r10, VERDICT r09 "What's missing" #1): materialize the
+    cell-partitioned passage IVF index (``search.write_passage_ivf_index``),
+    then serve the passage hybrid with its dense list read from that
+    index — build + serve in one row, the ``streaming_ivf_parity``
+    pattern. Hash-checked against the SAME oracle as
+    :func:`passage_rrf_fusion`: serving from the persisted index must be
+    indistinguishable from the in-plan derivation."""
+    from columnar_aware_dedup_spark.operators.search import (
+        write_passage_ivf_index,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/passage_rrf_ivf_index"
+    write_passage_ivf_index(spark, sf_dir, path)
+    return passage_rrf_from_index(spark, sf_dir, path)
