@@ -804,9 +804,6 @@ ROTATION_R9: list[str] = [
 #: from the real archives as they land, so drift in this prediction is a
 #: test failure, not a silent gap.
 ROTATION_R10: list[str] = [
-    "ann_ivfpq_topk",
-    "ann_recall_report",
-    "cohort_retention",
     # the three r05-row fills displaced from ROTATION_R8 by the r08
     # streaming-parity registrations: their r05 rows go overdue at
     # newest=8, and these R10 seats sit inside both the R9∪R10 and
@@ -825,11 +822,6 @@ ROTATION_R10: list[str] = [
     "doc_fingerprint",
     "doc_quality_filter",
     "doc_quality_score",
-    "corpus_split",
-    "crawl_admission_report",
-    "dedup_savings_by_source",
-    "doc_length_outliers",
-    "edit_distance_verify",
     "embedding_prototypicality",
     "near_dup_cluster_stats",
     "orc_linked_reconstruction",
@@ -866,9 +858,6 @@ ROTATION_R10: list[str] = [
     # (apply_in_pandas_group / argminmax_agg / array_fns — fresh r07 rows
     # once the R7 window runs, not overdue until newest=10, so they belong
     # to the R11/R12 re-derivation).
-    "ann_ivf_nprobe_topk",
-    "audio_fingerprint_near_dup",
-    "audio_fingerprint_signature",
     # the r05-row fills displaced from ROTATION_R9 by the window-trio
     # re-seats (session-2 r07 batch 2): their newest=8 staleness deadline
     # is covered by R10 membership (R9∪R10 envelope). They take the slots
@@ -900,7 +889,32 @@ ROTATION_R10: list[str] = [
     "doc_token_stats",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
-    "grouping_sets_agg",
+    # --- r10 re-pack (simulator-derived, tools/derive_rotation.py) ---
+    # Required seats this round: the five r10 registrations (the passage
+    # hybrid family + the column-level stats-pruned fallback pair), the
+    # two SCHEMA_CHANGED re-seats (the stats-pruned certificates gained
+    # the string-perturbed fixture row), and the REWRITTEN re-seats (the
+    # new rule, VERDICT r09 "Next round" #5: minhash_recall_report's
+    # class-level rewrite, lsh_parameter_sweep via the shared
+    # _pair_jaccard/_prefix_candidates rewrite, and the three parity
+    # certificates whose merge path moved to driver-side marker commits;
+    # minhash_near_dup / minhash_signature already held seats here).
+    # They take the seats of the twelve slackest-deadline fills
+    # (r07/r08-row holders), which re-seat in ROTATION_R11 — the whole
+    # cascade through R17 was DERIVED AND VERIFIED by the simulator
+    # (green through round 16, zero allowlisted residue).
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+    "orc_stats_pruned_columns",
+    "orc_stats_pruned_dedup",
+    "parquet_stats_pruned_columns",
+    "parquet_stats_pruned_dedup",
+    "passage_bm25_scores",
+    "passage_rrf_from_index",
+    "passage_rrf_fusion",
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
+    "streaming_sketch_parity",
 ]
 
 #: r11 rotation (PREPARED four ahead, derived in r07 from the PREDICTED
@@ -920,7 +934,6 @@ ROTATION_R11: list[str] = [
     "doc_repetition_score",
     "event_funnel",
     "event_gapfill_locf",
-    "file_inventory",
     "file_parse_overhead",
     "intersect_all",
     "join_full_outer",
@@ -940,12 +953,7 @@ ROTATION_R11: list[str] = [
     "q12_priority_class",
     "q14_promo_effect",
     "q19_bracketed_or",
-    "rollup_agg",
-    "row_signature",
-    "scan_project",
     "sequence_pack",
-    "set_except",
-    "set_intersect",
     # r09 re-pack (simulator-derived): the four r06-row holders displaced
     # from ROTATION_R9 by the r09 registrations land here — overdue at
     # newest=10, and the R10∪R11 envelope admits this window. They take
@@ -953,8 +961,6 @@ ROTATION_R11: list[str] = [
     # window_first_last (r08 rows, next overdue at newest=12 — re-seated
     # in ROTATION_R13, inside the R12∪R13 envelope).
     "ivf_train_kmeans",
-    "lsh_parameter_sweep",
-    "minhash_recall_report",
     "multimodal_audio_features",
     "stratified_sample",
     "streaming_cluster_parity",
@@ -980,10 +986,23 @@ ROTATION_R11: list[str] = [
     # the flagship's re-seat — due again once CORRECTNESS_r09 lands, which
     # is exactly when this window's freshness test arms)
     "inverted_index_search",
-    "ann_pq_topk",
-    "asof_join",
-    "bigram_logprob_score",
-    "cast_fns",
+    # --- r10 re-pack: the twelve fills displaced from ROTATION_R10 by
+    # the r10 registrations + schema-changed + rewritten seats land here
+    # (their r07/r08 rows stay inside the overdue envelopes); they take
+    # the seats of twelve holders with later deadlines, which re-seat in
+    # ROTATION_R12 (simulator-verified).
+    "ann_ivf_nprobe_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
+    "cohort_retention",
+    "corpus_split",
+    "crawl_admission_report",
+    "dedup_savings_by_source",
+    "doc_length_outliers",
+    "edit_distance_verify",
+    "grouping_sets_agg",
 ]
 
 #: r12 rotation (PREPARED five ahead, derived in r07 session 2 from the
@@ -1009,8 +1028,6 @@ ROTATION_R12: list[str] = [
     "passage_split",
     "streaming_spans_parity",
     "streaming_store_parity",
-    "ann_pq_recall",
-    "bpe_train_merges",
     # corpus_shuffle / decontaminate_ngram_overlap re-seated here after
     # yielding their ROTATION_R10 slots to the r08 displacement cascade:
     # their r07 rows go overdue at newest=10, and R12 sits inside that
@@ -1020,13 +1037,6 @@ ROTATION_R12: list[str] = [
     # round prepares).
     "corpus_shuffle",
     "decontaminate_ngram_overlap",
-    "dedup_hierarchical",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "doc_quality_score",
-    "doc_token_stats",
-    "embedding_cosine_topk",
     # r09 re-pack (simulator-derived): domain_mix_sample displaced from
     # ROTATION_R9 by the r09 registrations lands here (r07 row, overdue
     # at newest=11 — the R11∪R12 envelope admits this window); it takes
@@ -1042,8 +1052,6 @@ ROTATION_R12: list[str] = [
     "math_fns",
     "q11_important_stock",
     "union_all_counts",
-    "event_anomaly_zscore",
-    "event_hypertable_rollup",
     "event_sliding_window",
     "event_watermark_filter",
     "having_filter",
@@ -1083,7 +1091,21 @@ ROTATION_R12: list[str] = [
     "grouped_percentile_approx",
     "source_overlap_matrix",
     "token_zipf_slope",
-    "ann_ivf_nprobe_topk",
+    # --- r10 re-pack: the twelve holders displaced from ROTATION_R11
+    # land here; they take the seats of twelve R12 fills with later
+    # deadlines, which re-seat in ROTATION_R13 (simulator-verified).
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "file_inventory",
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+    "rollup_agg",
+    "row_signature",
+    "scan_project",
+    "set_except",
+    "set_intersect",
 ]
 
 #: r13 rotation (prepared five ahead, derived r08 by forward simulation
@@ -1107,19 +1129,8 @@ ROTATION_R13: list[str] = [
     "stats_agg",
     "streaming_ivf_parity",
     "streaming_pq_parity",
-    "streaming_sketch_parity",
     "token_heavy_hitters_cms",
     "token_vocab_hll",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_sq8_topk",
-    "approx_distinct",
-    "bpe_segment_corpus",
-    "chunk_simulate",
-    "cluster_quality_keeper",
-    "col_type_stats",
-    "dedup_bloom_prefilter",
-    "dedup_exact_rows",
     "dedup_hit_miss",
     "distinct_count",
     "doc_hash_embedding",
@@ -1150,7 +1161,6 @@ ROTATION_R13: list[str] = [
     "transfer_stats_rollup_approx",
     "string_fns",
     "set_union",
-    "multimodal_dedup_report",
     "multimodal_meta",
     "near_dup_clusters",
     "near_dup_clusters_labelprop",
@@ -1158,6 +1168,22 @@ ROTATION_R13: list[str] = [
     "ngram_jaccard_pairs",
     "orc_file_chunks",
     "orc_hierarchical_dedup",
+    # --- r10 re-pack: the twelve holders displaced from ROTATION_R12
+    # land here; they take the seats of eleven R13 fills plus
+    # streaming_sketch_parity (now refreshed by its REWRITTEN R10 seat),
+    # which re-seat in ROTATION_R14 (simulator-verified).
+    "ann_ivf_nprobe_topk",
+    "ann_pq_recall",
+    "bpe_train_merges",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "event_anomaly_zscore",
+    "event_hypertable_rollup",
 ]
 
 #: r14 rotation (PREPARED six ahead, derived in r08 session 3 BY THE
@@ -1201,21 +1227,9 @@ ROTATION_R14: list[str] = [
     "window_rank",
     # fills: oldest predicted rows (r10-window members due again by 15),
     # alphabetical within equal age
-    "ann_ivfpq_topk",
-    "ann_recall_report",
-    "audio_fingerprint_near_dup",
-    "audio_fingerprint_signature",
-    "cohort_retention",
-    "corpus_split",
-    "crawl_admission_report",
-    "dedup_savings_by_source",
-    "doc_length_outliers",
-    "edit_distance_verify",
-    "embedding_norm_stats",
     "embedding_pca_project",
     "embedding_prototypicality",
     "grouped_percentile",
-    "grouping_sets_agg",
     "image_ahash_near_dup",
     "image_ahash_signature",
     "lang_id_heuristic",
@@ -1235,6 +1249,21 @@ ROTATION_R14: list[str] = [
     # after its R9 refresh) and the parquet pruner twin's second row:
     "semantic_dedup",
     "parquet_stats_pruned_dedup",
+    # --- r10 re-pack: the twelve holders displaced from ROTATION_R13
+    # land here; they take the seats of twelve R14 fills with later
+    # deadlines, which re-seat in ROTATION_R15 (simulator-verified).
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "approx_distinct",
+    "bpe_segment_corpus",
+    "chunk_simulate",
+    "cluster_quality_keeper",
+    "col_type_stats",
+    "dedup_bloom_prefilter",
+    "dedup_exact_rows",
+    "multimodal_dedup_report",
+    "streaming_sketch_parity",
 ]
 
 #: r15 rotation (PREPARED six ahead, derived in r09 BY THE SIMULATOR'S
@@ -1252,9 +1281,6 @@ ROTATION_R14: list[str] = [
 ROTATION_R15: list[str] = [
     # newest=14-deadline demand (not holdable by R14)
     "embedding_near_dup_pairs",
-    "ivf_train_kmeans",
-    "lsh_parameter_sweep",
-    "minhash_recall_report",
     "multimodal_audio_features",
     "q17_small_qty_revenue",
     "q20_part_promotion",
@@ -1269,20 +1295,6 @@ ROTATION_R15: list[str] = [
     "tfidf_top_terms",
     # fills: oldest projected rows (r11-window members due again by 16),
     # alphabetical
-    "ann_pq_topk",
-    "asof_join",
-    "bigram_logprob_score",
-    "cast_fns",
-    "cluster_aware_split",
-    "correlated_subquery",
-    "doc_ngram_novelty",
-    "doc_repetition_score",
-    "event_funnel",
-    "event_gapfill_locf",
-    "file_inventory",
-    "file_parse_overhead",
-    "intersect_all",
-    "inverted_index_search",
     "join_full_outer",
     "join_left",
     "json_extract",
@@ -1306,6 +1318,28 @@ ROTATION_R15: list[str] = [
     # horizon edge, i.e. ROTATION_R16's derivation demand)
     "q15_top_supplier",
     "q16_parts_supplier_cnt",
+    # --- r10 re-pack: the twelve holders displaced from ROTATION_R14
+    # land here, plus the five r10 registrations' SECOND driver rows
+    # (their R10 rows go overdue at newest=14); they take the seats of
+    # seventeen R15 fills, which re-seat in ROTATION_R16
+    # (simulator-verified).
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
+    "cohort_retention",
+    "corpus_split",
+    "crawl_admission_report",
+    "dedup_savings_by_source",
+    "doc_length_outliers",
+    "edit_distance_verify",
+    "embedding_norm_stats",
+    "grouping_sets_agg",
+    "orc_stats_pruned_columns",
+    "parquet_stats_pruned_columns",
+    "passage_bm25_scores",
+    "passage_rrf_from_index",
+    "passage_rrf_fusion",
 ]
 
 #: r16 rotation (PREPARED seven ahead, derived in r09 session 2 BY
@@ -1334,29 +1368,12 @@ ROTATION_R16: list[str] = [
     "substring_dedup_delta",
     "substring_dedup_ranges",
     # fills: oldest projected rows (r12-window members), alphabetical
-    "ann_ivf_nprobe_topk",
-    "ann_pq_recall",
-    "apply_in_pandas_group",
-    "argminmax_agg",
-    "array_fns",
-    "balanced_sample_exact_k",
-    "bpe_train_merges",
-    "cdc_dedup_report",
     "cdc_file_chunks",
     "corpus_report",
     "corpus_shuffle",
     "date_fns",
     "decontaminate_ngram_overlap",
-    "dedup_hierarchical",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "doc_quality_score",
-    "doc_token_stats",
     "domain_mix_sample",
-    "embedding_cosine_topk",
-    "event_anomaly_zscore",
-    "event_hypertable_rollup",
     "event_sliding_window",
     "event_tumbling_window",
     "event_watermark_filter",
@@ -1371,6 +1388,91 @@ ROTATION_R16: list[str] = [
     "math_fns",
     "multimodal_decode",
     "multimodal_frame_sample",
+    # --- r10 re-pack: the seventeen holders displaced from ROTATION_R15
+    # land here (including minhash_recall_report / lsh_parameter_sweep's
+    # second post-rewrite rows); they take the seats of seventeen R16
+    # fills, which re-seat in the newly derived ROTATION_R17
+    # (simulator-verified).
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "cluster_aware_split",
+    "correlated_subquery",
+    "doc_ngram_novelty",
+    "doc_repetition_score",
+    "event_funnel",
+    "event_gapfill_locf",
+    "file_inventory",
+    "file_parse_overhead",
+    "intersect_all",
+    "inverted_index_search",
+    "ivf_train_kmeans",
+    "lsh_parameter_sweep",
+    "minhash_recall_report",
+]
+
+
+#: r17 rotation (PREPARED seven ahead, derived in r10 BY THE SIMULATOR'S
+#: repair run against the real r09 archive + the r10 seat cascade): the
+#: overdue-at-16 demand R16 cannot hold — the r09 horizon edge the
+#: GREEN_THROUGH=15 derivation named as this window's required set,
+#: plus the seventeen terminal re-seats of the r10 cascade — then fills
+#: with the oldest projected rows, alphabetical. Preparing R17 moves the
+#: enforced horizon to GREEN_THROUGH=16; the only remaining info line is
+#: the edge at 17 (R18 = round 11's derivation). Rounds 11+ re-derive
+#: before activating, the same contract as R9..R16.
+ROTATION_R17: list[str] = [
+    "ann_ivf_nprobe_topk",
+    "ann_pq_recall",
+    "apply_in_pandas_group",
+    "argminmax_agg",
+    "array_fns",
+    "balanced_sample_exact_k",
+    "bpe_train_merges",
+    "cdc_dedup_report",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "event_anomaly_zscore",
+    "event_hypertable_rollup",
+    "multimodal_scene_cuts",
+    "naive_bayes_source_classify",
+    "ngram_containment_pairs",
+    "orc_zone_map_pruning",
+    "parquet_column_census",
+    "passage_split",
+    "pmi_collocations",
+    "q11_important_stock",
+    "source_overlap_matrix",
+    "streaming_spans_parity",
+    "streaming_store_parity",
+    "token_zipf_slope",
+    "union_all_counts",
+    "bm25_doc_ranking",
+    "cdc_dedup_report_parquet",
+    "cross_format_dedup",
+    "cube_agg",
+    "dedup_hit_miss",
+    "distinct_count",
+    "doc_hash_embedding",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "event_dedup_first",
+    "event_session_window",
+    "groupby_sum_count",
+    "hybrid_rrf_fusion",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "near_dup_clusters_labelprop",
+    "near_dup_pagerank",
+    "ngram_jaccard_pairs",
+    "orc_file_chunks",
 ]
 
 
@@ -1381,14 +1483,41 @@ ROTATION_R16: list[str] = [
 #: schema-changed query now MUST hold a seat in the next active window,
 #: enforced by tools/derive_rotation.py and tests/test_rotation_sim.py).
 #: r09: semantic_dedup (n_cells_capped column, r08) and passage_near_dup
-#: (pair-class collapse, r09).
+#: (pair-class collapse, r09). r10: both stats-pruned dedup certificates
+#: gained the string-perturbed fixture row.
 SCHEMA_CHANGED: dict[int, list[str]] = {
     9: ["semantic_dedup", "passage_near_dup"],
+    10: ["orc_stats_pruned_dedup", "parquet_stats_pruned_dedup"],
 }
 
-# r09: the prepared window goes ACTIVE (VERDICT r08 brief #4) — the 15
-# r04-stale rows, the r09 registrations (BM25/RRF streaming parity +
-# the zone-map dedup consumer), and the two schema-changed re-seats.
-registry.reorder(ROTATION_R9)
+#: queries whose IMPLEMENTATION was rewritten materially since their
+#: newest driver row while keeping the output contract (VERDICT r09
+#: "Next round" #5: result-identical rewrites slipped the schema-changed
+#: rule — minhash_near_dup / simhash_band_near_dup shipped r09 code under
+#: r05/r06 driver rows). Same enforcement as SCHEMA_CHANGED: a seat in
+#: the NEXT active window, checked by tools/derive_rotation.py and
+#: tests/test_rotation_sim.py — a driver hash archived against code that
+#: no longer ships is evidence of nothing. r10: the class-level recall
+#: gate rewrite and its shared-helper consumers (_pair_jaccard /
+#: _prefix_candidates / the minhash slot spelling), and the three parity
+#: certificates whose merge path moved to driver-side marker commits +
+#: truncate re-init + foldwise sweep.
+REWRITTEN: dict[int, list[str]] = {
+    10: [
+        "minhash_recall_report",
+        "lsh_parameter_sweep",
+        "minhash_near_dup",
+        "minhash_signature",
+        "streaming_bm25_parity",
+        "streaming_rrf_parity",
+        "streaming_sketch_parity",
+    ],
+}
+
+# r10: the prepared window goes ACTIVE after the simulator's repair run
+# re-packed it (see the R10 comment block) — the 18 r05-stale rows, the
+# five r10 registrations, the two schema-changed and the rewritten
+# re-seats.
+registry.reorder(ROTATION_R10)
 
 __all__ = ["registry"]

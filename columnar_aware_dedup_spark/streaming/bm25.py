@@ -63,11 +63,15 @@ def sweep_uncommitted_bm25(spark: SparkSession, table_name: str) -> int:
 
 
 def merge_bm25_delta(
-    spark: SparkSession, docs: DataFrame, table_name: str
+    spark: SparkSession, docs: DataFrame, table_name: str, sweep: bool = True
 ) -> int:
     """Idempotently fold one batch of documents into the BM25 index;
     returns the number of NEW documents indexed (module doc has the
-    commit protocol and the replay argument)."""
+    commit protocol and the replay argument). ``sweep=False`` skips the
+    per-merge debris reclaim — debris is invisible to readers regardless
+    (the commits semi-join), so a caller that just initialized the tables
+    empty (the parity certificates) or batches reclaim to one final sweep
+    loses space-accounting, never correctness."""
     import uuid
 
     def _refresh_all() -> None:
@@ -76,7 +80,8 @@ def merge_bm25_delta(
 
     with store_lock(spark, table_name):
         _refresh_all()
-        sweep_uncommitted_bm25(spark, table_name)
+        if sweep:
+            sweep_uncommitted_bm25(spark, table_name)
         seen = committed_bm25(spark, table_name, "_docs").select("doc_id")
         # dropDuplicates: a file AND its at-least-once replay can land in
         # the SAME micro-batch (both present before the stream's first
@@ -119,12 +124,13 @@ def merge_bm25_delta(
             table_name + "_stats"
         )
         # the publication point: everything above becomes visible in this
-        # one single-table append
-        spark.createDataFrame(
-            [(attempt,)], "attempt_id string"
-        ).write.format("parquet").mode("append").insertInto(
-            table_name + "_commits"
+        # one single-table marker append (driver-side atomic rename — the
+        # commit-file discipline, streaming/commitlog.py)
+        from columnar_aware_dedup_spark.streaming.commitlog import (
+            append_marker_row,
         )
+
+        append_marker_row(spark, table_name + "_commits", attempt)
         _refresh_all()
         return n
 

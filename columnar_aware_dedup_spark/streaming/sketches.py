@@ -178,6 +178,7 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
                 # manifest first (the protocol's step zero): a crash past
                 # this line is detectable from attempts ∖ commits alone
                 from columnar_aware_dedup_spark.streaming.commitlog import (
+                    append_marker_row,
                     record_attempt,
                 )
 
@@ -193,12 +194,9 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
                     "append"
                 ).insertInto(f"{prefix}_seen")
                 # the publication point: everything above becomes visible
-                # in this one single-table append
-                spark.createDataFrame(
-                    [(attempt,)], "attempt_id string"
-                ).write.format("parquet").mode("append").insertInto(
-                    f"{prefix}_commits"
-                )
+                # in this one single-table marker append (driver-side
+                # atomic rename — the commit-file discipline)
+                append_marker_row(spark, f"{prefix}_commits", attempt)
         finally:
             fresh.unpersist()
         _refresh_all()

@@ -76,3 +76,25 @@ def test_schema_changed_rule_enforced_by_simulator_gate():
     # and a fabricated schema change without a seat is detected
     fake = "a_query_that_has_no_seat_anywhere"
     assert fake not in set(windows.get(nxt, []))
+
+
+def test_rewritten_rule_enforced_by_simulator_gate():
+    """The r10 extension (VERDICT r09 "Next round" #5): a query whose
+    implementation was rewritten result-identically must hold a seat in
+    the next ACTIVE window — the rule that caught nothing in r09 when
+    minhash_near_dup / simhash_band_near_dup shipped rewritten code
+    under r05/r06 driver rows. Every REWRITTEN entry for the next round
+    must be seated there, and each named query must actually be
+    registered (a typo'd name would enforce nothing)."""
+    import __spark_entry__ as entry
+    import columnar_aware_dedup_spark as pkg
+
+    _latest, newest = archive_state()
+    windows = committed_windows()
+    nxt = newest + 1
+    registered = set(entry.queries())
+    for rnd, names in pkg.REWRITTEN.items():
+        assert set(names) <= registered, sorted(set(names) - registered)
+        if rnd == nxt:
+            missing = set(names) - set(windows[rnd])
+            assert not missing, sorted(missing)

@@ -42,12 +42,13 @@ STALE_AFTER = 3
 
 #: every check through this round must pass assuming scheduled windows
 #: land green (tests/test_rotation_sim.py pins the committed windows to
-#: it). The r09 re-pack (ROTATION_R15 + R16 prepared; the bm25-trio
-#: residue promoted into R13) moved this from 11 to 15: every enforced
-#: check up to the last fully-enveloped window passes with ZERO
-#: allowlisted residue — the only tolerated info line is the horizon
-#: edge at round 16 (R17 does not exist yet; round 10 derives it).
-GREEN_THROUGH = 15
+#: it). The r10 re-pack (the five r10 registrations + schema-changed +
+#: rewritten seats cascaded through the windows; ROTATION_R17 prepared)
+#: moved this from 15 to 16: every enforced check up to the last
+#: fully-enveloped window passes with ZERO allowlisted residue — the only
+#: tolerated info line is the horizon edge at round 17 (R18 does not
+#: exist yet; round 11 derives it).
+GREEN_THROUGH = 16
 
 #: queries allowed to lack a second-round seat past the pinned horizon.
 #: EMPTY since r09 (the r08 batch-7 trio re-seated in ROTATION_R13);
@@ -124,21 +125,26 @@ def main() -> int:
     windows = committed_windows()
     horizon = max(windows)
     print(f"archives: newest=r{newest}; windows prepared through R{horizon}")
-    # schema-changed rule (VERDICT r08 "Next round" #3): a query whose
-    # output contract changed since its newest driver row must hold a
-    # seat in the NEXT active window — a stale driver hash for a
-    # reshaped query is worse than a stale row, because the archived
-    # record no longer describes the code that ships.
+    # schema-changed rule (VERDICT r08 "Next round" #3) and its r10
+    # extension to result-identical rewrites (VERDICT r09 "Next round"
+    # #5): a query whose output contract OR implementation changed
+    # materially since its newest driver row must hold a seat in the
+    # NEXT active window — a stale driver hash for reshaped or rewritten
+    # code is worse than a stale row, because the archived record no
+    # longer describes the code that ships.
     import columnar_aware_dedup_spark as pkg
 
-    changed = getattr(pkg, "SCHEMA_CHANGED", {}).get(newest + 1, [])
-    missing_changed = sorted(set(changed) - set(windows.get(newest + 1, [])))
-    if missing_changed:
-        print(
-            f"FIRST VIOLATION: schema-changed queries not seated in "
-            f"R{newest + 1}: {missing_changed}"
+    for rule in ("SCHEMA_CHANGED", "REWRITTEN"):
+        changed = getattr(pkg, rule, {}).get(newest + 1, [])
+        missing_changed = sorted(
+            set(changed) - set(windows.get(newest + 1, []))
         )
-        return 1
+        if missing_changed:
+            print(
+                f"FIRST VIOLATION: {rule.lower().replace('_', '-')} "
+                f"queries not seated in R{newest + 1}: {missing_changed}"
+            )
+            return 1
     probs = simulate(windows, latest, queries, newest + 1, GREEN_THROUGH)
     if probs:
         first = min(p[0] for p in probs)
