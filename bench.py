@@ -164,14 +164,16 @@ HEADLINE = [
     "streaming_rrf_parity",
     "orc_stats_pruned_dedup",
     "parquet_stats_pruned_dedup",
-    # r10: the column-level stats-pruned fallback (both formats) and the
-    # passage-level hybrid retrieval family — new registrations, first
-    # perf signal.
+    # r10: the column-level stats-pruned fallback (both formats), the
+    # passage-level hybrid retrieval family, and the 9th streaming-index
+    # family (the persisted stats-key index maintainer) — new
+    # registrations, first perf signal.
     "orc_stats_pruned_columns",
     "parquet_stats_pruned_columns",
     "passage_bm25_scores",
     "passage_rrf_fusion",
     "passage_rrf_from_index",
+    "streaming_statsprune_parity",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -822,7 +822,6 @@ ROTATION_R10: list[str] = [
     "doc_fingerprint",
     "doc_quality_filter",
     "doc_quality_score",
-    "embedding_prototypicality",
     "near_dup_cluster_stats",
     "orc_linked_reconstruction",
     "orc_reconstruction",
@@ -915,6 +914,8 @@ ROTATION_R10: list[str] = [
     "streaming_bm25_parity",
     "streaming_rrf_parity",
     "streaming_sketch_parity",
+    # r10 late registration (the 9th streaming family, never checked):
+    "streaming_statsprune_parity",
 ]
 
 #: r11 rotation (PREPARED four ahead, derived in r07 from the PREDICTED
@@ -1002,7 +1003,8 @@ ROTATION_R11: list[str] = [
     "dedup_savings_by_source",
     "doc_length_outliers",
     "edit_distance_verify",
-    "grouping_sets_agg",
+    # r10-late cascade (simulator-derived single swap):
+    "embedding_prototypicality",
 ]
 
 #: r12 rotation (PREPARED five ahead, derived in r07 session 2 from the
@@ -1099,13 +1101,14 @@ ROTATION_R12: list[str] = [
     "bigram_logprob_score",
     "cast_fns",
     "file_inventory",
-    "lsh_parameter_sweep",
     "minhash_recall_report",
     "rollup_agg",
     "row_signature",
     "scan_project",
     "set_except",
     "set_intersect",
+    # r10-late cascade:
+    "grouping_sets_agg",
 ]
 
 #: r13 rotation (prepared five ahead, derived r08 by forward simulation
@@ -1172,7 +1175,6 @@ ROTATION_R13: list[str] = [
     # land here; they take the seats of eleven R13 fills plus
     # streaming_sketch_parity (now refreshed by its REWRITTEN R10 seat),
     # which re-seat in ROTATION_R14 (simulator-verified).
-    "ann_ivf_nprobe_topk",
     "ann_pq_recall",
     "bpe_train_merges",
     "dedup_hierarchical",
@@ -1184,6 +1186,8 @@ ROTATION_R13: list[str] = [
     "embedding_cosine_topk",
     "event_anomaly_zscore",
     "event_hypertable_rollup",
+    # r10-late cascade:
+    "lsh_parameter_sweep",
 ]
 
 #: r14 rotation (PREPARED six ahead, derived in r08 session 3 BY THE
@@ -1228,7 +1232,6 @@ ROTATION_R14: list[str] = [
     # fills: oldest predicted rows (r10-window members due again by 15),
     # alphabetical within equal age
     "embedding_pca_project",
-    "embedding_prototypicality",
     "grouped_percentile",
     "image_ahash_near_dup",
     "image_ahash_signature",
@@ -1264,6 +1267,8 @@ ROTATION_R14: list[str] = [
     "dedup_exact_rows",
     "multimodal_dedup_report",
     "streaming_sketch_parity",
+    # r10-late cascade:
+    "ann_ivf_nprobe_topk",
 ]
 
 #: r15 rotation (PREPARED six ahead, derived in r09 BY THE SIMULATOR'S
@@ -1323,7 +1328,6 @@ ROTATION_R15: list[str] = [
     # (their R10 rows go overdue at newest=14); they take the seats of
     # seventeen R15 fills, which re-seat in ROTATION_R16
     # (simulator-verified).
-    "ann_ivfpq_topk",
     "ann_recall_report",
     "audio_fingerprint_near_dup",
     "audio_fingerprint_signature",
@@ -1334,12 +1338,14 @@ ROTATION_R15: list[str] = [
     "doc_length_outliers",
     "edit_distance_verify",
     "embedding_norm_stats",
-    "grouping_sets_agg",
     "orc_stats_pruned_columns",
     "parquet_stats_pruned_columns",
     "passage_bm25_scores",
     "passage_rrf_from_index",
     "passage_rrf_fusion",
+    # r10-late cascade (+ the 9th family's second driver row):
+    "embedding_prototypicality",
+    "streaming_statsprune_parity",
 ]
 
 #: r16 rotation (PREPARED seven ahead, derived in r09 session 2 BY
@@ -1393,7 +1399,6 @@ ROTATION_R16: list[str] = [
     # second post-rewrite rows); they take the seats of seventeen R16
     # fills, which re-seat in the newly derived ROTATION_R17
     # (simulator-verified).
-    "ann_pq_topk",
     "asof_join",
     "bigram_logprob_score",
     "cast_fns",
@@ -1408,8 +1413,10 @@ ROTATION_R16: list[str] = [
     "intersect_all",
     "inverted_index_search",
     "ivf_train_kmeans",
-    "lsh_parameter_sweep",
     "minhash_recall_report",
+    # r10-late cascade:
+    "ann_ivfpq_topk",
+    "grouping_sets_agg",
 ]
 
 
@@ -1423,8 +1430,6 @@ ROTATION_R16: list[str] = [
 #: the edge at 17 (R18 = round 11's derivation). Rounds 11+ re-derive
 #: before activating, the same contract as R9..R16.
 ROTATION_R17: list[str] = [
-    "ann_ivf_nprobe_topk",
-    "ann_pq_recall",
     "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
@@ -1473,8 +1478,74 @@ ROTATION_R17: list[str] = [
     "near_dup_pagerank",
     "ngram_jaccard_pairs",
     "orc_file_chunks",
+    # r10-late cascade:
+    "ann_pq_topk",
+    "lsh_parameter_sweep",
 ]
 
+
+#: r18 rotation (PREPARED eight ahead, derived in r10 session 2 BY THE
+#: SOLVER — tools/repair_rotation.py, now a permanent tool — against the
+#: projected r10..r17 archives): the 50 queries whose projected newest
+#: row hits the staleness wall at newest=17 and which R17 cannot hold
+#: (the round-17 horizon edge the GREEN_THROUGH=16 derivation named as
+#: this window's demand), topped up with the oldest projected rows.
+#: Preparing R18 moves the enforced horizon to GREEN_THROUGH=17; the
+#: only remaining info line is the edge at 18 (R19 = a later round's
+#: derivation). Rounds 11+ re-derive before activating, the same
+#: contract as R9..R17.
+ROTATION_R18: list[str] = [
+    "ann_ivf_nprobe_topk",
+    "ann_pq_recall",
+    "orc_hierarchical_dedup",
+    "parquet_zone_map_pruning",
+    "passage_ann_ivf_topk",
+    "passage_near_dup",
+    "passage_topk_retrieval",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "range_join_bands",
+    "set_union",
+    "source_mix_kl",
+    "stats_agg",
+    "streaming_ivf_parity",
+    "streaming_pq_parity",
+    "string_fns",
+    "token_heavy_hitters_cms",
+    "token_vocab_hll",
+    "transfer_stats_rollup_approx",
+    "window_first_last",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "approx_distinct",
+    "bpe_segment_corpus",
+    "chunk_simulate",
+    "cluster_quality_keeper",
+    "col_type_stats",
+    "dedup_bloom_prefilter",
+    "dedup_exact_rows",
+    "embedding_pca_project",
+    "grouped_percentile",
+    "image_ahash_near_dup",
+    "image_ahash_signature",
+    "lang_id_heuristic",
+    "line_dedup_corpus",
+    "minhash_near_dup",
+    "minhash_signature",
+    "multimodal_dedup_report",
+    "near_dup_cluster_stats",
+    "orc_linked_reconstruction",
+    "orc_reconstruction",
+    "orc_stats_pruned_dedup",
+    "parquet_stats_pruned_dedup",
+    "perplexity_bucket_report",
+    "pipeline_curate",
+    "pipeline_dedup_all",
+    "pq_train_codebooks",
+    "q13_customer_distribution",
+    "q18_large_volume",
+]
 
 #: queries whose OUTPUT CONTRACT (schema or semantics) changed since
 #: their newest driver row, keyed by the round whose window must re-check

@@ -104,6 +104,9 @@ from columnar_aware_dedup_spark.operators.text import (
     DUP_SPAN_ORACLE,
     MINHASH_NEAR_DUP_ORACLE,
 )
+from columnar_aware_dedup_spark.operators.zonemap import (
+    ORC_STATS_PRUNED_ORACLE,
+)
 from columnar_aware_dedup_spark.registry import register
 
 
@@ -371,6 +374,57 @@ def streaming_rrf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sbm25.merge_doc_vectors_delta(spark, wave2, vec_tbl)
     return rrf_from_index(spark, bm25_tbl, vec_tbl)
+
+
+@register("streaming_statsprune_parity", oracle=ORC_STATS_PRUNED_ORACLE)
+def streaming_statsprune_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serve ``orc_stats_pruned_dedup`` from the PERSISTED per-stripe
+    stats-key index after two incremental folds plus a replay (r10 — the
+    ninth index family): the store file's (stats_key, signature,
+    data_size) rows fold into ``streaming/statskeys.py``'s single-append
+    table in two deterministic waves (stripe-index parity), the wave-1
+    replay must append ZERO rows (the (file, region) anti-join
+    discipline), and the full incoming workload then probes the SERVED
+    table through the SAME format-agnostic probe + certificate as the
+    in-plan query. Hash equality against the batch oracle proves the
+    incrementally maintained metadata index is indistinguishable from a
+    store re-parse — the r09 claim ("at 100 TB the store side is the
+    persisted signature store plus a tiny per-stripe stats-key index")
+    now has its maintenance path driver-certified."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        _orc_incoming_stats,
+        _stats_pruned_probe,
+        stats_pruned_certificate,
+        stripe_stats_key_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+    from columnar_aware_dedup_spark.streaming import statskeys
+
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    tbl = statskeys.init_statskey_table(spark, "parity_statskey_index")
+    store_rows = stripe_stats_key_table(spark, store_dir)
+    wave1 = store_rows.filter(F.col("stripe_idx") % 2 == 0)
+    wave2 = store_rows.filter(F.col("stripe_idx") % 2 != 0)
+    statskeys.merge_statskey_delta(spark, wave1, tbl)
+    replayed = statskeys.merge_statskey_delta(spark, wave1, tbl)
+    if replayed:
+        raise AssertionError(
+            f"wave-1 replay appended {replayed} rows; merge is not"
+            " idempotent"
+        )
+    statskeys.merge_statskey_delta(spark, wave2, tbl)
+    return stats_pruned_certificate(
+        _stats_pruned_probe(
+            _orc_incoming_stats(spark, sf_dir, incoming_dir),
+            spark.table(tbl),
+        )
+    )
 
 
 @register("streaming_pq_parity", oracle=ANN_PQ_ORACLE)

@@ -85,6 +85,26 @@ CERT_FLIP_TESTS = {
         "tests.test_zonemap",
         "test_stats_pruned_bits_flip",  # shared derivation, one flip test
     ),
+    # the r10 column-level fallback pair ships the SAME certificate
+    # derivation (stats_pruned_certificate), so the shared flip test
+    # covers their bits; the fallback-set derivation itself is pinned by
+    # test_column_fallback_recovers_perturbed_files (region hits must
+    # contribute no fallback columns).
+    "orc_stats_pruned_columns": (
+        "tests.test_zonemap",
+        "test_stats_pruned_bits_flip",
+    ),
+    "parquet_stats_pruned_columns": (
+        "tests.test_zonemap",
+        "test_stats_pruned_bits_flip",
+    ),
+    # the 9th streaming family serves the SAME certificate derivation
+    # from the maintained table; its maintainer's replay-zero claim is
+    # separately pinned by test_statskey_merge_idempotent_and_dup_guarded.
+    "streaming_statsprune_parity": (
+        "tests.test_zonemap",
+        "test_stats_pruned_bits_flip",
+    ),
     "parquet_zone_map_pruning": (
         "tests.test_zonemap",
         "test_parquet_zone_map_walker_and_bits",

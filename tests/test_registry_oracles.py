@@ -57,13 +57,14 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r09 rotation (the r04-stale re-checks + the r09 registrations +
-    the schema-changed re-seats) must be exactly that window."""
+    active r10 rotation (the r05-stale re-checks + the six r10
+    registrations + the schema-changed and rewritten re-seats) must be
+    exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R9)] == pkg.ROTATION_R9
+    assert names[: len(pkg.ROTATION_R10)] == pkg.ROTATION_R10
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —

@@ -1444,3 +1444,30 @@ def test_bm25_intra_batch_replay_cannot_double_count(spark, sf_dir, tmp_path):
     assert rows_equal(
         bm25_from_index(spark, tbl), bm25_from_index(spark, tbl + "_truth")
     )
+
+
+def test_statskey_merge_idempotent_and_dup_guarded(spark, sf_dir):
+    """The 9th family's maintainer (streaming/statskeys.py): a replayed
+    wave appends ZERO rows (the (file, region) anti-join), an intra-batch
+    duplicate region inserts once, and the maintained table equals the
+    one-shot parse — the parity certificate's replay-zero claim at unit
+    granularity."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        stripe_stats_key_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+    from columnar_aware_dedup_spark.streaming import statskeys
+    from tests.conftest import rows_equal
+
+    store_dir, _ = orc_fixture_dirs(sf_dir)
+    rows = stripe_stats_key_table(spark, store_dir)
+    tbl = statskeys.init_statskey_table(spark, "test_statskey_idem")
+    # intra-batch duplicate: the same wave unioned with itself
+    wave = rows.limit(2)
+    n = statskeys.merge_statskey_delta(spark, wave.unionAll(wave), tbl)
+    assert n == 2, n
+    assert statskeys.merge_statskey_delta(spark, wave, tbl) == 0
+    statskeys.merge_statskey_delta(spark, rows, tbl)
+    assert rows_equal(spark.table(tbl), rows)

@@ -42,13 +42,14 @@ STALE_AFTER = 3
 
 #: every check through this round must pass assuming scheduled windows
 #: land green (tests/test_rotation_sim.py pins the committed windows to
-#: it). The r10 re-pack (the five r10 registrations + schema-changed +
-#: rewritten seats cascaded through the windows; ROTATION_R17 prepared)
-#: moved this from 15 to 16: every enforced check up to the last
-#: fully-enveloped window passes with ZERO allowlisted residue — the only
-#: tolerated info line is the horizon edge at round 17 (R18 does not
-#: exist yet; round 11 derives it).
-GREEN_THROUGH = 16
+#: it). The r10 re-pack (the six r10 registrations + schema-changed +
+#: rewritten seats cascaded through the windows; ROTATION_R17 AND R18
+#: prepared by tools/repair_rotation.py — the repair solver is now a
+#: permanent tool, not a per-session script) moved this from 15 to 17:
+#: every enforced check up to the last fully-enveloped window passes with
+#: ZERO allowlisted residue — the only tolerated info line is the horizon
+#: edge at round 18 (R19 does not exist yet; a later round derives it).
+GREEN_THROUGH = 17
 
 #: queries allowed to lack a second-round seat past the pinned horizon.
 #: EMPTY since r09 (the r08 batch-7 trio re-seated in ROTATION_R13);
