@@ -680,3 +680,76 @@ def test_stats_pruned_dedup_plan_shape(spark, sf_dir):
         assert "MapInPandas" in plan, plan
         n = explain.n_exchanges(df)
         assert n <= 5, f"{fn.__name__} grew to {n} shuffles:\n{plan}"
+
+
+def test_stats_pruned_columns_plan_shape(spark, sf_dir):
+    """The r10 column-level fallback certificates: same discipline as the
+    region level — one Arrow parse pass per side (column spans + stats in
+    the same footer walk), the fallback set derives from an anti-join
+    (never a window), the candidate/hit probes are equi-joins, and the
+    shuffle budget stays bounded (the anti-join + the second granularity
+    add a handful over the region level, never a corpus-sized blowup)."""
+    from columnar_aware_dedup_spark.operators import zonemap
+
+    for fn in (
+        zonemap.orc_stats_pruned_columns,
+        zonemap.parquet_stats_pruned_columns,
+    ):
+        df = fn(spark, sf_dir)
+        plan = explain.plan_string(df, mode="simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "MapInPandas" in plan, plan
+        n = explain.n_exchanges(df)
+        assert n <= 9, f"{fn.__name__} grew to {n} shuffles:\n{plan}"
+
+
+def test_passage_bm25_and_rrf_plan_shape(spark, sf_dir):
+    """The r10 passage retrieval registrations inherit the document-level
+    plan discipline: top-k through a TakeOrdered heap (never a global
+    sort); the fusion's two rank windows each consume a ≤FUSE_N-row
+    limited subtree; no cartesian products; bounded exchanges (passage
+    granularity adds the window-explode but no new shuffle class)."""
+    from columnar_aware_dedup_spark.operators import retrieval
+
+    df = retrieval.passage_bm25_topk(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert explain.has_take_ordered(df), plan
+    assert not explain.has_global_sort(df), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n = explain.n_exchanges(df)
+    assert n <= 7, f"passage bm25 grew to {n} shuffles:\n{plan}"
+
+    df = retrieval.passage_rrf_fusion(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert explain.has_take_ordered(df), plan
+    assert not explain.has_global_sort(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") == 2, plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line:
+            below = "\n".join(lines[i + 1 :])
+            assert "TakeOrdered" in below, (
+                "Window without a TakeOrdered input:\n" + plan
+            )
+    n = explain.n_exchanges(df)
+    assert n <= 12, f"passage rrf grew to {n} shuffles:\n{plan}"
+
+
+def test_recall_report_class_level_plan(spark, sf_dir):
+    """The r10 recall-gate rewrite's load-bearing claims: no global sort,
+    no window, no cartesian product anywhere in the class-level gate, and
+    the verification joins are HASH joins (the SHUFFLE_HASH hint on the
+    unique-keyed per-class sides — sorting array-payload rows was the r09
+    cost), with the prefix table materialized once (InMemory/checkpoint
+    scan visible)."""
+    from columnar_aware_dedup_spark.operators import text
+
+    df = text.minhash_recall_report(spark, sf_dir)
+    plan = explain.plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert not explain.has_global_sort(df), plan
+    assert "ShuffledHashJoin" in plan, plan
