@@ -1471,3 +1471,42 @@ def test_statskey_merge_idempotent_and_dup_guarded(spark, sf_dir):
     assert statskeys.merge_statskey_delta(spark, wave, tbl) == 0
     statskeys.merge_statskey_delta(spark, rows, tbl)
     assert rows_equal(spark.table(tbl), rows)
+
+
+def test_marker_append_is_atomic_and_dotfile_invisible(spark):
+    """The r10 driver-side marker append (streaming/commitlog.py): a
+    committed marker row is visible after refresh; a crash MID-WRITE —
+    simulated by planting a half-written dot-prefixed staging file —
+    is invisible to Spark's listing (dot-files are never picked up), so
+    a torn parquet footer can never poison the commits read."""
+    import os
+
+    from columnar_aware_dedup_spark.streaming.commitlog import (
+        _table_location,
+        append_marker_row,
+    )
+
+    tbl = "test_marker_atomic"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.createDataFrame([], "attempt_id string").write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(tbl)
+
+    append_marker_row(spark, tbl, "attempt-1")
+    assert [r["attempt_id"] for r in spark.table(tbl).collect()] == [
+        "attempt-1"
+    ]
+
+    # crash mid-write: a garbage dot-file in the table dir (what a died
+    # writer leaves before the rename) must not break or pollute reads
+    loc = _table_location(spark, tbl).removeprefix("file:")
+    with open(os.path.join(loc, ".part-torn-marker.parquet"), "wb") as fh:
+        fh.write(b"\x00\x01 not a parquet footer")
+    spark.catalog.refreshTable(tbl)
+    assert [r["attempt_id"] for r in spark.table(tbl).collect()] == [
+        "attempt-1"
+    ]
+    append_marker_row(spark, tbl, "attempt-2")
+    assert sorted(
+        r["attempt_id"] for r in spark.table(tbl).collect()
+    ) == ["attempt-1", "attempt-2"]
