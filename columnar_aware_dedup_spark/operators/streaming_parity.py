@@ -408,7 +408,12 @@ def streaming_statsprune_parity(
 
     store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
     tbl = statskeys.init_statskey_table(spark, "parity_statskey_index")
-    store_rows = stripe_stats_key_table(spark, store_dir)
+    # one parse of the store bytes feeds all three folds (each merge's
+    # eager checkpoint would otherwise re-run the binaryFile + footer
+    # walk — the _minhash_tagged_sigs lesson)
+    store_rows = stripe_stats_key_table(spark, store_dir).localCheckpoint(
+        eager=False
+    )
     wave1 = store_rows.filter(F.col("stripe_idx") % 2 == 0)
     wave2 = store_rows.filter(F.col("stripe_idx") % 2 != 0)
     statskeys.merge_statskey_delta(spark, wave1, tbl)

@@ -604,19 +604,30 @@ ORDER BY doc_a, doc_b
 def _expand_member_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
-    payload: str,
+    payload,
     within_value,
 ) -> DataFrame:
     """Reconstruct the member-pair relation from class-representative
     pairs — EXACTLY (identical text ⇒ identical signature ⇒ identical
     bands, so every member inherits its class's collisions verbatim):
-    cross-class pairs join ``rep_pairs (tsig_a, tsig_b, payload)`` to the
-    membership table on each side (ordered by least/greatest doc id);
-    within-class pairs are a tsig-keyed self-join carrying
-    ``within_value`` (identical docs collide everywhere by definition —
-    no banding needed to know it). The quadratic-in-multiplicity part is
-    thereby confined to OUTPUT-writing joins; the band bucket join above
-    it sees one row per distinct text, never per copy."""
+    cross-class pairs join ``rep_pairs (tsig_a, tsig_b, *payload)`` to
+    the membership table on each side (ordered by least/greatest doc id);
+    within-class pairs are a tsig-keyed self-join carrying the aligned
+    ``within_value`` columns (identical docs collide everywhere by
+    definition — no banding needed to know it). The
+    quadratic-in-multiplicity part is thereby confined to OUTPUT-writing
+    joins; the band bucket join above it sees one row per distinct text,
+    never per copy. ``payload`` is a column name or a list of them
+    (r10: the recall gate expands three verdict columns through the SAME
+    helper as the near-dup listings, so the reconstruction cannot
+    drift)."""
+    payloads = [payload] if isinstance(payload, str) else list(payload)
+    withins = (
+        list(within_value)
+        if isinstance(within_value, (list, tuple))
+        else [within_value]
+    )
+    assert len(payloads) == len(withins)
     ma = members.select(
         F.col("tsig").alias("tsig_a"), F.col("doc_id").alias("da")
     )
@@ -629,7 +640,7 @@ def _expand_member_pairs(
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
-            payload,
+            *payloads,
         )
     )
     x, y = members.alias("x"), members.alias("y")
@@ -640,7 +651,7 @@ def _expand_member_pairs(
     ).select(
         F.col("x.doc_id").alias("doc_a"),
         F.col("y.doc_id").alias("doc_b"),
-        within_value.alias(payload),
+        *[w.alias(p) for p, w in zip(payloads, withins)],
     )
     return cross.unionByName(within)
 
@@ -976,50 +987,31 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_caught",
     ).filter(F.col("truly_similar") | F.col("lsh_caught"))
     # expand by multiplicity at report time only: class pairs -> member
-    # pairs (the _expand_member_pairs discipline, three payload columns)
+    # pairs through the SAME helper as the near-dup listings (three
+    # payload columns; within-class pairs are (1.0, true, true) by
+    # identity)
     rep_map = classes.select(F.col("doc_id").alias("rep"), "tsig")
-    members = sigs.select("doc_id", "tsig")
-    rp = cls_report.join(
-        rep_map.select(
-            F.col("rep").alias("doc_a"), F.col("tsig").alias("tsig_a")
-        ),
-        "doc_a",
-    ).join(
-        rep_map.select(
-            F.col("rep").alias("doc_b"), F.col("tsig").alias("tsig_b")
-        ),
-        "doc_b",
-    )
-    ma = members.select(
-        F.col("tsig").alias("tsig_a"), F.col("doc_id").alias("da")
-    )
-    mb = members.select(
-        F.col("tsig").alias("tsig_b"), F.col("doc_id").alias("db")
-    )
-    cross = (
-        rp.join(ma, "tsig_a")
-        .join(mb, "tsig_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-            "truly_similar",
-            "lsh_caught",
+    rp = (
+        cls_report.join(
+            rep_map.select(
+                F.col("rep").alias("doc_a"), F.col("tsig").alias("tsig_a")
+            ),
+            "doc_a",
         )
+        .join(
+            rep_map.select(
+                F.col("rep").alias("doc_b"), F.col("tsig").alias("tsig_b")
+            ),
+            "doc_b",
+        )
+        .select("tsig_a", "tsig_b", "jaccard", "truly_similar", "lsh_caught")
     )
-    x, y = members.alias("x"), members.alias("y")
-    within = x.join(
-        y,
-        (F.col("x.tsig") == F.col("y.tsig"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
-    ).select(
-        F.col("x.doc_id").alias("doc_a"),
-        F.col("y.doc_id").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
-        F.lit(True).alias("truly_similar"),
-        F.lit(True).alias("lsh_caught"),
+    return _expand_member_pairs(
+        rp,
+        sigs.select("doc_id", "tsig"),
+        ["jaccard", "truly_similar", "lsh_caught"],
+        [F.lit(1.0), F.lit(True), F.lit(True)],
     )
-    return cross.unionByName(within)
 
 
 #: the (bands x rows-per-band) splits of the k=8 signature the sweep rates.

@@ -801,7 +801,14 @@ def stripe_column_stats_key_rows(file_name: str, data: bytes) -> list[dict]:
         for cid, spans in sorted(by_col.items()):
             key = None
             if cid < len(cst):
-                key = f"c{cid}:" + _orc_stats_key([cst[cid]])
+                # the column id alone is a weak discriminator (ORC column
+                # ids are positional, and our walker does not decode the
+                # schema's names the way the parquet twin's path does) —
+                # carry the stripe's column COUNT so same-position columns
+                # of different-width tables can never stats-collide; a
+                # residual same-width coincidence stays SOUND (a futile
+                # hash candidate, never a wrong prune)
+                key = f"c{cid}/{len(cst)}:" + _orc_stats_key([cst[cid]])
             h = hashlib.md5()
             total = 0
             for start, size in spans:
@@ -967,9 +974,11 @@ def orc_stats_pruned_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture truth in ``_COLPRUNE_ROWS``).
 
     Scale shape: the fallback set derives from the region probe's misses
-    (an anti-join), columns parse in the same one-task-per-file walk, and
-    the probes are the same two equi-joins — nothing here reads data
-    bytes except candidate column spans, which is the point."""
+    (an anti-join), BOTH granularities parse in one level-tagged
+    binaryFile pass per directory (lazily checkpointed, so each file's
+    bytes are read and footer-walked once), and the probes are the same
+    two equi-joins — nothing here reads data bytes except candidate
+    column spans, which is the point."""
     from columnar_aware_dedup_spark.sources.orcfixtures import (
         orc_fixture_dirs,
         orc_strmod_incoming_dir,
@@ -977,15 +986,20 @@ def orc_stats_pruned_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
     strmod_dir = orc_strmod_incoming_dir(sf_dir)
-    inc_cols = stripe_column_stats_key_table(
-        spark, incoming_dir
-    ).unionByName(stripe_column_stats_key_table(spark, strmod_dir))
+    inc = (
+        orc_two_level_table(spark, incoming_dir)
+        .unionByName(orc_two_level_table(spark, strmod_dir))
+        .localCheckpoint(eager=False)
+    )
+    store = orc_two_level_table(spark, store_dir).localCheckpoint(
+        eager=False
+    )
     return stats_pruned_certificate(
         _column_fallback_probe(
-            _orc_incoming_stats(spark, sf_dir, incoming_dir),
-            stripe_stats_key_table(spark, store_dir),
-            inc_cols,
-            stripe_column_stats_key_table(spark, store_dir),
+            inc.filter(F.col("level") == "region").drop("level"),
+            store.filter(F.col("level") == "region").drop("level"),
+            inc.filter(F.col("level") == "column").drop("level"),
+            store.filter(F.col("level") == "column").drop("level"),
         )
     )
 
@@ -999,9 +1013,9 @@ def parquet_stats_pruned_columns(
     rule: every scan-side discipline ships in both formats; the
     reference's parquet mode is ``parquet/dedup/
     NaiveParquetChunkingAlgorithm.java``). Same fallback-set derivation,
-    same probe, same certificate; the column-chunk spans and raw-payload
-    stats keys come from OUR Thrift-compact walker — pyarrow appears
-    nowhere in the claim path."""
+    same probe, same certificate, same one-pass two-granularity scan; the
+    column-chunk spans and raw-payload stats keys come from OUR
+    Thrift-compact walker — pyarrow appears nowhere in the claim path."""
     from columnar_aware_dedup_spark.sources.orcfixtures import (
         parquet_fixture_dirs,
         parquet_strmod_incoming_dir,
@@ -1009,16 +1023,73 @@ def parquet_stats_pruned_columns(
 
     store_dir, incoming_dir = parquet_fixture_dirs(sf_dir)
     strmod_dir = parquet_strmod_incoming_dir(sf_dir)
-    inc_cols = parquet_cc_stats_key_table(spark, incoming_dir).unionByName(
-        parquet_cc_stats_key_table(spark, strmod_dir)
+    inc = (
+        parquet_two_level_table(spark, incoming_dir)
+        .unionByName(parquet_two_level_table(spark, strmod_dir))
+        .localCheckpoint(eager=False)
+    )
+    store = parquet_two_level_table(spark, store_dir).localCheckpoint(
+        eager=False
     )
     return stats_pruned_certificate(
         _column_fallback_probe(
-            _parquet_incoming_stats(spark, sf_dir, incoming_dir),
-            parquet_rg_stats_key_table(spark, store_dir),
-            inc_cols,
-            parquet_cc_stats_key_table(spark, store_dir),
+            inc.filter(F.col("level") == "region").drop("level"),
+            store.filter(F.col("level") == "region").drop("level"),
+            inc.filter(F.col("level") == "column").drop("level"),
+            store.filter(F.col("level") == "column").drop("level"),
         )
+    )
+
+
+_TWO_LEVEL_SCHEMA = T.StructType(
+    [*_PRUNE_SCHEMA.fields, T.StructField("level", T.StringType(), False)]
+)
+
+
+def _two_level_table(
+    spark: SparkSession, path: str, glob: str, region_rows, column_rows
+) -> DataFrame:
+    """ONE binaryFile scan emitting BOTH granularities, level-tagged —
+    the column-fallback certificates need region rows (for the fallback
+    set) AND column rows for the same directories, and two separate
+    scans read and footer-walk every file's bytes twice (r10 review).
+    Callers checkpoint and filter on ``level``."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _TWO_LEVEL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                data = bytes(content)
+                rows.extend(
+                    {**r, "level": "region"} for r in region_rows(name, data)
+                )
+                rows.extend(
+                    {**r, "level": "column"} for r in column_rows(name, data)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_batches, _TWO_LEVEL_SCHEMA)
+
+
+def orc_two_level_table(spark: SparkSession, path: str) -> DataFrame:
+    return _two_level_table(
+        spark, path, "*.orc", stripe_stats_key_rows,
+        stripe_column_stats_key_rows,
+    )
+
+
+def parquet_two_level_table(spark: SparkSession, path: str) -> DataFrame:
+    return _two_level_table(
+        spark, path, "*.parquet", parquet_rg_stats_key_rows,
+        parquet_cc_stats_key_rows,
     )
 
 

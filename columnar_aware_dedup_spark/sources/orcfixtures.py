@@ -77,6 +77,48 @@ LINKED_SCHEMA = T.StructType(
 # fixture materialization (driver-side, cached)
 # ---------------------------------------------------------------------------
 
+def _in_a_sql(od: str) -> str:
+    """The snapshot-A membership predicate — ONE copy, so the four-file
+    workload and the string-perturbed extra file can never disagree on
+    what snapshot A is."""
+    return (
+        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
+        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
+    )
+
+
+def _published_fixture_dir(sf_dir: str, cache_name: str, build_fn) -> str:
+    """Build-once atomic fixture cache under the system temp dir, keyed by
+    ``cache_name``: each builder writes into its OWN ``mkdtemp`` directory
+    (a shared ``base + ".tmp"`` let two concurrent first builds interleave
+    writes into the same files and publish a corrupt cache behind a valid
+    _SUCCESS marker), and ``os.replace`` publishes whole directories — the
+    losing racer's finished tree is discarded, never merged. ONE copy of
+    the publish protocol for every fixture family."""
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        cache_name,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        return base
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        prefix=os.path.basename(base) + ".", dir=os.path.dirname(base)
+    )
+    build_fn(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()  # travels with rename
+    try:
+        os.replace(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            raise
+    return base
+
+
 def _snapshot_fixture_dirs(
     sf_dir: str, cache_name: str, ext: str, write_fn
 ) -> tuple[str, str]:
@@ -88,69 +130,49 @@ def _snapshot_fixture_dirs(
     brand-new content (an orders projection — full miss). ONE copy of the
     workload definition so the ORC report and its parquet twin can never
     desynchronize on what "the same workload in two formats" means.
-
-    Cached under the system temp dir keyed by ``cache_name``; built once,
-    atomically: each builder writes into its OWN ``mkdtemp`` directory (a
-    shared ``base + ".tmp"`` let two concurrent first builds interleave
-    writes into the same files and publish a corrupt cache behind a valid
-    _SUCCESS marker), and ``os.replace`` publishes whole directories — the
-    losing racer's finished tree is discarded, never merged.
+    Published atomically through :func:`_published_fixture_dir`.
     """
-    import shutil
-
     import duckdb
 
-    base = os.path.join(
-        tempfile.gettempdir(), cache_name, os.path.basename(os.path.normpath(sf_dir))
-    )
-    store, incoming = os.path.join(base, "store"), os.path.join(base, "incoming")
-    if os.path.exists(os.path.join(base, "_SUCCESS")):
-        return store, incoming
+    def _build(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "store"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
+        con = duckdb.connect()
+        li = f"read_parquet('{sf_dir}/lineitem.parquet')"
+        od = f"read_parquet('{sf_dir}/orders.parquet')"
+        in_a = _in_a_sql(od)
+        sort = "ORDER BY l_orderkey, l_linenumber"
 
-    os.makedirs(os.path.dirname(base), exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=os.path.basename(base) + ".", dir=os.path.dirname(base))
-    os.makedirs(os.path.join(tmp, "store"), exist_ok=True)
-    os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
-    con = duckdb.connect()
-    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
-    od = f"read_parquet('{sf_dir}/orders.parquet')"
-    in_a = (
-        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
-        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
-    )
-    sort = "ORDER BY l_orderkey, l_linenumber"
+        def _write(sql: str, rel_path: str) -> None:
+            write_fn(con.execute(sql).arrow(), os.path.join(tmp, rel_path))
 
-    def _write(sql: str, rel_path: str) -> None:
-        write_fn(con.execute(sql).arrow(), os.path.join(tmp, rel_path))
+        # store: snapshot A
+        _write(
+            f"SELECT * FROM {li} WHERE {in_a} {sort}", f"store/lineitem.{ext}"
+        )
+        # incoming 1: snapshot B, append layout (A's rows first, same sort)
+        # so A's stripes/row-groups are byte-identical prefixes -> hits.
+        _write(
+            f"SELECT * FROM {li} ORDER BY (CASE WHEN {in_a} THEN 0 ELSE 1"
+            " END), l_orderkey, l_linenumber",
+            f"incoming/lineitem.{ext}",
+        )
+        # incoming 2: one column perturbed -> that column misses, others hit.
+        _write(
+            f"SELECT * REPLACE (l_partkey + 7 AS l_partkey) FROM {li}"
+            f" WHERE {in_a} {sort}",
+            f"incoming/lineitem_mod.{ext}",
+        )
+        # incoming 3: brand-new content -> full miss.
+        _write(
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM "
+            f"{od} ORDER BY o_orderkey",
+            f"incoming/orders_new.{ext}",
+        )
+        con.close()
 
-    # store: snapshot A
-    _write(f"SELECT * FROM {li} WHERE {in_a} {sort}", f"store/lineitem.{ext}")
-    # incoming 1: snapshot B, append layout (A's rows first, same sort) so
-    # A's stripes/row-groups are byte-identical prefixes -> structural hits.
-    _write(
-        f"SELECT * FROM {li} ORDER BY (CASE WHEN {in_a} THEN 0 ELSE 1 END), "
-        "l_orderkey, l_linenumber",
-        f"incoming/lineitem.{ext}",
-    )
-    # incoming 2: one column perturbed -> that column misses, others hit.
-    _write(
-        f"SELECT * REPLACE (l_partkey + 7 AS l_partkey) FROM {li} WHERE {in_a} {sort}",
-        f"incoming/lineitem_mod.{ext}",
-    )
-    # incoming 3: brand-new content -> full miss.
-    _write(
-        f"SELECT o_orderkey, o_custkey, o_totalprice FROM {od} ORDER BY o_orderkey",
-        f"incoming/orders_new.{ext}",
-    )
-    con.close()
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()  # marker travels with the rename
-    try:
-        os.replace(tmp, base)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
-        if not os.path.exists(os.path.join(base, "_SUCCESS")):
-            raise
-    return store, incoming
+    base = _published_fixture_dir(sf_dir, cache_name, _build)
+    return os.path.join(base, "store"), os.path.join(base, "incoming")
 
 
 def orc_fixture_dirs(sf_dir: str) -> tuple[str, str]:
@@ -216,45 +238,29 @@ def _strmod_incoming_dir(
     fallback recover the unperturbed columns as signature hits. Kept in
     its OWN cache dir (not the four-file snapshot workload) so the many
     structural queries globbing the main incoming dir are untouched.
-    Same atomic mkdtemp + os.replace publish as the main builder."""
-    import shutil
-
+    Snapshot-A membership and the atomic publish come from the SAME
+    single-copy helpers as the main builder (:func:`_in_a_sql`,
+    :func:`_published_fixture_dir`), so the strmod file cannot
+    desynchronize from the store it must byte-match column-for-column."""
     import duckdb
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        cache_name,
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    incoming = os.path.join(base, "incoming")
-    if os.path.exists(os.path.join(base, "_SUCCESS")):
-        return incoming
-    os.makedirs(os.path.dirname(base), exist_ok=True)
-    tmp = tempfile.mkdtemp(
-        prefix=os.path.basename(base) + ".", dir=os.path.dirname(base)
-    )
-    os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
-    con = duckdb.connect()
-    li = f"read_parquet('{sf_dir}/lineitem.parquet')"
-    od = f"read_parquet('{sf_dir}/orders.parquet')"
-    in_a = (
-        f"l_orderkey IN (SELECT o_orderkey FROM {od} "
-        f"WHERE o_orderdate < TIMESTAMP '{_CUTOFF}')"
-    )
-    tbl = con.execute(
-        "SELECT * REPLACE (replace(l_returnflag, 'A', 'B') AS l_returnflag)"
-        f" FROM {li} WHERE {in_a} ORDER BY l_orderkey, l_linenumber"
-    ).arrow()
-    write_fn(tbl, os.path.join(tmp, "incoming", f"lineitem_strmod.{ext}"))
-    con.close()
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    try:
-        os.replace(tmp, base)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(base, "_SUCCESS")):
-            raise
-    return incoming
+    def _build(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "incoming"), exist_ok=True)
+        con = duckdb.connect()
+        li = f"read_parquet('{sf_dir}/lineitem.parquet')"
+        od = f"read_parquet('{sf_dir}/orders.parquet')"
+        tbl = con.execute(
+            "SELECT * REPLACE (replace(l_returnflag, 'A', 'B')"
+            f" AS l_returnflag) FROM {li} WHERE {_in_a_sql(od)}"
+            " ORDER BY l_orderkey, l_linenumber"
+        ).arrow()
+        write_fn(
+            tbl, os.path.join(tmp, "incoming", f"lineitem_strmod.{ext}")
+        )
+        con.close()
+
+    base = _published_fixture_dir(sf_dir, cache_name, _build)
+    return os.path.join(base, "incoming")
 
 
 def orc_strmod_incoming_dir(sf_dir: str) -> str:

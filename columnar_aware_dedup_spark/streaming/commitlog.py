@@ -52,13 +52,17 @@ _LOCATION_CACHE: dict[str, str] = {}
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
+    """Memoized catalog-location lookup — one resolver repo-wide (wraps
+    ``sources/store.py::_store_location``, which pads-strips the DESCRIBE
+    row and raises a named error, so the two cannot drift); the returned
+    plain path resolves to a pyarrow LocalFileSystem locally and to the
+    scheme-matched filesystem elsewhere."""
+    from columnar_aware_dedup_spark.sources.store import _store_location
+
     key = f"{spark.conf.get('spark.sql.warehouse.dir')}::{table.lower()}"
     loc = _LOCATION_CACHE.get(key)
     if loc is None:
-        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-        loc = next(
-            r["data_type"] for r in rows if r["col_name"] == "Location"
-        )
+        loc = _store_location(spark, table)
         _LOCATION_CACHE[key] = loc
     return loc
 

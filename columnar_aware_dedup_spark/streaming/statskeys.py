@@ -12,9 +12,14 @@ Shape: the pqcodes/doc-vector pattern — ONE plain table whose rows are
 per-(file, region) independent, so a single consuming append is the whole
 transaction and no cross-table commit protocol is needed: a crash loses
 only the un-appended batch, and the replay's anti-join sees exactly the
-pre-crash state. Idempotence keys on (file_name, stripe_idx): at-least-
-once delivery of a file's regions can never double-insert them, and the
-zero-rows replay is what the parity certificate asserts.
+pre-crash state. Idempotence keys on the FULL row (file_name, stripe_idx,
+stats_key, signature): at-least-once delivery of a file's regions can
+never double-insert them (the zero-rows replay is what the parity
+certificate asserts), while two DISTINCT store files that happen to share
+a basename still index — their signatures differ, so their rows do. The
+degenerate remainder (same name, same region index, same bytes) is a
+true duplicate whose drop is invisible to the probe: serving reads only
+the stats-key and signature SETS.
 
 At 100 TB the table is tiny relative to the data it indexes (one short
 row per stripe/row group — footer metadata only) and can be bucketed by
@@ -57,9 +62,10 @@ def merge_statskey_delta(
     doc has the single-append crash-safety argument)."""
     from pyspark.sql import functions as F
 
+    key = ["file_name", "stripe_idx", "stats_key", "signature"]
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
-        seen = spark.table(table_name).select("file_name", "stripe_idx")
+        seen = spark.table(table_name).select(*key)
         # dropDuplicates: intra-batch replay guard (the maintainer
         # discipline — a region twice in one batch would double-insert
         # before the anti-join could see it); localCheckpoint, NOT
@@ -67,8 +73,8 @@ def merge_statskey_delta(
         # appends to, and an insert invalidates caches over it (the
         # merge_bm25_delta lesson).
         fresh = (
-            rows.dropDuplicates(["file_name", "stripe_idx"])
-            .join(seen, ["file_name", "stripe_idx"], "left_anti")
+            rows.dropDuplicates(key)
+            .join(seen, key, "left_anti")
             .localCheckpoint(eager=True)
         )
         n = fresh.count()

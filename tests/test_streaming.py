@@ -1481,13 +1481,17 @@ def test_marker_append_is_atomic_and_dotfile_invisible(spark):
     a torn parquet footer can never poison the commits read."""
     import os
 
+    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
     from columnar_aware_dedup_spark.streaming.commitlog import (
         _table_location,
         append_marker_row,
     )
 
     tbl = "test_marker_atomic"
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # drop_table_and_dir, not bare DROP: a prior run's planted dot-file
+    # keeps the managed location alive after DROP TABLE, and re-creating
+    # over an existing location is a LOCATION_ALREADY_EXISTS error
+    drop_table_and_dir(spark, tbl)
     spark.createDataFrame([], "attempt_id string").write.format(
         "parquet"
     ).mode("overwrite").saveAsTable(tbl)

@@ -115,9 +115,14 @@ def main() -> int:
             print(f"== R{k}")
             print("  added:  ", sorted(new - old))
             print("  removed:", sorted(old - new))
-    with open("/tmp/rotation_plan.json", "w") as fh:
+    import tempfile
+
+    fd, path = tempfile.mkstemp(
+        prefix="rotation_plan_", suffix=".json", dir=REPO
+    )
+    with os.fdopen(fd, "w") as fh:
         json.dump({str(k): plan[k] for k in plan}, fh, indent=1)
-    print("plan written to /tmp/rotation_plan.json")
+    print(f"plan written to {path}")
     return 0
 
 
