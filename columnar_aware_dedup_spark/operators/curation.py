@@ -989,10 +989,26 @@ def passage_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation ``passage_split`` ids/signs and ``passage_near_dup``
     shingles — one copy of the window/stride arithmetic, so the two queries
     cannot desynchronize on passage boundaries."""
+    return passage_tokens_of(normalized(spark, sf_dir))
+
+
+def passage_tokens_of(docs: DataFrame) -> DataFrame:
+    """:func:`passage_tokens` over one BATCH of documents-schema rows —
+    the form the passage-postings index maintainer folds deltas through
+    (``streaming/bm25.py::merge_passage_bm25_delta``): a delta arrives as
+    a DataFrame, not a directory, so the window arithmetic must apply to
+    any frame carrying (doc_id, text). The corpus-path wrapper above
+    delegates here, keeping the ONE copy rule intact. Accepts frames that
+    already carry the ``toks`` array (the ``normalized`` shape) and
+    derives it otherwise."""
+    from columnar_aware_dedup_spark.operators.text import _NORM_SPARK
+
     w, s = _PASSAGE_W, _PASSAGE_S
-    d = normalized(spark, sf_dir).select(
-        "doc_id", "toks", F.size("toks").alias("n")
-    )
+    if "toks" not in docs.columns:
+        docs = docs.withColumn(
+            "toks", F.split(F.expr(_NORM_SPARK), " ")
+        )
+    d = docs.select("doc_id", "toks", F.size("toks").alias("n"))
     n_last = F.when(
         F.col("n") <= w, F.lit(0)
     ).otherwise(F.expr(f"(n - {w} + {s - 1}) div {s}"))

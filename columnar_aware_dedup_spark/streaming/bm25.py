@@ -72,6 +72,46 @@ def merge_bm25_delta(
     (the commits semi-join), so a caller that just initialized the tables
     empty (the parity certificates) or batches reclaim to one final sweep
     loses space-accounting, never correctness."""
+    return _merge_bm25(
+        spark, docs, table_name, sweep, batch_bm25_postings, doc_lengths,
+        ("doc_id",),
+    )
+
+
+def merge_passage_bm25_delta(
+    spark: SparkSession, docs: DataFrame, table_name: str, sweep: bool = True
+) -> int:
+    """:func:`merge_bm25_delta` for the PASSAGE index
+    (``retrieval.write_passage_bm25_index``'s layout, r11): the delta
+    unit stays the DOCUMENT — a doc's passages derive from its text
+    alone, so they land (or replay away) atomically with it, and the
+    idempotence anti-join keys on doc_id against the passage registry's
+    doc_id column. Postings/registry rows carry the widened
+    (doc_id, passage_idx) key; the stats partials are passage-scoped."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        batch_passage_bm25_postings,
+        passage_lengths_of,
+    )
+
+    return _merge_bm25(
+        spark, docs, table_name, sweep, batch_passage_bm25_postings,
+        passage_lengths_of, ("doc_id", "passage_idx"),
+    )
+
+
+def _merge_bm25(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_name: str,
+    sweep: bool,
+    postings_of,
+    lengths_of,
+    keys: tuple[str, ...],
+) -> int:
+    """The one commit-protocol merge behind both granularities — the
+    layouts differ only in the item key the builders emit, so the
+    protocol (manifest first, attempt-tagged appends, marker commit
+    last) and the replay discipline are written once."""
     import uuid
 
     def _refresh_all() -> None:
@@ -111,9 +151,9 @@ def merge_bm25_delta(
 
         record_attempt(spark, table_name + "_attempts", attempt)
         tag = F.lit(attempt).alias("attempt_id")
-        registry_delta = doc_lengths(fresh).select("doc_id", "dl", tag)
-        batch_bm25_postings(fresh).select(
-            "term", "doc_id", "tf", "dl", tag
+        registry_delta = lengths_of(fresh).select(*keys, "dl", tag)
+        postings_of(fresh).select(
+            "term", *keys, "tf", "dl", tag
         ).write.format("parquet").mode("append").insertInto(table_name)
         registry_delta.write.format("parquet").mode("append").insertInto(
             table_name + "_docs"

@@ -288,13 +288,12 @@ def test_doc_lengths_null_text_is_zero_not_minus_one(spark):
 
 
 def test_passage_rrf_fusion_and_index_twin(spark, sf_dir, tmp_path):
-    """The passage-level hybrid (r09, unregistered — the rotation is
-    seat-saturated; the doc-level hybrid holds the driver row): fusion
-    through the SAME generalized fuse_rrf tail must produce a top-20
-    with both list ranks populated somewhere, and serving the dense list
-    from the persisted cell-partitioned passage index must be
-    result-identical (the index holds exactly the passage_hash_vectors
-    rows)."""
+    """The passage-level hybrid: fusion through the SAME generalized
+    fuse_rrf tail must produce a top-20 with both list ranks populated
+    somewhere, and serving BOTH lists from persisted indexes (r11: the
+    term-bucketed passage BM25 postings + the cell-partitioned passage
+    IVF index) must be result-identical — the fully-index-served shape
+    the doc-level ``rrf_from_index`` established, one level down."""
     from columnar_aware_dedup_spark.operators import retrieval, search
 
     fused = retrieval.passage_rrf_fusion(spark, sf_dir)
@@ -308,8 +307,65 @@ def test_passage_rrf_fusion_and_index_twin(spark, sf_dir, tmp_path):
 
     path = str(tmp_path / "prrf_ivf")
     search.write_passage_ivf_index(spark, sf_dir, path)
-    served = retrieval.passage_rrf_from_index(spark, sf_dir, path).collect()
+    retrieval.write_passage_bm25_index(spark, sf_dir, "test_prrf_bm25")
+    served = retrieval.passage_rrf_from_index(
+        spark, "test_prrf_bm25", path
+    ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, rows))
+
+
+def test_passage_bm25_index_serving_is_result_identical(spark, sf_dir):
+    """The passage BM25 index must serve the exact same top-20 as the
+    registered in-plan passage ranking, with the doc-level serving plan's
+    properties intact at passage granularity: the searched terms' buckets
+    are the only postings read and the ranking is a TakeOrdered heap."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        passage_bm25_from_index,
+        passage_bm25_topk,
+        write_passage_bm25_index,
+    )
+    from columnar_aware_dedup_spark.plans import explain
+    from tests.conftest import rows_equal
+
+    write_passage_bm25_index(spark, sf_dir, "pbm25_idx_test")
+    served = passage_bm25_from_index(spark, "pbm25_idx_test")
+    plan = explain.plan_string(served, "formatted")
+    assert explain.n_exchanges(served) <= 2, plan
+    assert explain.has_take_ordered(served), plan
+    assert "SelectedBucketsCount: 3 out of 8" in plan, plan
+    assert rows_equal(served, passage_bm25_topk(spark, sf_dir))
+
+
+def test_passage_bm25_fold_parity(spark, sf_dir):
+    """The passage index's streaming fold (two waves + replay-zero) must
+    converge to the genesis-built index: served top-20 identical to the
+    in-plan passage ranking, and the wave-1 replay indexes zero docs
+    (tf/N/avgdl are additive at passage scope too — a double-count would
+    shift every served score permanently)."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.io import table as _table
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        init_passage_bm25_tables,
+        passage_bm25_from_index,
+        passage_bm25_topk,
+    )
+    from columnar_aware_dedup_spark.streaming.bm25 import (
+        merge_passage_bm25_delta,
+    )
+    from tests.conftest import rows_equal
+
+    tbl = "test_pbm25_fold"
+    init_passage_bm25_tables(spark, tbl)
+    docs = _table(spark, sf_dir, "documents")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 != 0)
+    assert merge_passage_bm25_delta(spark, wave1, tbl, sweep=False) > 0
+    assert merge_passage_bm25_delta(spark, wave1, tbl, sweep=False) == 0
+    assert merge_passage_bm25_delta(spark, wave2, tbl, sweep=False) > 0
+    assert rows_equal(
+        passage_bm25_from_index(spark, tbl), passage_bm25_topk(spark, sf_dir)
+    )
 
 
 def test_doc_fuse_rrf_key_generalization_is_identity(spark, sf_dir):
