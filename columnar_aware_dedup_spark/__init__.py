@@ -35,6 +35,7 @@ from columnar_aware_dedup_spark.operators import pca  # noqa: F401
 from columnar_aware_dedup_spark.operators import retrieval  # noqa: F401
 from columnar_aware_dedup_spark.operators import streaming_parity  # noqa: F401
 from columnar_aware_dedup_spark.operators import zonemap  # noqa: F401
+from columnar_aware_dedup_spark.operators import drift  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import cdc  # noqa: F401
@@ -929,6 +930,19 @@ ROTATION_R10: list[str] = [
 #: CORRECTNESS_r10; rounds 8+ re-derive against the real archives before
 #: activating, the same contract as ROTATION_R8..R10.
 ROTATION_R11: list[str] = [
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "orc_hierarchical_dedup",
+    "orc_hierarchical_pruned",
+    "orc_linked_reconstruction",
+    "orc_stats_census_drift",
+    "orc_stats_pruned_columns",
+    "passage_rrf_from_index",
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
+    "streaming_statsprune_columns_parity",
+    "streaming_statsprune_parity",
+    "streaming_statsprune_parquet_parity",
     "cluster_aware_split",
     "correlated_subquery",
     "doc_ngram_novelty",
@@ -936,17 +950,6 @@ ROTATION_R11: list[str] = [
     "event_funnel",
     "event_gapfill_locf",
     "file_parse_overhead",
-    "intersect_all",
-    "join_full_outer",
-    "join_left",
-    "json_extract",
-    "like_rlike_pred",
-    "limit_offset",
-    "null_fns",
-    "orderby_limit_topk",
-    "pandas_udf_grouped_agg",
-    "pandas_udf_scalar",
-    "percentile_disc_median",
     "pii_redaction",
     "pivot_agg",
     "posexplode_tokens",
@@ -955,12 +958,6 @@ ROTATION_R11: list[str] = [
     "q14_promo_effect",
     "q19_bracketed_or",
     "sequence_pack",
-    # r09 re-pack (simulator-derived): the four r06-row holders displaced
-    # from ROTATION_R9 by the r09 registrations land here — overdue at
-    # newest=10, and the R10∪R11 envelope admits this window. They take
-    # the seats of set_union / string_fns / transfer_stats_rollup_approx /
-    # window_first_last (r08 rows, next overdue at newest=12 — re-seated
-    # in ROTATION_R13, inside the R12∪R13 envelope).
     "ivf_train_kmeans",
     "multimodal_audio_features",
     "stratified_sample",
@@ -969,29 +966,10 @@ ROTATION_R11: list[str] = [
     "substring_dedup_apply",
     "substring_dedup_delta",
     "substring_dedup_ranges",
-    # the three r06-row re-seats the batch-7 cascade displaced from
-    # ROTATION_R10 (overdue at newest=9 → R10∪R11 envelope; R11 membership
-    # covers it). They take the seats of math_fns / q11_important_stock /
-    # union_all_counts (r07 rows, overdue at newest=10 → R11∪R12
-    # envelope), which re-seat in ROTATION_R12.
     "parquet_file_chunks",
     "parquet_reconstruction",
-    # (semantic_dedup's seat here became redundant when its
-    # schema-changed rule seated it in R9; the fifth r09 evictee,
-    # multimodal_dedup_report, takes it — overdue at newest=10, inside
-    # the R10∪R11 envelope. semantic_dedup's next deadline moved to a
-    # ROTATION_R14 seat.)
     "multimodal_dedup_report",
-    # fills: alphabetically-first r08-window rows so freshness keeps
-    # cycling, plus inverted_index_search (r06 row, displaced from R9 by
-    # the flagship's re-seat — due again once CORRECTNESS_r09 lands, which
-    # is exactly when this window's freshness test arms)
     "inverted_index_search",
-    # --- r10 re-pack: the twelve fills displaced from ROTATION_R10 by
-    # the r10 registrations + schema-changed + rewritten seats land here
-    # (their r07/r08 rows stay inside the overdue envelopes); they take
-    # the seats of twelve holders with later deadlines, which re-seat in
-    # ROTATION_R12 (simulator-verified).
     "ann_ivf_nprobe_topk",
     "ann_ivfpq_topk",
     "ann_recall_report",
@@ -1003,7 +981,6 @@ ROTATION_R11: list[str] = [
     "dedup_savings_by_source",
     "doc_length_outliers",
     "edit_distance_verify",
-    # r10-late cascade (simulator-derived single swap):
     "embedding_prototypicality",
 ]
 
@@ -1018,6 +995,19 @@ ROTATION_R11: list[str] = [
 #: real archives before activating — the same contract as R8..R11; the
 #: conditional freshness test arms on CORRECTNESS_r11.
 ROTATION_R12: list[str] = [
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "intersect_all",
+    "join_full_outer",
+    "join_left",
+    "json_extract",
+    "like_rlike_pred",
+    "limit_offset",
+    "null_fns",
+    "orderby_limit_topk",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "percentile_disc_median",
     "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
@@ -1030,35 +1020,12 @@ ROTATION_R12: list[str] = [
     "passage_split",
     "streaming_spans_parity",
     "streaming_store_parity",
-    # corpus_shuffle / decontaminate_ngram_overlap re-seated here after
-    # yielding their ROTATION_R10 slots to the r08 displacement cascade:
-    # their r07 rows go overdue at newest=10, and R12 sits inside that
-    # R11∪R12 envelope. They take the seats of cube_agg /
-    # q3_shipping_priority, whose ROTATION_R8 seats refresh them to r08
-    # rows (next overdue at newest=11, covered by the windows a later
-    # round prepares).
     "corpus_shuffle",
     "decontaminate_ngram_overlap",
-    # r09 re-pack (simulator-derived): domain_mix_sample displaced from
-    # ROTATION_R9 by the r09 registrations lands here (r07 row, overdue
-    # at newest=11 — the R11∪R12 envelope admits this window); it takes
-    # the seat of embedding_near_dup_pairs (r08 row, next overdue at
-    # newest=12 — re-seated in ROTATION_R15's required set).
     "domain_mix_sample",
-    # the r07-row trio the batch-7 cascade displaced from ROTATION_R11
-    # (overdue at newest=10 → R11∪R12 envelope; R12 membership covers
-    # it). They take the seats of embedding_norm_stats /
-    # embedding_pca_project / grouped_percentile, whose batch-7 R10
-    # re-seats refresh them to r10 rows (next overdue at newest=13,
-    # covered by the windows a later round prepares).
     "math_fns",
     "q11_important_stock",
     "union_all_counts",
-    "event_sliding_window",
-    "event_watermark_filter",
-    "having_filter",
-    "join_anti",
-    "join_inner",
     "join_semi",
     "multimodal_decode",
     "multimodal_frame_sample",
@@ -1066,48 +1033,19 @@ ROTATION_R12: list[str] = [
     "naive_bayes_source_classify",
     "ngram_containment_pairs",
     "pmi_collocations",
-    # corpus_report / date_fns re-seated here by the r08 batch-2 cascade
-    # (r07 rows, overdue at newest=10 — R12 sits inside the R11∪R12
-    # envelope). They take the seats of q5_local_supplier /
-    # range_join_bands, whose ROTATION_R8 seats refresh them to r08 rows
-    # (next overdue at newest=11, covered by later-prepared windows).
     "corpus_report",
     "date_fns",
-    # event_tumbling_window re-seated by the r08 batch-3 cascade (r07 row,
-    # overdue at newest=10 — inside the R11∪R12 envelope); it takes the
-    # seat of source_mix_kl, whose ROTATION_R8 seat refreshes it to an r08
-    # row (next overdue at newest=11, covered by later-prepared windows).
     "event_tumbling_window",
-    # except_all re-seated by the r08 batch-4 cascade (r07 row, overdue at
-    # newest=10 — inside the R11∪R12 envelope); takes the seat of
-    # stats_agg, whose ROTATION_R8 seat refreshes it to an r08 row.
     "except_all",
-    # filter_pred re-seated by the r08 batch-5 cascade (r07 row, overdue
-    # at newest=10 — inside the R11∪R12 envelope); takes the seat of
-    # token_vocab_hll, whose ROTATION_R8 seat refreshes it to an r08 row.
     "filter_pred",
-    # grouped_percentile_approx re-seated by the r08 batch-6 cascade (r07
-    # row, overdue at newest=10 — inside the R11∪R12 envelope); takes the
-    # seat of token_heavy_hitters_cms, whose ROTATION_R8 seat refreshes it
-    # to an r08 row.
     "grouped_percentile_approx",
     "source_overlap_matrix",
     "token_zipf_slope",
-    # --- r10 re-pack: the twelve holders displaced from ROTATION_R11
-    # land here; they take the seats of twelve R12 fills with later
-    # deadlines, which re-seat in ROTATION_R13 (simulator-verified).
-    "ann_pq_topk",
-    "asof_join",
-    "bigram_logprob_score",
-    "cast_fns",
-    "file_inventory",
-    "minhash_recall_report",
     "rollup_agg",
     "row_signature",
     "scan_project",
     "set_except",
     "set_intersect",
-    # r10-late cascade:
     "grouping_sets_agg",
 ]
 
@@ -1119,6 +1057,19 @@ ROTATION_R12: list[str] = [
 #: projected (r09) rows, alphabetical. Exactly-50/uniqueness/coverage
 #: enforced by the same test family as ROTATION_R9..R12.
 ROTATION_R13: list[str] = [
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "event_sliding_window",
+    "event_watermark_filter",
+    "file_inventory",
+    "having_filter",
+    "join_anti",
+    "join_inner",
+    "minhash_recall_report",
     "cdc_dedup_report_parquet",
     "cube_agg",
     "parquet_zone_map_pruning",
@@ -1134,17 +1085,8 @@ ROTATION_R13: list[str] = [
     "streaming_pq_parity",
     "token_heavy_hitters_cms",
     "token_vocab_hll",
-    "dedup_hit_miss",
     "distinct_count",
     "doc_hash_embedding",
-    # r09 re-pack (simulator-derived): the bm25/cross-format/hybrid trio's
-    # SECOND driver rows land here — their r08 rows go overdue at
-    # newest=12 and the R12∪R13 envelope, which R14 (their old seat)
-    # cannot satisfy, is exactly what the r08 RESIDUE_ALLOWLIST excused;
-    # this retires that allowlist to empty. They take the seats of
-    # domain_mix_sample (refreshed by its R12 re-seat) and
-    # pipeline_curate / pq_train_codebooks (r09-refreshed via their R9
-    # seats, next overdue at newest=13 — re-seated in ROTATION_R14).
     "bm25_doc_ranking",
     "cross_format_dedup",
     "hybrid_rrf_fusion",
@@ -1154,12 +1096,6 @@ ROTATION_R13: list[str] = [
     "event_dedup_first",
     "event_session_window",
     "groupby_sum_count",
-    # r09 re-pack: the four r08-row holders displaced from ROTATION_R11
-    # by the evicted-R9 re-seats land here (overdue at newest=12 —
-    # R12∪R13 envelope); they take the seats the four r06-row evictees
-    # held (refreshed by their new R11 seats, so these R13 seats were
-    # the redundant half of the swap — their next deadline moves to
-    # ROTATION_R15's required set).
     "window_first_last",
     "transfer_stats_rollup_approx",
     "string_fns",
@@ -1170,24 +1106,9 @@ ROTATION_R13: list[str] = [
     "near_dup_pagerank",
     "ngram_jaccard_pairs",
     "orc_file_chunks",
-    "orc_hierarchical_dedup",
-    # --- r10 re-pack: the twelve holders displaced from ROTATION_R12
-    # land here; they take the seats of eleven R13 fills plus
-    # streaming_sketch_parity (now refreshed by its REWRITTEN R10 seat),
-    # which re-seat in ROTATION_R14 (simulator-verified).
     "ann_pq_recall",
-    "bpe_train_merges",
-    "dedup_hierarchical",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "doc_quality_score",
-    "doc_token_stats",
-    "embedding_cosine_topk",
     "event_anomaly_zscore",
     "event_hypertable_rollup",
-    # r10-late cascade:
-    "lsh_parameter_sweep",
 ]
 
 #: r14 rotation (PREPARED six ahead, derived in r08 session 3 BY THE
@@ -1204,13 +1125,20 @@ ROTATION_R13: list[str] = [
 #: after any edit; the conditional freshness test arms on
 #: CORRECTNESS_r13.
 ROTATION_R14: list[str] = [
-    # k=13-deadline demand: the r09 registrations' second driver rows
-    # (their R9 rows go overdue at newest=13; R13 is full of the same
-    # cascade) and the pipeline_curate / pq_train_codebooks pair the
-    # bm25-trio promotion displaced from R13
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "bpe_train_merges",
+    "dedup_hierarchical",
+    "dedup_hit_miss",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "lsh_parameter_sweep",
+    "orc_hierarchical_dedup",
     "orc_stats_pruned_dedup",
-    "streaming_bm25_parity",
-    "streaming_rrf_parity",
     "pipeline_curate",
     "pq_train_codebooks",
     "q18_large_volume",
@@ -1229,32 +1157,15 @@ ROTATION_R14: list[str] = [
     "window_lag_frame",
     "window_ntile_dist",
     "window_rank",
-    # fills: oldest predicted rows (r10-window members due again by 15),
-    # alphabetical within equal age
-    "embedding_pca_project",
-    "grouped_percentile",
-    "image_ahash_near_dup",
-    "image_ahash_signature",
-    "lang_id_heuristic",
-    "line_dedup_corpus",
     "minhash_near_dup",
     "minhash_signature",
     "near_dup_cluster_stats",
-    "orc_linked_reconstruction",
     "orc_reconstruction",
     "perplexity_bucket_report",
     "pipeline_dedup_all",
     "q13_customer_distribution",
-    # (q15_top_supplier / q16_parts_supplier_cnt / q17_small_qty_revenue
-    # / q20_part_promotion yielded their fill seats to the r09 cascades
-    # and re-seat in ROTATION_R15)
-    # the r09 schema-changed re-seat's SECOND row (overdue at newest=13
-    # after its R9 refresh) and the parquet pruner twin's second row:
     "semantic_dedup",
     "parquet_stats_pruned_dedup",
-    # --- r10 re-pack: the twelve holders displaced from ROTATION_R13
-    # land here; they take the seats of twelve R14 fills with later
-    # deadlines, which re-seat in ROTATION_R15 (simulator-verified).
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_sq8_topk",
@@ -1265,10 +1176,7 @@ ROTATION_R14: list[str] = [
     "col_type_stats",
     "dedup_bloom_prefilter",
     "dedup_exact_rows",
-    "multimodal_dedup_report",
     "streaming_sketch_parity",
-    # r10-late cascade:
-    "ann_ivf_nprobe_topk",
 ]
 
 #: r15 rotation (PREPARED six ahead, derived in r09 BY THE SIMULATOR'S
@@ -1284,7 +1192,19 @@ ROTATION_R14: list[str] = [
 #: at round 15 (R16 is round 10's derivation). Rounds 10+ re-derive
 #: before activating, the same contract as R9..R14.
 ROTATION_R15: list[str] = [
-    # newest=14-deadline demand (not holdable by R14)
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "ann_ivf_nprobe_topk",
+    "embedding_pca_project",
+    "grouped_percentile",
+    "image_ahash_near_dup",
+    "image_ahash_signature",
+    "lang_id_heuristic",
+    "line_dedup_corpus",
+    "multimodal_dedup_report",
+    "orc_linked_reconstruction",
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
     "embedding_near_dup_pairs",
     "multimodal_audio_features",
     "q17_small_qty_revenue",
@@ -1298,37 +1218,16 @@ ROTATION_R15: list[str] = [
     "simhash64_signature",
     "simhash_band_near_dup",
     "tfidf_top_terms",
-    # fills: oldest projected rows (r11-window members due again by 16),
-    # alphabetical
-    "join_full_outer",
-    "join_left",
-    "json_extract",
-    "like_rlike_pred",
-    "limit_offset",
-    "null_fns",
-    "orderby_limit_topk",
-    "pandas_udf_grouped_agg",
-    "pandas_udf_scalar",
     "parquet_file_chunks",
     "parquet_reconstruction",
-    "percentile_disc_median",
     "pii_redaction",
     "pivot_agg",
     "posexplode_tokens",
     "q10_returned_item",
     "q12_priority_class",
     "q14_promo_effect",
-    # (q19_bracketed_or / rollup_agg yielded their fill seats to the
-    # late-r09 cascade — their r11-projected rows join the round-15
-    # horizon edge, i.e. ROTATION_R16's derivation demand)
     "q15_top_supplier",
     "q16_parts_supplier_cnt",
-    # --- r10 re-pack: the twelve holders displaced from ROTATION_R14
-    # land here, plus the five r10 registrations' SECOND driver rows
-    # (their R10 rows go overdue at newest=14); they take the seats of
-    # seventeen R15 fills, which re-seat in ROTATION_R16
-    # (simulator-verified).
-    "ann_recall_report",
     "audio_fingerprint_near_dup",
     "audio_fingerprint_signature",
     "cohort_retention",
@@ -1343,7 +1242,6 @@ ROTATION_R15: list[str] = [
     "passage_bm25_scores",
     "passage_rrf_from_index",
     "passage_rrf_fusion",
-    # r10-late cascade (+ the 9th family's second driver row):
     "embedding_prototypicality",
     "streaming_statsprune_parity",
 ]
@@ -1359,7 +1257,23 @@ ROTATION_R15: list[str] = [
 #: derivation). Rounds 10+ re-derive before activating, the same
 #: contract as R9..R15.
 ROTATION_R16: list[str] = [
-    # newest=15-deadline demand (not holdable by R15)
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "ann_recall_report",
+    "join_full_outer",
+    "join_left",
+    "json_extract",
+    "like_rlike_pred",
+    "limit_offset",
+    "null_fns",
+    "orc_hierarchical_pruned",
+    "orc_stats_census_drift",
+    "orderby_limit_topk",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "percentile_disc_median",
+    "streaming_statsprune_columns_parity",
+    "streaming_statsprune_parquet_parity",
     "q19_bracketed_or",
     "rollup_agg",
     "row_signature",
@@ -1373,48 +1287,26 @@ ROTATION_R16: list[str] = [
     "substring_dedup_apply",
     "substring_dedup_delta",
     "substring_dedup_ranges",
-    # fills: oldest projected rows (r12-window members), alphabetical
-    "cdc_file_chunks",
-    "corpus_report",
-    "corpus_shuffle",
-    "date_fns",
-    "decontaminate_ngram_overlap",
     "domain_mix_sample",
-    "event_sliding_window",
     "event_tumbling_window",
-    "event_watermark_filter",
     "except_all",
     "filter_pred",
     "grouped_percentile_approx",
-    "having_filter",
     "hot_span_census",
-    "join_anti",
-    "join_inner",
     "join_semi",
     "math_fns",
     "multimodal_decode",
     "multimodal_frame_sample",
-    # --- r10 re-pack: the seventeen holders displaced from ROTATION_R15
-    # land here (including minhash_recall_report / lsh_parameter_sweep's
-    # second post-rewrite rows); they take the seats of seventeen R16
-    # fills, which re-seat in the newly derived ROTATION_R17
-    # (simulator-verified).
-    "asof_join",
-    "bigram_logprob_score",
-    "cast_fns",
     "cluster_aware_split",
     "correlated_subquery",
     "doc_ngram_novelty",
     "doc_repetition_score",
     "event_funnel",
     "event_gapfill_locf",
-    "file_inventory",
     "file_parse_overhead",
     "intersect_all",
     "inverted_index_search",
     "ivf_train_kmeans",
-    "minhash_recall_report",
-    # r10-late cascade:
     "ann_ivfpq_topk",
     "grouping_sets_agg",
 ]
@@ -1430,19 +1322,28 @@ ROTATION_R16: list[str] = [
 #: the edge at 17 (R18 = round 11's derivation). Rounds 11+ re-derive
 #: before activating, the same contract as R9..R16.
 ROTATION_R17: list[str] = [
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "cdc_file_chunks",
+    "corpus_report",
+    "corpus_shuffle",
+    "date_fns",
+    "decontaminate_ngram_overlap",
+    "event_sliding_window",
+    "event_watermark_filter",
+    "file_inventory",
+    "having_filter",
+    "join_anti",
+    "join_inner",
+    "minhash_recall_report",
     "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
     "balanced_sample_exact_k",
-    "bpe_train_merges",
     "cdc_dedup_report",
-    "dedup_hierarchical",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "doc_quality_score",
-    "doc_token_stats",
-    "embedding_cosine_topk",
     "event_anomaly_zscore",
     "event_hypertable_rollup",
     "multimodal_scene_cuts",
@@ -1458,11 +1359,6 @@ ROTATION_R17: list[str] = [
     "streaming_store_parity",
     "token_zipf_slope",
     "union_all_counts",
-    "bm25_doc_ranking",
-    "cdc_dedup_report_parquet",
-    "cross_format_dedup",
-    "cube_agg",
-    "dedup_hit_miss",
     "distinct_count",
     "doc_hash_embedding",
     "dsir_gumbel_resample",
@@ -1478,9 +1374,6 @@ ROTATION_R17: list[str] = [
     "near_dup_pagerank",
     "ngram_jaccard_pairs",
     "orc_file_chunks",
-    # r10-late cascade:
-    "ann_pq_topk",
-    "lsh_parameter_sweep",
 ]
 
 
@@ -1495,7 +1388,23 @@ ROTATION_R17: list[str] = [
 #: derivation). Rounds 11+ re-derive before activating, the same
 #: contract as R9..R17.
 ROTATION_R18: list[str] = [
-    "ann_ivf_nprobe_topk",
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "ann_pq_topk",
+    "bm25_doc_ranking",
+    "bpe_train_merges",
+    "cdc_dedup_report_parquet",
+    "cross_format_dedup",
+    "cube_agg",
+    "dedup_hierarchical",
+    "dedup_hit_miss",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_quality_score",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "lsh_parameter_sweep",
     "ann_pq_recall",
     "orc_hierarchical_dedup",
     "parquet_zone_map_pruning",
@@ -1515,27 +1424,13 @@ ROTATION_R18: list[str] = [
     "token_vocab_hll",
     "transfer_stats_rollup_approx",
     "window_first_last",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_sq8_topk",
-    "approx_distinct",
-    "bpe_segment_corpus",
-    "chunk_simulate",
     "cluster_quality_keeper",
     "col_type_stats",
     "dedup_bloom_prefilter",
     "dedup_exact_rows",
-    "embedding_pca_project",
-    "grouped_percentile",
-    "image_ahash_near_dup",
-    "image_ahash_signature",
-    "lang_id_heuristic",
-    "line_dedup_corpus",
     "minhash_near_dup",
     "minhash_signature",
-    "multimodal_dedup_report",
     "near_dup_cluster_stats",
-    "orc_linked_reconstruction",
     "orc_reconstruction",
     "orc_stats_pruned_dedup",
     "parquet_stats_pruned_dedup",
@@ -1547,6 +1442,66 @@ ROTATION_R18: list[str] = [
     "q18_large_volume",
 ]
 
+#: r19 rotation (horizon window, derived r11 by the repair
+#: solver): the staleness-ordered fill after the r11 demand
+#: cascade; re-derive against the real archives before
+#: activating, the ROTATION_R8+ contract.
+ROTATION_R19: list[str] = [
+    # (re-packed r11 by tools/repair_rotation.py from the real
+    # archives; simulator-verified — see the R11 comment block)
+    "ann_ivf_nprobe_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "approx_distinct",
+    "bpe_segment_corpus",
+    "chunk_simulate",
+    "embedding_pca_project",
+    "grouped_percentile",
+    "image_ahash_near_dup",
+    "image_ahash_signature",
+    "lang_id_heuristic",
+    "line_dedup_corpus",
+    "multimodal_dedup_report",
+    "orc_linked_reconstruction",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "salted_groupby",
+    "semantic_dedup",
+    "simhash_hamming_pairs",
+    "simhash_signature",
+    "small_chunk_policy",
+    "streaming_sketch_parity",
+    "text_exact_dedup",
+    "text_normalize",
+    "token_count_bpe",
+    "token_topk",
+    "transfer_stats_rollup",
+    "transfer_stats_taxonomy",
+    "window_lag_frame",
+    "window_ntile_dist",
+    "window_rank",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
+    "cohort_retention",
+    "corpus_split",
+    "crawl_admission_report",
+    "dedup_savings_by_source",
+    "doc_length_outliers",
+    "edit_distance_verify",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "embedding_prototypicality",
+    "multimodal_audio_features",
+    "orc_stats_pruned_columns",
+    "parquet_file_chunks",
+    "parquet_reconstruction",
+    "parquet_stats_pruned_columns",
+    "passage_bm25_scores",
+    "passage_rrf_from_index",
+]
+
+
 #: queries whose OUTPUT CONTRACT (schema or semantics) changed since
 #: their newest driver row, keyed by the round whose window must re-check
 #: them (VERDICT r08 "Next round" #3: the r08 cap fix reshaped
@@ -1556,9 +1511,12 @@ ROTATION_R18: list[str] = [
 #: r09: semantic_dedup (n_cells_capped column, r08) and passage_near_dup
 #: (pair-class collapse, r09). r10: both stats-pruned dedup certificates
 #: gained the string-perturbed fixture row.
+#: r11: streaming_statsprune_parity gained the served_from_index guard
+#: bit (its oracle changed with it).
 SCHEMA_CHANGED: dict[int, list[str]] = {
     9: ["semantic_dedup", "passage_near_dup"],
     10: ["orc_stats_pruned_dedup", "parquet_stats_pruned_dedup"],
+    11: ["streaming_statsprune_parity"],
 }
 
 #: queries whose IMPLEMENTATION was rewritten materially since their
@@ -1583,12 +1541,32 @@ REWRITTEN: dict[int, list[str]] = {
         "streaming_rrf_parity",
         "streaming_sketch_parity",
     ],
+    # r11: the passage hybrid's registered row now serves its lexical
+    # list from the persisted passage postings (plan rewrite, same
+    # oracle); the BM25 parity rows run the merge through the
+    # key-generalized _merge_bm25 core (parameter-identity refactor —
+    # listed defensively, same rule as r10's shared-helper consumers);
+    # the two linked-chunk consumers run the schema-extended walk
+    # (stats_key fields, NULL on their path); orc_stats_pruned_columns'
+    # incoming derivation moved into the shared
+    # orc_strmod_two_level_incoming helper.
+    11: [
+        "passage_rrf_from_index",
+        "streaming_bm25_parity",
+        "streaming_rrf_parity",
+        "orc_hierarchical_dedup",
+        "orc_linked_reconstruction",
+        "orc_stats_pruned_columns",
+    ],
 }
 
-# r10: the prepared window goes ACTIVE after the simulator's repair run
-# re-packed it (see the R10 comment block) — the 18 r05-stale rows, the
-# five r10 registrations, the two schema-changed and the rewritten
-# re-seats.
-registry.reorder(ROTATION_R10)
+# r11: the prepared window goes ACTIVE after the repair solver re-packed
+# it against the real r01-r10 archives — the four r11 registrations
+# (streaming_statsprune_parquet/columns_parity, orc_hierarchical_pruned,
+# orc_stats_census_drift), the schema-changed statsprune row, the six
+# REWRITTEN re-seats, and the overdue r06/r07-row set; the displaced
+# fills cascade through R12-R18 and the new R19 horizon window
+# (simulator-verified green through R18).
+registry.reorder(ROTATION_R11)
 
 __all__ = ["registry"]

@@ -345,3 +345,46 @@ def read_stripe_column_stats(
             cols.append(stat)
         stripes.append(cols)
     return stripes
+
+
+#: the per-column ORC statistics fields the stats-pruning key serializes —
+#: every family :func:`read_stripe_column_stats` parses (moved here from
+#: ``operators/zonemap.py`` in r11 so the linked s+p chunker can attach
+#: keys without a sources -> operators import cycle; ``!r`` rendering
+#: keeps string bounds unambiguous and None/float renderings
+#: deterministic).
+ORC_STATS_KEY_FIELDS = (
+    "n_values",
+    "int_min",
+    "int_max",
+    "dbl_min",
+    "dbl_max",
+    "str_min",
+    "str_max",
+    "dec_min",
+    "dec_max",
+    "ts_min",
+    "ts_max",
+)
+
+
+def orc_stats_key(cols: list[dict]) -> str:
+    """Serialize one stripe's per-column statistics vector into the
+    stats-pruning key (identical bytes => identical rows => identical
+    statistics, so a key mismatch proves a signature mismatch — the
+    soundness direction ``operators/zonemap.py`` certifies)."""
+    return "|".join(
+        ":".join(repr(c.get(f)) for f in ORC_STATS_KEY_FIELDS) for c in cols
+    )
+
+
+def orc_column_stats_key(cols: list[dict], cid: int) -> str | None:
+    """The per-COLUMN stats key (column id + stripe column count + that
+    column's statistics vector — the id alone is positional, so the
+    count keeps same-position columns of different-width tables from
+    colliding; a residual same-width coincidence stays sound: a futile
+    hash candidate, never a wrong prune). None when the stripe carries
+    no statistics for the column (never pruned)."""
+    if cid >= len(cols):
+        return None
+    return f"c{cid}/{len(cols)}:" + orc_stats_key([cols[cid]])

@@ -976,39 +976,28 @@ _PASSAGE_BM25_TABLE_SPECS: dict[str, tuple[str, bool]] = {
 }
 
 
-def passage_lengths_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, passage_idx, dl) for one batch of documents-schema rows —
-    the passage registry: EVERY passage gets a row (dl=0 ones carry no
-    postings but count into the corpus size idf reads, exactly the
-    ``doc_lengths`` contract one level down)."""
+def passage_bm25_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, registry) for one batch of documents-schema rows —
+    the passage twin of (:func:`batch_bm25_postings`,
+    :func:`doc_lengths`) built over ONE lazily-checkpointed
+    ``passage_tokens_of`` frame (the tokenize + window derivation is the
+    batch's dominant cost; computing it per consumer tripled the build,
+    r11 A/B). Postings are the dl-denormalized inverted file
+    ``(term, doc_id, passage_idx, tf, dl)``; the registry keys EVERY
+    passage (dl=0 ones carry no postings but count into the corpus size
+    idf reads, exactly the doc-level contract)."""
     from columnar_aware_dedup_spark.operators.curation import (
         passage_tokens_of,
     )
 
-    return passage_tokens_of(docs).select(
+    pt = passage_tokens_of(docs).localCheckpoint(eager=False)
+    registry = pt.select(
         "doc_id",
         "passage_idx",
         F.expr("size(filter(ptoks, t -> t != ''))").cast("long").alias("dl"),
     )
-
-
-def batch_passage_bm25_postings(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, passage_idx, tf, dl) for one batch of
-    documents-schema rows — the passage twin of
-    :func:`batch_bm25_postings` (dl-denormalized inverted file over the
-    SHARED ``passage_tokens_of`` window derivation, so the index and the
-    in-plan query cannot disagree on what a passage is)."""
-    from columnar_aware_dedup_spark.operators.curation import (
-        passage_tokens_of,
-    )
-
-    pt = passage_tokens_of(docs)
-    dl = pt.select(
-        "doc_id",
-        "passage_idx",
-        F.expr("size(filter(ptoks, t -> t != ''))").cast("long").alias("dl"),
-    ).filter(F.col("dl") > 0)
-    return (
+    dl = registry.filter(F.col("dl") > 0)
+    postings = (
         pt.select("doc_id", "passage_idx", F.explode("ptoks").alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term", "doc_id", "passage_idx")
@@ -1016,6 +1005,7 @@ def batch_passage_bm25_postings(docs: DataFrame) -> DataFrame:
         .join(dl, ["doc_id", "passage_idx"])
         .select("term", "doc_id", "passage_idx", "tf", "dl")
     )
+    return postings, registry
 
 
 def init_passage_bm25_tables(
@@ -1038,17 +1028,22 @@ def write_passage_bm25_index(
     list was the one serving path still recomputing corpus text per
     query): the doc-level layout of :func:`write_bm25_index` with the
     item key widened to (doc_id, passage_idx), written through the SAME
-    genesis path (commit protocol, term bucketing, no df table —
-    serving derives df from the pruned postings scan)."""
+    genesis path (commit protocol, term bucketing, no df table) from the
+    ONE checkpointed frames derivation (:func:`passage_bm25_frames`).
+    Genesis-as-first-merge was A/B'd SLOWER at sf0.1 (4.0 vs 3.2 s): the
+    merge's registry anti-join + eager checkpoint + count cost more than
+    the drop/create it saves, so the build keeps the genesis twin."""
     from columnar_aware_dedup_spark.io import table
 
-    docs = table(spark, sf_dir, "documents")
+    postings, registry = passage_bm25_frames(
+        table(spark, sf_dir, "documents")
+    )
     _write_bm25_genesis(
         spark,
         table_name,
         _PASSAGE_BM25_TABLE_SPECS,
-        batch_passage_bm25_postings(docs),
-        passage_lengths_of(docs),
+        postings,
+        registry,
         _PASSAGE_KEYS,
         n_buckets,
     )

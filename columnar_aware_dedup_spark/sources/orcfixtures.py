@@ -42,6 +42,8 @@ from pyspark.sql import types as T
 
 from columnar_aware_dedup_spark.functions.orcmeta import (
     column_spans,
+    orc_column_stats_key,
+    orc_stats_key,
     read_orc_structure,
 )
 from columnar_aware_dedup_spark.registry import register
@@ -57,6 +59,10 @@ _SUB_SCHEMA = T.StructType(
         T.StructField("start", T.LongType(), False),
         T.StructField("size", T.LongType(), False),
         T.StructField("signature", T.StringType(), False),
+        # r11: the per-column stats-pruning key (populated only when the
+        # walk is asked for keys — ``with_stats_keys``; NULL otherwise and
+        # for non-column subchunks, which are never pruned)
+        T.StructField("stats_key", T.StringType(), True),
     ]
 )
 
@@ -69,6 +75,9 @@ LINKED_SCHEMA = T.StructType(
         T.StructField("size", T.LongType(), False),
         T.StructField("signature", T.StringType(), False),
         T.StructField("subchunks", T.ArrayType(_SUB_SCHEMA), True),
+        # r11: the stripe-level stats-pruning key (same population rule as
+        # the subchunk field)
+        T.StructField("stats_key", T.StringType(), True),
     ]
 )
 
@@ -294,31 +303,55 @@ def parquet_strmod_incoming_dir(sf_dir: str) -> str:
 # linked chunker (pure function over bytes)
 # ---------------------------------------------------------------------------
 
-def chunk_orc_stripes_linked(data: bytes) -> list[dict]:
+def chunk_orc_stripes_linked(
+    data: bytes, with_stats_keys: bool = False
+) -> list[dict]:
     """ORC file -> stripe chunks with subchunk arrays + Footer + Regular.
 
     Stripe signature = md5 over the stripe's *data region* (the s+p probe
     hash); subchunks = index stream, per-column data spans, stripe footer —
     each with its own span signature. Covers [0, len) exactly (gap chunks are
     Regular), so reassembly is concatenation.
+
+    ``with_stats_keys=True`` (r11) additionally attaches the stats-pruning
+    keys from the SAME footer walk the zone-map family certifies
+    (``functions/orcmeta.py::orc_stats_key`` / ``orc_column_stats_key``):
+    the stripe chunk carries its per-column statistics-vector key, each
+    column subchunk its per-column key — what the metadata-pruned
+    hierarchical probe (``orc_hierarchical_pruned``) decides hash-or-skip
+    from. Off by default so the other linked-chunk consumers' walks are
+    byte-for-byte what they were (every emitted field is then NULL).
     """
     s = read_orc_structure(data)
+    stripe_stats: list[list[dict]] = []
+    if with_stats_keys:
+        from columnar_aware_dedup_spark.functions.orcmeta import (
+            read_stripe_column_stats,
+        )
+
+        stripe_stats = read_stripe_column_stats(data)
 
     def sig(start: int, size: int) -> str:
         return hashlib.md5(data[start : start + size]).hexdigest()
 
     chunks: list[dict] = []
     pos = 0
-    for st in s.stripes:
+    for stripe_idx, st in enumerate(s.stripes):
+        cst = (
+            stripe_stats[stripe_idx]
+            if stripe_idx < len(stripe_stats)
+            else []
+        )
         if st.offset > pos:
             chunks.append(
                 {"chunk_type": "Regular", "start": pos, "size": st.offset - pos,
-                 "signature": sig(pos, st.offset - pos), "subchunks": None}
+                 "signature": sig(pos, st.offset - pos), "subchunks": None,
+                 "stats_key": None}
             )
         data_start = st.offset + st.index_length
         subs = [
             {"column_name": "index", "start": st.offset, "size": st.index_length,
-             "signature": sig(st.offset, st.index_length)}
+             "signature": sig(st.offset, st.index_length), "stats_key": None}
         ]
         # per-column data spans, gap-filled so the subchunks cover the data
         # region exactly (stream kinds we don't span become 'pad' subchunks) —
@@ -330,47 +363,56 @@ def chunk_orc_stripes_linked(data: bytes) -> list[dict]:
             if c_start > cover:
                 subs.append(
                     {"column_name": "pad", "start": cover, "size": c_start - cover,
-                     "signature": sig(cover, c_start - cover)}
+                     "signature": sig(cover, c_start - cover), "stats_key": None}
                 )
             subs.append(
                 {"column_name": f"col{cid}", "start": c_start, "size": c_size,
-                 "signature": sig(c_start, c_size)}
+                 "signature": sig(c_start, c_size),
+                 "stats_key": orc_column_stats_key(cst, cid) if cst else None}
             )
             cover = c_start + c_size
         ftr_start = data_start + st.data_length
         if ftr_start > cover:
             subs.append(
                 {"column_name": "pad", "start": cover, "size": ftr_start - cover,
-                 "signature": sig(cover, ftr_start - cover)}
+                 "signature": sig(cover, ftr_start - cover), "stats_key": None}
             )
         subs.append(
             {"column_name": "stripe_footer", "start": ftr_start,
-             "size": st.footer_length, "signature": sig(ftr_start, st.footer_length)}
+             "size": st.footer_length, "signature": sig(ftr_start, st.footer_length),
+             "stats_key": None}
         )
         total = st.index_length + st.data_length + st.footer_length
         chunks.append(
             {"chunk_type": "Stripe", "start": st.offset, "size": total,
              "signature": sig(data_start, st.data_length),
-             "subchunks": [c for c in subs if c["size"] > 0]}
+             "subchunks": [c for c in subs if c["size"] > 0],
+             "stats_key": orc_stats_key(cst) if cst else None}
         )
         pos = st.offset + total
     if s.footer_start > pos:
         chunks.append(
             {"chunk_type": "Regular", "start": pos, "size": s.footer_start - pos,
-             "signature": sig(pos, s.footer_start - pos), "subchunks": None}
+             "signature": sig(pos, s.footer_start - pos), "subchunks": None,
+             "stats_key": None}
         )
     chunks.append(
         {"chunk_type": "Footer", "start": s.footer_start,
          "size": s.file_length - s.footer_start,
          "signature": sig(s.footer_start, s.file_length - s.footer_start),
-         "subchunks": None}
+         "subchunks": None, "stats_key": None}
     )
     for i, c in enumerate(chunks):
         c["chunk_idx"] = i
     return chunks
 
 
-def linked_chunk_files(spark: SparkSession, path: str, glob: str = "*.orc") -> DataFrame:
+def linked_chunk_files(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.orc",
+    with_stats_keys: bool = False,
+) -> DataFrame:
     """binaryFile scan -> linked chunk table (one parse task per file)."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -378,7 +420,9 @@ def linked_chunk_files(spark: SparkSession, path: str, glob: str = "*.orc") -> D
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for c in chunk_orc_stripes_linked(bytes(content)):
+                for c in chunk_orc_stripes_linked(
+                    bytes(content), with_stats_keys=with_stats_keys
+                ):
                     rows.append({"file": path_, **c})
             yield pd.DataFrame(rows, columns=cols)
 
@@ -627,6 +671,227 @@ def orc_hierarchical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(True))
         .alias("hierarchy_ok"),
+    )
+
+
+def orc_hierarchical_pruned_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The s+p hierarchical probe CONSUMING the stats pruner at both
+    levels (r11, VERDICT r10 "Next round" #4: ``orc_hierarchical_dedup``
+    still hashed every column of a stripe-missed stripe, although the
+    column-level prune set was computable from the same footer walk):
+    the linked chunk walk now carries the stripe and per-column
+    statistics-vector keys (``chunk_orc_stripes_linked(with_stats_keys=
+    True)``), and each probe level marks, per item, whether a
+    metadata-only pruner would even hash it — ``cand`` = its stats key
+    matches SOME store key at that level, or it has no key (index/pad/
+    stripe-footer subchunks and file footers are never pruned). The
+    hit/miss accounting itself is UNCHANGED from
+    :func:`orc_hierarchical_dedup_full` (this audit hashes everything to
+    verify soundness; a production pruner hashes only candidates) — the
+    per-level parity is pytest-pinned. Mirrors the reference's fallback
+    flow (``orc/net/StripePlusColumnORCStreamer.java:130-209``) minus
+    the wasted hashes.
+
+    Returns per level: hits / misses / dedup_bytes / transfer_bytes
+    (identical to the unpruned rollup) + bytes_total / bytes_hashed
+    (candidates only) / dedup_bytes_pruned / n_unsound (pruned-but-hit —
+    must be zero)."""
+    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
+    store = linked_chunk_files(spark, store_dir, with_stats_keys=True)
+    incoming = linked_chunk_files(
+        spark, incoming_dir, with_stats_keys=True
+    )
+
+    store_stripe = store.filter(F.col("chunk_type") == "Stripe")
+    s_sigs = (
+        store_stripe.select("signature")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    s_keys = (
+        store_stripe.select("stats_key")
+        .filter(F.col("stats_key").isNotNull())
+        .distinct()
+        .withColumn("_cand", F.lit(1))
+    )
+    store_sub = store_stripe.select(
+        F.explode("subchunks").alias("s")
+    ).select(
+        F.col("s.signature").alias("signature"),
+        F.col("s.stats_key").alias("stats_key"),
+    )
+    sub_sigs = (
+        store_sub.select("signature").distinct().withColumn("_hit", F.lit(1))
+    )
+    sub_keys = (
+        store_sub.select("stats_key")
+        .filter(F.col("stats_key").isNotNull())
+        .distinct()
+        .withColumn("_cand", F.lit(1))
+    )
+    store_footer = (
+        store.filter(F.col("chunk_type") == "Footer")
+        .select("signature")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    cand = F.col("_cand").isNotNull() | F.col("stats_key").isNull()
+    hit = F.col("_hit").isNotNull()
+    inc_stripes = incoming.filter(F.col("chunk_type") == "Stripe")
+    stripe_probe = (
+        inc_stripes.join(s_sigs, "signature", "left")
+        .join(s_keys, "stats_key", "left")
+        .withColumn("hit", hit)
+        .withColumn("cand", cand)
+        .drop("_hit", "_cand")
+    )
+    sub_probe = (
+        stripe_probe.filter(~F.col("hit"))
+        .select("file", F.explode("subchunks").alias("s"))
+        .select(
+            "file",
+            F.col("s.signature").alias("signature"),
+            F.col("s.size").alias("size"),
+            F.col("s.stats_key").alias("stats_key"),
+        )
+        .join(sub_sigs, "signature", "left")
+        .join(sub_keys, "stats_key", "left")
+        .withColumn("hit", hit)
+        .withColumn("cand", cand)
+    )
+    footer_probe = (
+        incoming.filter(F.col("chunk_type") == "Footer")
+        .join(store_footer, "signature", "left")
+        .withColumn("hit", hit)
+        .withColumn("cand", F.lit(True))
+    )
+    leveled = (
+        stripe_probe.select(
+            F.lit("stripe").alias("level"), "size", "hit", "cand"
+        )
+        .unionByName(
+            sub_probe.select(
+                F.lit("column").alias("level"), "size", "hit", "cand"
+            )
+        )
+        .unionByName(
+            footer_probe.select(
+                F.lit("footer").alias("level"), "size", "hit", "cand"
+            )
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        leveled.groupBy("level")
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+            F.sum(F.when(~F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("misses"),
+            F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_bytes"),
+            F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("transfer_bytes"),
+            F.sum("size").cast("bigint").alias("bytes_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("cand"), F.col("size"))), zero
+            )
+            .cast("bigint")
+            .alias("bytes_hashed"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("hit") & F.col("cand"), F.col("size"))
+                ),
+                zero,
+            )
+            .cast("bigint")
+            .alias("dedup_bytes_pruned"),
+            F.sum(F.when(F.col("hit") & ~F.col("cand"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unsound"),
+        )
+        .orderBy("level")
+    )
+
+
+#: per-level truths of the pruned hierarchical workload: hit/miss bits
+#: and the accounting/hierarchy bits EXACTLY as ``ORC_HIER_ORACLE`` (the
+#: prune must change nothing), plus: no pruned item anywhere was a hit
+#: (soundness), the pruned path's dedup bytes equal the full probe's,
+#: and bytes hashed < bytes probed at the stripe level (appended/new/
+#: perturbed stripes prune) and the column level (the perturbed column
+#: and the different-table columns prune) — but NOT the footer level:
+#: file footers carry no statistics vector, a pruner must hash them all.
+ORC_HIER_PRUNED_ORACLE = """
+SELECT * FROM (VALUES
+  ('column', TRUE,  TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+  ('footer', FALSE, TRUE, TRUE, TRUE, TRUE, TRUE, FALSE),
+  ('stripe', TRUE,  TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
+  t(level, has_hits, has_misses, bytes_account_ok, hierarchy_ok,
+    prune_sound_ok, dedup_match_full_ok, hashed_lt_total_ok)
+ORDER BY level
+"""
+
+
+@register("orc_hierarchical_pruned", oracle=ORC_HIER_PRUNED_ORACLE)
+def orc_hierarchical_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-pruned s+p hierarchical probe, HASH-CHECKED (r11 —
+    the end-to-end integration VERDICT r10 "Next round" #4 asked for):
+    ``orc_hierarchical_dedup``'s per-level certificate bits UNCHANGED
+    (the prune alters no hit/miss outcome — per-level numeric parity
+    with the unpruned rollup is pytest-pinned in
+    ``tests/test_orc_queries.py``), plus three prune bits per level:
+    ``prune_sound_ok`` (nothing skipped was a hit), ``dedup_match_full_ok``
+    (candidates alone account for every dedup byte), and
+    ``hashed_lt_total_ok`` (the saving is real at the stripe AND column
+    levels; footers have no statistics, so their row restates FALSE —
+    the honest bound of metadata pruning). Raw numbers stay as
+    :func:`orc_hierarchical_pruned_full`."""
+    return hierarchical_pruned_bits(
+        orc_hierarchical_pruned_full(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    )
+
+
+def hierarchical_pruned_bits(full: DataFrame) -> DataFrame:
+    """The certificate bits from a per-level pruned rollup — factored so
+    the flip test (``tests/test_orc_queries.py::
+    test_hierarchical_pruned_bits_flip``) drives fabricated rollups
+    through the SAME derivation the registered query ships."""
+    stripe_transfer = (
+        full.filter(F.col("level") == "stripe")
+        .select(F.col("transfer_bytes").alias("stripe_transfer"))
+    )
+    return full.join(F.broadcast(stripe_transfer)).select(
+        "level",
+        (F.col("hits") > 0).alias("has_hits"),
+        (F.col("misses") > 0).alias("has_misses"),
+        (
+            ((F.col("hits") > 0) == (F.col("dedup_bytes") > 0))
+            & ((F.col("misses") > 0) == (F.col("transfer_bytes") > 0))
+        ).alias("bytes_account_ok"),
+        F.when(
+            F.col("level") == "column",
+            F.col("dedup_bytes") + F.col("transfer_bytes")
+            <= F.col("stripe_transfer"),
+        )
+        .otherwise(F.lit(True))
+        .alias("hierarchy_ok"),
+        (F.col("n_unsound") == 0).alias("prune_sound_ok"),
+        (F.col("dedup_bytes_pruned") == F.col("dedup_bytes")).alias(
+            "dedup_match_full_ok"
+        ),
+        (F.col("bytes_hashed") < F.col("bytes_total")).alias(
+            "hashed_lt_total_ok"
+        ),
     )
 
 

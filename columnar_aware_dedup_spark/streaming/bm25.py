@@ -73,7 +73,8 @@ def merge_bm25_delta(
     empty (the parity certificates) or batches reclaim to one final sweep
     loses space-accounting, never correctness."""
     return _merge_bm25(
-        spark, docs, table_name, sweep, batch_bm25_postings, doc_lengths,
+        spark, docs, table_name, sweep,
+        lambda d: (batch_bm25_postings(d), doc_lengths(d)),
         ("doc_id",),
     )
 
@@ -87,15 +88,16 @@ def merge_passage_bm25_delta(
     alone, so they land (or replay away) atomically with it, and the
     idempotence anti-join keys on doc_id against the passage registry's
     doc_id column. Postings/registry rows carry the widened
-    (doc_id, passage_idx) key; the stats partials are passage-scoped."""
+    (doc_id, passage_idx) key; the stats partials are passage-scoped and
+    both frames derive from the ONE checkpointed window derivation
+    (``retrieval.passage_bm25_frames``)."""
     from columnar_aware_dedup_spark.operators.retrieval import (
-        batch_passage_bm25_postings,
-        passage_lengths_of,
+        passage_bm25_frames,
     )
 
     return _merge_bm25(
-        spark, docs, table_name, sweep, batch_passage_bm25_postings,
-        passage_lengths_of, ("doc_id", "passage_idx"),
+        spark, docs, table_name, sweep, passage_bm25_frames,
+        ("doc_id", "passage_idx"),
     )
 
 
@@ -104,14 +106,15 @@ def _merge_bm25(
     docs: DataFrame,
     table_name: str,
     sweep: bool,
-    postings_of,
-    lengths_of,
+    frames_of,
     keys: tuple[str, ...],
 ) -> int:
     """The one commit-protocol merge behind both granularities — the
-    layouts differ only in the item key the builders emit, so the
-    protocol (manifest first, attempt-tagged appends, marker commit
-    last) and the replay discipline are written once."""
+    layouts differ only in the item key the ``frames_of`` builder emits
+    (one call -> (postings, registry), so a granularity whose two frames
+    share a derivation pays it once), while the protocol (manifest
+    first, attempt-tagged appends, marker commit last) and the replay
+    discipline are written once."""
     import uuid
 
     def _refresh_all() -> None:
@@ -151,8 +154,9 @@ def _merge_bm25(
 
         record_attempt(spark, table_name + "_attempts", attempt)
         tag = F.lit(attempt).alias("attempt_id")
-        registry_delta = lengths_of(fresh).select(*keys, "dl", tag)
-        postings_of(fresh).select(
+        postings, registry = frames_of(fresh)
+        registry_delta = registry.select(*keys, "dl", tag)
+        postings.select(
             "term", *keys, "tf", "dl", tag
         ).write.format("parquet").mode("append").insertInto(table_name)
         registry_delta.write.format("parquet").mode("append").insertInto(

@@ -40,17 +40,27 @@ _SCHEMA = (
     " signature string, data_size long"
 )
 
+#: the TWO-LEVEL index schema (r11): region AND column rows in one
+#: level-tagged table — exactly ``zonemap._TWO_LEVEL_SCHEMA``'s shape, so
+#: the maintained index can serve the column-fallback certificates (the
+#: fallback set derives from the region rows, the probe from the column
+#: rows, both read from the SAME maintained table).
+_SCHEMA2 = _SCHEMA + ", level string"
 
-def init_statskey_table(spark: SparkSession, table_name: str) -> str:
+
+def init_statskey_table(
+    spark: SparkSession, table_name: str, two_level: bool = False
+) -> str:
     """(Re-)create the EMPTY stats-key index table (truncate-in-place
     when the layout already matches, the ``init_bm25_tables`` re-init
-    discipline)."""
+    discipline). ``two_level=True`` creates the level-tagged layout."""
     from columnar_aware_dedup_spark.operators.retrieval import (
         _init_catalog_tables,
     )
 
     return _init_catalog_tables(
-        spark, table_name, {"": (_SCHEMA, False)}, 0, ""
+        spark, table_name,
+        {"": (_SCHEMA2 if two_level else _SCHEMA, False)}, 0, "",
     )
 
 
@@ -59,10 +69,15 @@ def merge_statskey_delta(
 ) -> int:
     """Idempotently fold one batch of per-region stats-key rows into the
     persisted index; returns the number of NEW regions appended (module
-    doc has the single-append crash-safety argument)."""
+    doc has the single-append crash-safety argument). Format- AND
+    granularity-agnostic (r11): the idempotence key is every column but
+    ``data_size`` — so the plain region layout keys on
+    (file, region, stats_key, signature) exactly as before, and the
+    two-level layout additionally keys on ``level`` (a stripe row and a
+    column row of the same stripe never collide)."""
     from pyspark.sql import functions as F
 
-    key = ["file_name", "stripe_idx", "stats_key", "signature"]
+    key = [c for c in rows.columns if c != "data_size"]
     with store_lock(spark, table_name):
         spark.catalog.refreshTable(table_name)
         seen = spark.table(table_name).select(*key)
@@ -80,12 +95,13 @@ def merge_statskey_delta(
         n = fresh.count()
         if not n:
             return 0
-        fresh.select(
-            "file_name",
-            "stripe_idx",
-            "stats_key",
-            "signature",
-            F.col("data_size").cast("long"),
-        ).write.format("parquet").mode("append").insertInto(table_name)
+        # insertInto is positional: select in the TABLE's column order.
+        cols = [
+            F.col(c).cast("long") if c == "data_size" else F.col(c)
+            for c in spark.table(table_name).columns
+        ]
+        fresh.select(*cols).write.format("parquet").mode(
+            "append"
+        ).insertInto(table_name)
         spark.catalog.refreshTable(table_name)
         return n

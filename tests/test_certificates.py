@@ -99,11 +99,31 @@ CERT_FLIP_TESTS = {
         "test_stats_pruned_bits_flip",
     ),
     # the 9th streaming family serves the SAME certificate derivation
-    # from the maintained table; its maintainer's replay-zero claim is
-    # separately pinned by test_statskey_merge_idempotent_and_dup_guarded.
+    # from the maintained table (test_stats_pruned_bits_flip covers those
+    # bits); the r11 served_from_index guard bit has its own flip test,
+    # registered here for all three legs. The maintainer's replay-zero
+    # claim is separately pinned by
+    # test_statskey_merge_idempotent_and_dup_guarded (+ the two-level
+    # twin).
     "streaming_statsprune_parity": (
+        "tests.test_streaming",
+        "test_statsprune_served_bit_flips_on_inplan_substitute",
+    ),
+    "streaming_statsprune_parquet_parity": (
+        "tests.test_streaming",
+        "test_statsprune_served_bit_flips_on_inplan_substitute",
+    ),
+    "streaming_statsprune_columns_parity": (
+        "tests.test_streaming",
+        "test_statsprune_served_bit_flips_on_inplan_substitute",
+    ),
+    # (orc_hierarchical_pruned's VALUES-style oracle sits outside this
+    # guard's TRUE-AS derivation, like orc_hierarchical_dedup's; its flip
+    # test is tests/test_orc_queries.py::test_hierarchical_pruned_bits_flip.)
+    # r11: the pinned-census numeric drift gate.
+    "orc_stats_census_drift": (
         "tests.test_zonemap",
-        "test_stats_pruned_bits_flip",
+        "test_census_drift_bits_flip",
     ),
     "parquet_zone_map_pruning": (
         "tests.test_zonemap",

@@ -1473,6 +1473,77 @@ def test_statskey_merge_idempotent_and_dup_guarded(spark, sf_dir):
     assert rows_equal(spark.table(tbl), rows)
 
 
+def test_statskey_two_level_merge_and_level_key(spark, sf_dir):
+    """The r11 two-level maintained layout: the level-tagged fold is
+    idempotent (replay appends zero), converges to the one-shot two-level
+    parse, and the widened idempotence key actually uses ``level`` — a
+    region row and a column row that agree on every other key column must
+    BOTH land."""
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        orc_two_level_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+    from columnar_aware_dedup_spark.streaming import statskeys
+    from tests.conftest import rows_equal
+
+    store_dir, _ = orc_fixture_dirs(sf_dir)
+    rows = orc_two_level_table(spark, store_dir).localCheckpoint(eager=False)
+    tbl = statskeys.init_statskey_table(
+        spark, "test_statskey_two_level", two_level=True
+    )
+    assert statskeys.merge_statskey_delta(spark, rows, tbl) > 0
+    assert statskeys.merge_statskey_delta(spark, rows, tbl) == 0
+    assert rows_equal(spark.table(tbl), rows)
+
+    # level is part of the key: same (file, idx, key, sig) under two
+    # levels inserts two rows
+    tbl2 = statskeys.init_statskey_table(
+        spark, "test_statskey_levelkey", two_level=True
+    )
+    twin = spark.createDataFrame(
+        [
+            ("f.orc", 0, "k", "sig", 10, "region"),
+            ("f.orc", 0, "k", "sig", 10, "column"),
+        ],
+        "file_name string, stripe_idx int, stats_key string,"
+        " signature string, data_size long, level string",
+    )
+    assert statskeys.merge_statskey_delta(spark, twin, tbl2) == 2
+
+
+def test_statsprune_served_bit_flips_on_inplan_substitute(spark, sf_dir):
+    """The r11 served-from-index guard bit: TRUE when the certificate's
+    store side physically reads the maintained warehouse table, FALSE
+    when an in-plan recompute of the same rows is substituted — so the
+    parity rows' oracles (which restate TRUE) would hash-FAIL on a
+    non-served implementation."""
+    from columnar_aware_dedup_spark.operators.streaming_parity import (
+        _index_served_bit,
+    )
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        stripe_stats_key_table,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        orc_fixture_dirs,
+    )
+    from columnar_aware_dedup_spark.streaming import statskeys
+
+    store_dir, _ = orc_fixture_dirs(sf_dir)
+    rows = stripe_stats_key_table(spark, store_dir)
+    tbl = statskeys.init_statskey_table(spark, "test_statskey_bit")
+    statskeys.merge_statskey_delta(spark, rows, tbl)
+    assert _index_served_bit(spark, spark.table(tbl), tbl) is True
+    # the in-plan substitute reads the fixture .orc bytes, not the table
+    assert _index_served_bit(spark, rows, tbl) is False
+    # a file-less frame must not vacuously pass
+    assert (
+        _index_served_bit(spark, spark.createDataFrame([], "x int"), tbl)
+        is False
+    )
+
+
 def test_marker_append_is_atomic_and_dotfile_invisible(spark):
     """The r10 driver-side marker append (streaming/commitlog.py): a
     committed marker row is visible after refresh; a crash MID-WRITE —

@@ -544,3 +544,60 @@ def test_column_fallback_recovers_perturbed_files(spark, sf_dir):
         inc_cols.file_name == "lineitem.orc"
     ).count()
     assert rows["lineitem.orc"]["n_regions"] < total_cols
+
+
+def test_census_drift_bits_flip(spark):
+    """Falsifiability of the r11 numeric drift gate: equality with the
+    pin reads TRUE; perturbing any pinned field (a count OR a rounded
+    fraction), dropping a pinned file, or adding a phantom one flips the
+    affected row — through the SAME derivation the registered query
+    ships."""
+    from columnar_aware_dedup_spark.operators.drift import (
+        _CENSUS_FIELDS,
+        census_drift_bits,
+    )
+
+    live_rows = [
+        {"file_name": "a.orc", "n_regions": 4, "n_pruned": 2,
+         "n_candidates": 2, "n_hits": 1, "bytes_total": 100,
+         "bytes_hashed": 60, "dedup_bytes": 30,
+         "hash_savings_frac": 0.4, "dedup_frac": 0.3},
+        {"file_name": "b.orc", "n_regions": 3, "n_pruned": 3,
+         "n_candidates": 0, "n_hits": 0, "bytes_total": 90,
+         "bytes_hashed": 0, "dedup_bytes": 0,
+         "hash_savings_frac": 1.0, "dedup_frac": 0.0},
+    ]
+    live = spark.createDataFrame(
+        [tuple(r[c] for c in ("file_name", *_CENSUS_FIELDS)) for r in live_rows],
+        "file_name string, n_regions bigint, n_pruned bigint,"
+        " n_candidates bigint, n_hits bigint, bytes_total bigint,"
+        " bytes_hashed bigint, dedup_bytes bigint,"
+        " hash_savings_frac double, dedup_frac double",
+    )
+
+    def bits(pinned):
+        return {
+            r["file_name"]: r["census_matches_pinned_ok"]
+            for r in census_drift_bits(spark, live, pinned).collect()
+        }
+
+    import copy
+
+    assert bits(copy.deepcopy(live_rows)) == {"a.orc": True, "b.orc": True}
+    # an integer drift flips its file only
+    bad = copy.deepcopy(live_rows)
+    bad[0]["dedup_bytes"] = 31
+    assert bits(bad) == {"a.orc": False, "b.orc": True}
+    # a fraction drift flips too
+    bad = copy.deepcopy(live_rows)
+    bad[1]["hash_savings_frac"] = 0.999999
+    assert bits(bad) == {"a.orc": True, "b.orc": False}
+    # a file missing from the pin cannot vacuously pass
+    assert bits(copy.deepcopy(live_rows)[:1]) == {
+        "a.orc": True, "b.orc": False,
+    }
+    # a pinned file the live census no longer produces appears as FALSE
+    extra = copy.deepcopy(live_rows) + [
+        {**copy.deepcopy(live_rows)[0], "file_name": "ghost.orc"}
+    ]
+    assert bits(extra) == {"a.orc": True, "b.orc": True, "ghost.orc": False}
