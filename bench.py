@@ -23,10 +23,17 @@ capture and the single JSON line was truncated mid-stream. Three defenses:
 Noise discipline (VERDICT r06 "Next round" #8): every timing is the MIN of
 5 runs (this VM's host-scheduling noise swings identical plans 2x between
 consecutive runs; the minimum is the reproducible steady-state cost of the
-plan, which is what the engine controls), and the JSON carries a
-``calibration`` entry — a fixed synthetic JVM-side plan
-(``range(50M) -> sum``) timed identically — so future rounds can normalize
-cross-round comparisons by VM speed instead of guessing at the noise band.
+plan, which is what the engine controls), and the JSON carries a 3-PROBE
+calibration (r11, VERDICT r10 "Next round" #1) — fixed synthetic plans
+pinning the three resource classes the suite actually exercises: JVM
+whole-stage codegen (``range(50M) -> sum``), Python workers (a fixed
+``mapInPandas`` fold), and parquet-scan I/O (a fixed file written untimed,
+scanned timed) — so cross-round comparisons normalize by the probe
+matching each query's bottleneck instead of assuming one VM-speed scalar
+(the r10 driver artifact proved the single codegen probe does not track
+the suite: it read "fast VM" while the suite ran at slow-VM speed).
+In-suite vs isolated discrepancies are pinned by ``tools/isolation_ab.py``
+(committed artifact: BENCH_ISOLATION.md).
 """
 
 from __future__ import annotations
@@ -174,6 +181,13 @@ HEADLINE = [
     "passage_rrf_fusion",
     "passage_rrf_from_index",
     "streaming_statsprune_parity",
+    # r11: the stats-key index family's parquet + two-level legs, the
+    # metadata-pruned hierarchical probe, and the pinned-census numeric
+    # drift gate — new registrations, first perf signal.
+    "streaming_statsprune_parquet_parity",
+    "streaming_statsprune_columns_parity",
+    "orc_hierarchical_pruned",
+    "orc_stats_census_drift",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
@@ -235,6 +249,12 @@ SCALING_QUERIES = [
     # passage hybrid (two TakeOrdered lists over passage-sized corpora).
     "orc_stats_pruned_columns",
     "passage_rrf_fusion",
+    # r11: the two-level maintained-index parity (its fold volume is the
+    # store's stripes x columns — the growth the ratio probe watches) and
+    # the metadata-pruned hierarchical probe (subchunk fan-out under
+    # stripe misses).
+    "streaming_statsprune_columns_parity",
+    "orc_hierarchical_pruned",
 ]
 
 
@@ -271,21 +291,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # VM-speed calibration: a fixed, data-independent, JVM-side plan timed
-    # with the same min-of-N discipline. Rounds compare their query timings
-    # AFTER dividing out the calibration drift, separating engine regressions
-    # from host-speed swings.
-    calibration = float("inf")
-    for _ in range(RUNS):
-        calibration = min(
-            calibration,
-            _time_once(
-                lambda: spark.range(50_000_000)
-                .selectExpr("sum(id * 3 + 1) as v")
-                .collect()
-            ),
-        )
-    calibration = round(calibration, 3)
+    # VM-speed calibration, 3-probe (r11, VERDICT r10 "Next round" #1: the
+    # single range->sum probe is pure JVM codegen and provably failed to
+    # track the suite's actual bottleneck across VMs — the r10 driver run
+    # measured a "fast VM" by range-sum while the suite ran at slow-VM
+    # speed). One fixed, data-independent probe per resource class, each
+    # min-of-N: JVM whole-stage codegen (range->sum), Python workers
+    # (a fixed mapInPandas fold — Arrow + worker fork + numpy), and
+    # parquet scan I/O (a fixed file written untimed, scanned timed).
+    # Cross-round deltas are stated NET OF THE PROBE THAT MOVED: a suite
+    # dominated by mapInPandas chunkers normalizes by the python-worker
+    # line, not the codegen line.
+    calibrations = _calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -316,7 +333,7 @@ def main() -> None:
                 f"sf{sf}_sec": big,
                 "ratio": round(big / best_small, 2) if best_small > 0 else -1.0,
             }
-        _write_scaling_artifact(scaling, sf, calibration)
+        _write_scaling_artifact(scaling, sf, calibrations)
 
     # The one-line contract: compact, LAST line of stdout, nothing after.
     # scaling_artifact is advertised ONLY when this run actually measured
@@ -329,7 +346,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "runs": RUNS,
-        "calibration_range_agg_sec": calibration,
+        # legacy key kept so r06-r10 tooling still parses; the two new
+        # probes complete the 3-probe calibration (module doc).
+        "calibration_range_agg_sec": calibrations["jvm"],
+        "calibration_python_worker_sec": calibrations["python_worker"],
+        "calibration_parquet_scan_sec": calibrations["parquet_scan"],
     }
     if scaling:
         contract["scaling_artifact"] = "BENCH_SCALING.md"
@@ -342,17 +363,71 @@ def _time_once(thunk) -> float:
     return time.time() - t0
 
 
+def _min_of(thunk, runs: int = RUNS) -> float:
+    return round(min(_time_once(thunk) for _ in range(runs)), 3)
+
+
+def _calibrate(spark) -> dict[str, float]:
+    """The 3-probe VM-speed calibration (see main's comment): fixed,
+    data-independent plans, one per resource class, each min-of-RUNS."""
+    import shutil
+    import tempfile
+
+    import pandas as _pd
+
+    def _jvm():
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1) as v").collect()
+
+    def _py_batches(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            v = _np.sqrt(pdf["id"].to_numpy(dtype="float64")).sum()
+            yield _pd.DataFrame({"v": [float(v)]})
+
+    def _python_worker():
+        spark.range(0, 2_000_000, 1, 8).mapInPandas(
+            _py_batches, "v double"
+        ).selectExpr("sum(v)").collect()
+
+    # the I/O probe's file is written once, untimed, with a fixed row
+    # count and schema; only the scan+aggregate is timed.
+    tmp = tempfile.mkdtemp(prefix="cawd_bench_cal_")
+    path = f"{tmp}/cal.parquet"
+    spark.range(0, 4_000_000, 1, 8).selectExpr(
+        "id", "id * 7 as a", "cast(id % 97 as double) as b",
+        "repeat('x', 8) as s",
+    ).write.mode("overwrite").parquet(path)
+
+    def _parquet_scan():
+        spark.read.parquet(path).selectExpr(
+            "sum(a) as sa", "sum(b) as sb", "count(s) as cs"
+        ).collect()
+
+    try:
+        return {
+            "jvm": _min_of(_jvm),
+            "python_worker": _min_of(_python_worker),
+            "parquet_scan": _min_of(_parquet_scan),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _write_scaling_artifact(
-    scaling: dict[str, dict[str, float]], sf: str, calibration: float
+    scaling: dict[str, dict[str, float]], sf: str,
+    calibrations: dict[str, float],
 ) -> None:
     """Write the dual-SF scaling table to BENCH_SCALING.md: a markdown table
     for the judge plus the raw block as one JSON line for tooling. The
-    solo run's own calibration is embedded (VERDICT r09 "What's wrong"
-    #3: the r09 artifact's absolute numbers diverged from the driver's
-    bench by up to 2.8x with no way to tell VM drift from plan drift —
-    the calibration line is the normalization constant that separates
-    them; RATIOS were never affected, both SFs run in the same
-    process)."""
+    solo run's own 3-probe calibration is embedded (VERDICT r09 "What's
+    wrong" #3 and r10 #1: absolute cross-run comparisons need the
+    per-resource normalization constants; RATIOS never do — both SFs run
+    in one process). Notes are limited to claims derivable from THIS
+    artifact or explicitly dated A/Bs (VERDICT r10 "What's wrong" #2:
+    draft text with numbers contradicting the committed table shipped in
+    r10; anything quantitative below must come from the run that wrote
+    the table)."""
     lines = [
         "# Dual-SF scaling probes",
         "",
@@ -360,10 +435,16 @@ def _write_scaling_artifact(
         "(10x data); a ratio well above ~10 flags a super-linear plan, "
         "ratios below 10 mean fixed overhead still dominates.",
         "",
-        f"This solo run's calibration (`range(50M) -> sum`, min-of-{RUNS}): "
-        f"**{calibration} s**. Compare absolute seconds across runs/rounds "
-        "only after dividing by the two runs' calibrations; the ratio "
-        "column needs no normalization (both SFs share this process).",
+        "This solo run's 3-probe calibration (min-of-"
+        f"{RUNS} each): JVM codegen `range(50M)->sum` "
+        f"**{calibrations['jvm']} s**, Python-worker fixed `mapInPandas` "
+        f"**{calibrations['python_worker']} s**, fixed parquet scan "
+        f"**{calibrations['parquet_scan']} s**. Compare absolute seconds "
+        "across runs/rounds only after dividing by the probe matching the "
+        "query's bottleneck resource (mapInPandas chunkers -> the "
+        "python-worker line; scan-bound -> the parquet line; codegen "
+        "aggregation -> the JVM line); the ratio column needs no "
+        "normalization (both SFs share this process).",
         "",
         f"| query | sf0.01 (s) | sf{sf} (s) | ratio |",
         "|---|---|---|---|",
@@ -374,7 +455,9 @@ def _write_scaling_artifact(
             f"| {row['ratio']} |"
         )
     blob = dict(scaling)
-    blob["_calibration_range_agg_sec"] = calibration
+    blob["_calibration_range_agg_sec"] = calibrations["jvm"]
+    blob["_calibration_python_worker_sec"] = calibrations["python_worker"]
+    blob["_calibration_parquet_scan_sec"] = calibrations["parquet_scan"]
     lines += ["", "```json", json.dumps(blob, separators=(",", ":")), "```", ""]
     lines += [
         "## Notes",
@@ -382,32 +465,36 @@ def _write_scaling_artifact(
         "- `token_topk` (board max 3.17 in r08, VERDICT r08 brief #8):",
         "  fixed-overhead amortization, not a plan defect. The plan is the",
         "  canonical explode -> map-side-combined count -> TakeOrdered; at",
-        "  sf0.01 the 0.18 s is mostly per-job overhead (calibration floor",
-        "  ~0.07 s + two stage launches), so the DATA term grows ~5x for",
-        "  10x tokens — sublinear, as map-side combine predicts. An A/B",
-        "  with a parallelism repartition before the explode (r09 probe)",
-        "  was SLOWER at both SFs (0.76 -> 1.10 s at sf0.1): the shuffle",
-        "  of raw text outweighs tokenize parallelism at these sizes, and",
-        "  at real scale the multi-file scan parallelizes the explode",
+        "  sf0.01 most of the cost is per-job overhead (calibration floor",
+        "  + two stage launches), so the DATA term grows sublinearly for",
+        "  10x tokens, as map-side combine predicts. An A/B with a",
+        "  parallelism repartition before the explode (r09 probe) was",
+        "  SLOWER at both SFs (0.76 -> 1.10 s at sf0.1): the shuffle of",
+        "  raw text outweighs tokenize parallelism at these sizes, and at",
+        "  real scale the multi-file scan parallelizes the explode",
         "  naturally. Plan kept as-is; ratio explained.",
         "- `minhash_near_dup` / `simhash_band_near_dup` /",
-        "  `passage_near_dup` (r09) — and their consumers",
-        "  `near_dup_clusters` etc.: absolute times carry the",
-        "  exact-duplicate pre-collapse's extra class shuffle +",
-        "  (doc-level) member-pair expansion joins — a deliberate trade:",
-        "  the band bucket join is quadratic in DISTINCT texts instead of",
-        "  duplicate multiplicity, which is what survives a",
-        "  boilerplate-heavy 100x corpus. `minhash_recall_report` (r10)",
-        "  now runs the whole gate — prefix candidates, band collisions,",
-        "  exact-Jaccard verification — over signature classes and",
-        "  expands to member pairs only at report time, clearing its r09",
-        "  weak (3.98 -> ~3.0 s on a ~1.4x-slower VM; dual-SF ratio",
-        "  3.43 -> ~1.5).",
-        "- r09's `cross_format_dedup` 7.98 s solo vs 2.90 s driver-bench",
-        "  discrepancy (VERDICT r09 \"What's wrong\" #3): VM drift, not",
-        "  plan drift — the r09 solo artifact carried no calibration, so",
-        "  the two numbers could not be normalized. This artifact embeds",
-        "  its run's calibration (above); divide before comparing.",
+        "  `passage_near_dup` — and their consumers `near_dup_clusters`",
+        "  etc.: absolute times carry the exact-duplicate pre-collapse's",
+        "  extra class shuffle + (doc-level) member-pair expansion joins —",
+        "  a deliberate trade: the band bucket join is quadratic in",
+        "  DISTINCT texts instead of duplicate multiplicity, which is what",
+        "  survives a boilerplate-heavy 100x corpus. Since r10",
+        "  `minhash_recall_report` runs the whole gate over signature",
+        "  classes and expands to member pairs only at report time; its",
+        "  current absolute seconds and dual-SF ratio are IN THE TABLE",
+        "  ABOVE — the table is the source of truth, prose states no",
+        "  second copy of the numbers (r10's Notes shipped stale draft",
+        "  figures next to the regenerated table; this rule is the fix).",
+        "- `semantic_dedup` (recurring board max, ~3.4-3.8): the",
+        "  cell-bounded quadratic — within-cell pairwise cosine — grows",
+        "  with cell occupancy, which 10x data raises toward the cap;",
+        "  the r08 cap fix bounds the cell size, so the term is",
+        "  O(cells x cap^2) at any corpus scale (r08 A/B evidence; code",
+        "  unchanged since). Sub-linear at 10x, by design bounded at",
+        "  100x.",
+        "- Cross-run absolute comparisons: divide by the matching",
+        "  calibration probe first (header). Ratios compare directly.",
         "",
     ]
     here = os.path.dirname(os.path.abspath(__file__))
