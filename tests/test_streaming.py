@@ -1585,3 +1585,58 @@ def test_marker_append_is_atomic_and_dotfile_invisible(spark):
     assert sorted(
         r["attempt_id"] for r in spark.table(tbl).collect()
     ) == ["attempt-1", "attempt-2"]
+
+
+def test_statskey_parquet_two_level_fold_serves_column_certificate(
+    spark, sf_dir
+):
+    """The maintainer is format-agnostic at BOTH granularities: folding
+    the parquet store's level-tagged rows (row groups + column chunks,
+    one footer walk) into the two-level maintained table and serving the
+    parquet column-fallback certificate from it must equal the batch
+    ``parquet_stats_pruned_columns`` output row-for-row, with a replay
+    that appends zero. (The ORC legs hold the driver seats; this pins
+    the fourth format x granularity cell without burning one.)"""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.operators.zonemap import (
+        _column_fallback_probe,
+        parquet_stats_pruned_columns,
+        parquet_two_level_table,
+        stats_pruned_certificate,
+    )
+    from columnar_aware_dedup_spark.sources.orcfixtures import (
+        parquet_fixture_dirs,
+        parquet_strmod_incoming_dir,
+    )
+    from columnar_aware_dedup_spark.streaming import statskeys
+    from tests.conftest import rows_equal
+
+    store_dir, incoming_dir = parquet_fixture_dirs(sf_dir)
+    tbl = statskeys.init_statskey_table(
+        spark, "test_statskey_pq_two_level", two_level=True
+    )
+    rows = parquet_two_level_table(spark, store_dir).localCheckpoint(
+        eager=False
+    )
+    assert statskeys.merge_statskey_delta(spark, rows, tbl) > 0
+    assert statskeys.merge_statskey_delta(spark, rows, tbl) == 0
+    served = spark.table(tbl).localCheckpoint(eager=False)
+    inc = (
+        parquet_two_level_table(spark, incoming_dir)
+        .unionByName(
+            parquet_two_level_table(
+                spark, parquet_strmod_incoming_dir(sf_dir)
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    cert = stats_pruned_certificate(
+        _column_fallback_probe(
+            inc.filter(F.col("level") == "region").drop("level"),
+            served.filter(F.col("level") == "region").drop("level"),
+            inc.filter(F.col("level") == "column").drop("level"),
+            served.filter(F.col("level") == "column").drop("level"),
+        )
+    )
+    assert rows_equal(cert, parquet_stats_pruned_columns(spark, sf_dir))
