@@ -339,10 +339,15 @@ def main() -> None:
     # scaling_artifact is advertised ONLY when this run actually measured
     # the ratios and wrote the file — a plain run pointing at the committed
     # solo numbers would misattribute them to itself.
+    # Key order is part of the artifact's crash-resilience (r11): the
+    # driver's tail capture keeps the END of the line and r10's
+    # BENCH JSON outgrew the window — "metric"/"value" led the line and
+    # were cut, so the round shipped parsed:null. The per-query dict
+    # (the only unboundedly growing part) now goes FIRST and every
+    # scalar the judge needs (totals + the 3-probe calibration) LAST,
+    # so any suffix of the line still carries them; json.loads is
+    # order-blind when the whole line survives.
     contract = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "runs": RUNS,
@@ -351,6 +356,9 @@ def main() -> None:
         "calibration_range_agg_sec": calibrations["jvm"],
         "calibration_python_worker_sec": calibrations["python_worker"],
         "calibration_parquet_scan_sec": calibrations["parquet_scan"],
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
     }
     if scaling:
         contract["scaling_artifact"] = "BENCH_SCALING.md"
