@@ -1008,7 +1008,18 @@ def passage_tokens_of(docs: DataFrame) -> DataFrame:
         docs = docs.withColumn(
             "toks", F.split(F.expr(_NORM_SPARK), " ")
         )
-    d = docs.select("doc_id", "toks", F.size("toks").alias("n"))
+    # NULL text == empty text (one dl=0 passage): size(NULL toks) is
+    # NULL, which would null the window sequence and DROP the doc from
+    # the passage table entirely — fatal for the maintained passage
+    # index, whose registry doubles as the replay guard (a vanished doc
+    # reads forever-fresh and re-processes on every merge; the
+    # doc-vector table learned the same lesson). Fixture corpora carry
+    # no NULL text, so every registered passage query is value-identical
+    # with or without this rule (r11 review).
+    d = docs.select(
+        "doc_id",
+        F.coalesce("toks", F.array(F.lit(""))).alias("toks"),
+    ).withColumn("n", F.size("toks"))
     n_last = F.when(
         F.col("n") <= w, F.lit(0)
     ).otherwise(F.expr(f"(n - {w} + {s - 1}) div {s}"))

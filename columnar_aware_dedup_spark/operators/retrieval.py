@@ -991,10 +991,16 @@ def passage_bm25_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     pt = passage_tokens_of(docs).localCheckpoint(eager=False)
+    # greatest(.., 0): a NULL-text doc yields one passage with NULL
+    # ptoks, and size(NULL) is -1 — unfloored it would poison the
+    # persisted index's dl_sum forever (the doc_lengths rule one level
+    # down; r11 review)
     registry = pt.select(
         "doc_id",
         "passage_idx",
-        F.expr("size(filter(ptoks, t -> t != ''))").cast("long").alias("dl"),
+        F.expr("greatest(size(filter(ptoks, t -> t != '')), 0)")
+        .cast("long")
+        .alias("dl"),
     )
     dl = registry.filter(F.col("dl") > 0)
     postings = (

@@ -580,7 +580,11 @@ def streaming_statsprune_columns_parity(
         eager=False
     )
     _fold_statskey_waves(spark, store_rows, tbl)
-    served = spark.table(tbl).localCheckpoint(eager=False)
+    # the SAME frame feeds the probe and the guard bit — a checkpointed
+    # or recomputed substitute would decouple them and make the bit
+    # tautological (r11 review); the double table scan this costs is a
+    # plain catalog parquet read, not a footer re-parse
+    served = spark.table(tbl)
     inc = orc_strmod_two_level_incoming(spark, sf_dir)
     return _with_served_bit(
         stats_pruned_certificate(
@@ -591,7 +595,7 @@ def streaming_statsprune_columns_parity(
                 served.filter(F.col("level") == "column").drop("level"),
             )
         ),
-        _index_served_bit(spark, spark.table(tbl), tbl),
+        _index_served_bit(spark, served, tbl),
     )
 
 

@@ -560,57 +560,147 @@ def orc_hierarchical_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dataflow form of ``StripePlusColumnORCStreamer.java:110-209`` (a
     stripe hit at :121-129 skips all column work) over the materialized
     two-snapshot workload. Per-level hit/miss/byte rollup (the unregistered
-    census twin of :func:`orc_hierarchical_dedup`).
+    census twin of :func:`orc_hierarchical_dedup`), from the SHARED
+    leveled probe with the stats-key machinery off — same signature joins,
+    no key joins, the pre-r11 plan.
     """
+    return _hier_rollup(_hier_leveled(spark, sf_dir, with_keys=False)).select(
+        "level", "hits", "misses", "dedup_bytes", "transfer_bytes"
+    )
+
+
+def _hier_leveled(
+    spark: SparkSession, sf_dir: str, with_keys: bool
+) -> DataFrame:
+    """The ONE three-level s+p probe behind the unpruned census and the
+    metadata-pruned certificate (r11 review: two hand-mirrored copies
+    could drift silently): per probed item, (level, size, hit, cand).
+    ``with_keys=False`` runs the legacy keyless walk and marks every item
+    a candidate (a pruner with no statistics hashes everything);
+    ``with_keys=True`` additionally joins each level's store stats-key
+    set and marks candidates as key-match-or-keyless."""
     store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
-    store = linked_chunk_files(spark, store_dir)
-    incoming = linked_chunk_files(spark, incoming_dir)
+    store = linked_chunk_files(spark, store_dir, with_stats_keys=with_keys)
+    incoming = linked_chunk_files(
+        spark, incoming_dir, with_stats_keys=with_keys
+    )
 
     # store signatures at both granularities (the receiver indexes stripes
     # AND their subchunks — StripePlusColumnORCReceiver.java:198-226).
-    store_stripe = store.filter(F.col("chunk_type") == "Stripe").select("signature")
-    store_sub = (
-        store.filter(F.col("chunk_type") == "Stripe")
-        .select(F.explode("subchunks").alias("s"))
-        .select(F.col("s.signature").alias("signature"))
+    store_stripe = store.filter(F.col("chunk_type") == "Stripe")
+    store_sub = store_stripe.select(F.explode("subchunks").alias("s")).select(
+        F.col("s.signature").alias("signature"),
+        F.col("s.stats_key").alias("stats_key"),
     )
-    store_footer = store.filter(F.col("chunk_type") == "Footer").select("signature")
+    store_footer = (
+        store.filter(F.col("chunk_type") == "Footer")
+        .select("signature")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    hit = F.col("_hit").isNotNull()
+    cand = F.col("_cand").isNotNull() | F.col("stats_key").isNull()
+
+    def keyed(probe: DataFrame, keys_of: DataFrame) -> DataFrame:
+        if not with_keys:
+            return probe.withColumn("cand", F.lit(True))
+        key_set = (
+            keys_of.select("stats_key")
+            .filter(F.col("stats_key").isNotNull())
+            .distinct()
+            .withColumn("_cand", F.lit(1))
+        )
+        return probe.join(key_set, "stats_key", "left").withColumn(
+            "cand", cand
+        )
 
     inc_stripes = incoming.filter(F.col("chunk_type") == "Stripe")
-    stripe_probe = inc_stripes.join(
-        store_stripe.distinct().withColumn("_hit", F.lit(1)), "signature", "left"
-    ).withColumn("hit", F.col("_hit").isNotNull()).drop("_hit")
-
-    sub_probe = (
+    stripe_probe = keyed(
+        inc_stripes.join(
+            store_stripe.select("signature")
+            .distinct()
+            .withColumn("_hit", F.lit(1)),
+            "signature",
+            "left",
+        ).withColumn("hit", hit),
+        store_stripe,
+    )
+    sub_probe = keyed(
         stripe_probe.filter(~F.col("hit"))
         .select("file", F.explode("subchunks").alias("s"))
-        .select("file", F.col("s.signature").alias("signature"), F.col("s.size").alias("size"))
-        .join(store_sub.distinct().withColumn("_hit", F.lit(1)), "signature", "left")
-        .withColumn("hit", F.col("_hit").isNotNull())
-        .drop("_hit")
+        .select(
+            "file",
+            F.col("s.signature").alias("signature"),
+            F.col("s.size").alias("size"),
+            F.col("s.stats_key").alias("stats_key"),
+        )
+        .join(
+            store_sub.select("signature").distinct().withColumn(
+                "_hit", F.lit(1)
+            ),
+            "signature",
+            "left",
+        )
+        .withColumn("hit", hit),
+        store_sub,
     )
     footer_probe = (
         incoming.filter(F.col("chunk_type") == "Footer")
-        .join(store_footer.distinct().withColumn("_hit", F.lit(1)), "signature", "left")
-        .withColumn("hit", F.col("_hit").isNotNull())
-        .drop("_hit")
+        .join(store_footer, "signature", "left")
+        .withColumn("hit", hit)
+        # file footers carry no statistics vector — never pruned
+        .withColumn("cand", F.lit(True))
     )
-    leveled = (
-        stripe_probe.select(F.lit("stripe").alias("level"), "size", "hit")
-        .unionByName(sub_probe.select(F.lit("column").alias("level"), "size", "hit"))
-        .unionByName(footer_probe.select(F.lit("footer").alias("level"), "size", "hit"))
+    return (
+        stripe_probe.select(
+            F.lit("stripe").alias("level"), "size", "hit", "cand"
+        )
+        .unionByName(
+            sub_probe.select(
+                F.lit("column").alias("level"), "size", "hit", "cand"
+            )
+        )
+        .unionByName(
+            footer_probe.select(
+                F.lit("footer").alias("level"), "size", "hit", "cand"
+            )
+        )
     )
+
+
+def _hier_rollup(leveled: DataFrame) -> DataFrame:
+    """Per-level rollup of a (level, size, hit, cand) probe frame: the
+    unpruned accounting columns plus the prune-audit columns."""
+    zero = F.lit(0).cast("bigint")
     return (
         leveled.groupBy("level")
         .agg(
-            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("hits"),
-            F.sum(F.when(~F.col("hit"), 1).otherwise(0)).cast("bigint").alias("misses"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+            F.sum(F.when(~F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("misses"),
             F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
             .cast("bigint")
             .alias("dedup_bytes"),
             F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
             .cast("bigint")
             .alias("transfer_bytes"),
+            F.sum("size").cast("bigint").alias("bytes_total"),
+            F.coalesce(F.sum(F.when(F.col("cand"), F.col("size"))), zero)
+            .cast("bigint")
+            .alias("bytes_hashed"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit") & F.col("cand"), F.col("size"))),
+                zero,
+            )
+            .cast("bigint")
+            .alias("dedup_bytes_pruned"),
+            F.sum(F.when(F.col("hit") & ~F.col("cand"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unsound"),
         )
         .orderBy("level")
     )
@@ -695,130 +785,12 @@ def orc_hierarchical_pruned_full(
     the wasted hashes.
 
     Returns per level: hits / misses / dedup_bytes / transfer_bytes
-    (identical to the unpruned rollup) + bytes_total / bytes_hashed
+    (identical to the unpruned rollup — both roll up the SAME shared
+    leveled probe, :func:`_hier_leveled`, keys on vs off; the per-level
+    parity is additionally pytest-pinned) + bytes_total / bytes_hashed
     (candidates only) / dedup_bytes_pruned / n_unsound (pruned-but-hit —
     must be zero)."""
-    store_dir, incoming_dir = orc_fixture_dirs(sf_dir)
-    store = linked_chunk_files(spark, store_dir, with_stats_keys=True)
-    incoming = linked_chunk_files(
-        spark, incoming_dir, with_stats_keys=True
-    )
-
-    store_stripe = store.filter(F.col("chunk_type") == "Stripe")
-    s_sigs = (
-        store_stripe.select("signature")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    s_keys = (
-        store_stripe.select("stats_key")
-        .filter(F.col("stats_key").isNotNull())
-        .distinct()
-        .withColumn("_cand", F.lit(1))
-    )
-    store_sub = store_stripe.select(
-        F.explode("subchunks").alias("s")
-    ).select(
-        F.col("s.signature").alias("signature"),
-        F.col("s.stats_key").alias("stats_key"),
-    )
-    sub_sigs = (
-        store_sub.select("signature").distinct().withColumn("_hit", F.lit(1))
-    )
-    sub_keys = (
-        store_sub.select("stats_key")
-        .filter(F.col("stats_key").isNotNull())
-        .distinct()
-        .withColumn("_cand", F.lit(1))
-    )
-    store_footer = (
-        store.filter(F.col("chunk_type") == "Footer")
-        .select("signature")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-
-    cand = F.col("_cand").isNotNull() | F.col("stats_key").isNull()
-    hit = F.col("_hit").isNotNull()
-    inc_stripes = incoming.filter(F.col("chunk_type") == "Stripe")
-    stripe_probe = (
-        inc_stripes.join(s_sigs, "signature", "left")
-        .join(s_keys, "stats_key", "left")
-        .withColumn("hit", hit)
-        .withColumn("cand", cand)
-        .drop("_hit", "_cand")
-    )
-    sub_probe = (
-        stripe_probe.filter(~F.col("hit"))
-        .select("file", F.explode("subchunks").alias("s"))
-        .select(
-            "file",
-            F.col("s.signature").alias("signature"),
-            F.col("s.size").alias("size"),
-            F.col("s.stats_key").alias("stats_key"),
-        )
-        .join(sub_sigs, "signature", "left")
-        .join(sub_keys, "stats_key", "left")
-        .withColumn("hit", hit)
-        .withColumn("cand", cand)
-    )
-    footer_probe = (
-        incoming.filter(F.col("chunk_type") == "Footer")
-        .join(store_footer, "signature", "left")
-        .withColumn("hit", hit)
-        .withColumn("cand", F.lit(True))
-    )
-    leveled = (
-        stripe_probe.select(
-            F.lit("stripe").alias("level"), "size", "hit", "cand"
-        )
-        .unionByName(
-            sub_probe.select(
-                F.lit("column").alias("level"), "size", "hit", "cand"
-            )
-        )
-        .unionByName(
-            footer_probe.select(
-                F.lit("footer").alias("level"), "size", "hit", "cand"
-            )
-        )
-    )
-    zero = F.lit(0).cast("bigint")
-    return (
-        leveled.groupBy("level")
-        .agg(
-            F.sum(F.when(F.col("hit"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("hits"),
-            F.sum(F.when(~F.col("hit"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("misses"),
-            F.sum(F.when(F.col("hit"), F.col("size")).otherwise(0))
-            .cast("bigint")
-            .alias("dedup_bytes"),
-            F.sum(F.when(~F.col("hit"), F.col("size")).otherwise(0))
-            .cast("bigint")
-            .alias("transfer_bytes"),
-            F.sum("size").cast("bigint").alias("bytes_total"),
-            F.coalesce(
-                F.sum(F.when(F.col("cand"), F.col("size"))), zero
-            )
-            .cast("bigint")
-            .alias("bytes_hashed"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("hit") & F.col("cand"), F.col("size"))
-                ),
-                zero,
-            )
-            .cast("bigint")
-            .alias("dedup_bytes_pruned"),
-            F.sum(F.when(F.col("hit") & ~F.col("cand"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_unsound"),
-        )
-        .orderBy("level")
-    )
+    return _hier_rollup(_hier_leveled(spark, sf_dir, with_keys=True))
 
 
 #: per-level truths of the pruned hierarchical workload: hit/miss bits

@@ -118,11 +118,23 @@ def test_linked_stats_keys_flag_off_emits_nulls(sf_dir):
                 assert s["stats_key"], s
             else:
                 assert s["stats_key"] is None, s
-    # identical spans/signatures either way: the flag only annotates
-    strip = lambda cs: [  # noqa: E731
-        {k: v for k, v in c.items() if k not in ("stats_key", "subchunks")}
-        for c in cs
-    ]
+    # identical spans/signatures either way — INCLUDING inside the
+    # subchunk arrays (r11 review: stripping the whole array would let a
+    # keyed-walk perturbation of a span or ordering slip through): the
+    # flag only annotates, so removing the stats_key fields must yield
+    # deep-equal chunk lists.
+    def strip(cs):
+        out = []
+        for c in cs:
+            c = {k: v for k, v in c.items() if k != "stats_key"}
+            if c["subchunks"] is not None:
+                c["subchunks"] = [
+                    {k: v for k, v in s.items() if k != "stats_key"}
+                    for s in c["subchunks"]
+                ]
+            out.append(c)
+        return out
+
     assert strip(on) == strip(off)
 
 

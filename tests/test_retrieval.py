@@ -388,3 +388,37 @@ def test_doc_fuse_rrf_key_generalization_is_identity(spark, sf_dir):
     a = retrieval.fuse_rrf(lex, dense).collect()
     b = retrieval.fuse_rrf(lex, dense, keys=("doc_id",)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+
+def test_passage_registry_null_text_is_zero_not_minus_one(spark):
+    """A NULL-text document yields ONE passage with NULL ptoks whose raw
+    size() is -1; the passage registry must floor it to dl=0 (r11
+    review: unfloored it poisons the persisted index's dl_sum and every
+    served avgdl — the doc_lengths rule one level down), and the merge
+    must absorb its replay to zero."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        init_passage_bm25_tables,
+        passage_bm25_frames,
+    )
+    from columnar_aware_dedup_spark.streaming.bm25 import (
+        merge_passage_bm25_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "planted", 0),
+            (2, "", "en", "planted", 0),
+            (3, "two tokens", "en", "planted", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _postings, registry = passage_bm25_frames(docs)
+    rows = {(r["doc_id"], r["passage_idx"]): r["dl"] for r in registry.collect()}
+    assert rows == {(1, 0): 0, (2, 0): 0, (3, 0): 2}, rows
+
+    tbl = init_passage_bm25_tables(spark, "test_pbm25_nulltext")
+    assert merge_passage_bm25_delta(spark, docs, tbl, sweep=False) == 3
+    assert merge_passage_bm25_delta(spark, docs, tbl, sweep=False) == 0
+    stats = spark.table(tbl + "_stats").collect()
+    assert sum(r["dl_sum"] for r in stats) == 2
+    assert sum(r["n_dl_docs"] for r in stats) == 1

@@ -42,14 +42,18 @@ def main(argv: list[str]) -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     cal = _calibrate(spark)
 
+    # warmup runs at the smallest sibling SF of the timed dir (falls back
+    # to the timed dir itself when no sibling exists) so the tool works
+    # on any testdata layout, not just /root/testdata
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     rows = []
     for name in names:
         fn = queries[name]
         # JIT warmup for THIS query only — the suite warms every query,
         # so the isolated number must too or it measures C2 compilation
-        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         rows.append((name, round(_best_of(fn, spark, sf_dir), 2)))
         print(f"{name}: {rows[-1][1]} s (isolated, min-of-{RUNS}, sf{sf})")
 
