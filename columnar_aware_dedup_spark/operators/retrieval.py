@@ -1107,22 +1107,58 @@ def passage_rrf_from_index_served(
 ) -> DataFrame:
     """The registered end-to-end form of :func:`passage_rrf_from_index`:
     materialize BOTH passage indexes — the term-bucketed passage BM25
-    postings (:func:`write_passage_bm25_index`) and the cell-partitioned
-    passage IVF index (``search.write_passage_ivf_index``) — then serve
+    postings and the cell-partitioned passage IVF index — then serve
     the passage hybrid entirely from them; build + serve in one row, the
     ``streaming_ivf_parity`` pattern. Hash-checked against the SAME
     oracle as :func:`passage_rrf_fusion`: serving from the persisted
     indexes must be indistinguishable from the in-plan derivation. (r10
     registered this row with the lexical half in-plan; r11 swapped it to
-    the persisted passage postings — VERDICT r10 "Next round" #2.)"""
+    the persisted passage postings — VERDICT r10 "Next round" #2.)
+
+    Build sharing: the two index builds both start from the passage
+    (key, term, tf) fold, so ONE checkpointed tokenize + ONE tf shuffle
+    feed the vector derivation AND the postings (separately built, each
+    paid the corpus twice)."""
+    from columnar_aware_dedup_spark.operators.curation import (
+        passage_tokens,
+    )
     from columnar_aware_dedup_spark.operators.search import (
+        hash_vectors_from_tf,
         write_passage_ivf_index,
     )
+
+    pt = passage_tokens(spark, sf_dir).localCheckpoint(eager=False)
+    registry = pt.select(
+        *_PASSAGE_KEYS,
+        F.expr("greatest(size(filter(ptoks, t -> t != '')), 0)")
+        .cast("long")
+        .alias("dl"),
+    )
+    tf = (
+        pt.select(*_PASSAGE_KEYS, F.explode("ptoks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", *_PASSAGE_KEYS)
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    postings = tf.join(
+        registry.filter(F.col("dl") > 0), list(_PASSAGE_KEYS)
+    ).select("term", *_PASSAGE_KEYS, "tf", "dl")
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
     path = f"{warehouse}/passage_rrf_ivf_index"
-    write_passage_ivf_index(spark, sf_dir, path)
-    write_passage_bm25_index(spark, sf_dir, "passage_rrf_bm25_index")
+    write_passage_ivf_index(
+        spark, sf_dir, path, vecs=hash_vectors_from_tf(tf, _PASSAGE_KEYS)
+    )
+    _write_bm25_genesis(
+        spark,
+        "passage_rrf_bm25_index",
+        _PASSAGE_BM25_TABLE_SPECS,
+        postings,
+        registry,
+        _PASSAGE_KEYS,
+        8,
+    )
     return passage_rrf_from_index(spark, "passage_rrf_bm25_index", path)

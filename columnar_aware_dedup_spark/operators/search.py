@@ -606,15 +606,20 @@ def passage_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _passage_cell_topk(_passage_ivf_assign(spark, sf_dir))
 
 
-def _passage_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _passage_ivf_assign(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, passage_idx, vec, nrm, cid): every passage vector with its
     nearest fixed-medoid cell — the zero-shuffle broadcast-argmin
     assignment shared by the in-plan query and the persisted index
     build (:func:`write_passage_ivf_index`), one copy so the two paths
-    cannot drift on cell geometry."""
+    cannot drift on cell geometry. ``vecs`` lets a caller that already
+    paid the passage tokenize + tf fold supply the vector frame (the
+    build-both-passage-indexes row, r11)."""
     from columnar_aware_dedup_spark.operators.similarity import centroid_array
 
-    vecs = passage_hash_vectors(spark, sf_dir)
+    if vecs is None:
+        vecs = passage_hash_vectors(spark, sf_dir)
     cent = vecs.filter(
         F.col("doc_id").between(_PCENT_LO, _PCENT_HI)
         & (F.col("passage_idx") == 0)
@@ -669,7 +674,8 @@ def _passage_cell_topk(assign: DataFrame) -> DataFrame:
 
 
 def write_passage_ivf_index(
-    spark: SparkSession, sf_dir: str, path: str
+    spark: SparkSession, sf_dir: str, path: str,
+    vecs: DataFrame | None = None,
 ) -> None:
     """Materialize the passage-vector collection PARTITIONED BY CELL —
     the artifact ``passage_ann_ivf_topk``'s docstring promised and r08
@@ -677,10 +683,12 @@ def write_passage_ivf_index(
     ``similarity.write_ivf_index`` layout pointed at passage vectors.
     One directory per cell; a query probing nprobe cells reads nprobe/k
     of the collection via partition pruning. Assignment pays the
-    zero-shuffle broadcast argmin once at write time."""
-    _passage_ivf_assign(spark, sf_dir).write.partitionBy("cid").mode(
-        "overwrite"
-    ).parquet(path)
+    zero-shuffle broadcast argmin once at write time. ``vecs`` threads a
+    caller-supplied vector frame into the assignment (see
+    :func:`_passage_ivf_assign`)."""
+    _passage_ivf_assign(spark, sf_dir, vecs=vecs).write.partitionBy(
+        "cid"
+    ).mode("overwrite").parquet(path)
 
 
 def passage_ann_ivf_topk_from_index(
