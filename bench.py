@@ -188,6 +188,16 @@ HEADLINE = [
     "streaming_statsprune_columns_parity",
     "orc_hierarchical_pruned",
     "orc_stats_census_drift",
+    # r11 late batch: the winnowing fingerprint family (MOSS selection +
+    # capped overlap join), the sampled shingle-redundancy census, the
+    # b-bit minhash storage-trade report, and the JSONL source leg — new
+    # registrations, first perf signal.
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "shingle_dup_sample_estimate",
+    "minhash_bbit_near_dup",
+    "jsonl_ingest_dedup",
+    "streaming_winnow_parity",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse
@@ -255,6 +265,12 @@ SCALING_QUERIES = [
     # stripe misses).
     "streaming_statsprune_columns_parity",
     "orc_hierarchical_pruned",
+    # r11 late batch: the winnowing overlap join — candidate volume grows
+    # with shared selected fingerprints (the capped-bucket growth the
+    # ratio probe watches) — and the b-bit banding, whose low-bit
+    # collision inflation is itself a function of corpus size.
+    "winnowing_overlap_pairs",
+    "minhash_bbit_near_dup",
 ]
 
 
@@ -494,13 +510,20 @@ def _write_scaling_artifact(
         "  ABOVE — the table is the source of truth, prose states no",
         "  second copy of the numbers (r10's Notes shipped stale draft",
         "  figures next to the regenerated table; this rule is the fix).",
-        "- `semantic_dedup` (recurring board max, ~3.4-3.8): the",
-        "  cell-bounded quadratic — within-cell pairwise cosine — grows",
-        "  with cell occupancy, which 10x data raises toward the cap;",
-        "  the r08 cap fix bounds the cell size, so the term is",
+        "- `semantic_dedup` (board max in most r08-r11 runs, ~3.4-3.8):",
+        "  the cell-bounded quadratic — within-cell pairwise cosine —",
+        "  grows with cell occupancy, which 10x data raises toward the",
+        "  cap; the r08 cap fix bounds the cell size, so the term is",
         "  O(cells x cap^2) at any corpus scale (r08 A/B evidence; code",
         "  unchanged since). Sub-linear at 10x, by design bounded at",
         "  100x.",
+        "- `winnowing_overlap_pairs` / `minhash_bbit_near_dup` (r11",
+        "  late): both are banded-family shapes — candidate volume is",
+        "  the growth term (shared SELECTED fingerprints under the",
+        "  frequency cap; low-bit band collisions under the b-bit",
+        "  truncation) — and both inherit the class collapse, so the",
+        "  joins are quadratic in distinct texts only. Ratios in the",
+        "  table; no second copy here.",
         "- Cross-run absolute comparisons: divide by the matching",
         "  calibration probe first (header). Ratios compare directly.",
         "",

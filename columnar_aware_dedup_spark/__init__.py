@@ -37,11 +37,13 @@ from columnar_aware_dedup_spark.operators import streaming_parity  # noqa: F401
 from columnar_aware_dedup_spark.operators import zonemap  # noqa: F401
 from columnar_aware_dedup_spark.operators import drift  # noqa: F401
 from columnar_aware_dedup_spark.operators import curation  # noqa: F401
+from columnar_aware_dedup_spark.operators import winnowing  # noqa: F401
 from columnar_aware_dedup_spark.sources import binaryfile  # noqa: F401
 from columnar_aware_dedup_spark.sources import cdc  # noqa: F401
 from columnar_aware_dedup_spark.sources import chunkers  # noqa: F401
 from columnar_aware_dedup_spark.sources import crossformat  # noqa: F401
 from columnar_aware_dedup_spark.sources import orcfixtures  # noqa: F401
+from columnar_aware_dedup_spark.sources import jsonl  # noqa: F401
 from columnar_aware_dedup_spark.sources import parquetcensus  # noqa: F401
 
 #: the driver's CORRECTNESS window covers the first 50 registered queries —
@@ -930,8 +932,15 @@ ROTATION_R10: list[str] = [
 #: CORRECTNESS_r10; rounds 8+ re-derive against the real archives before
 #: activating, the same contract as ROTATION_R8..R10.
 ROTATION_R11: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "streaming_winnow_parity",
+    "jsonl_ingest_dedup",
+    "minhash_bbit_near_dup",
+    "shingle_dup_sample_estimate",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     "orc_hierarchical_dedup",
     "orc_hierarchical_pruned",
     "orc_linked_reconstruction",
@@ -950,12 +959,6 @@ ROTATION_R11: list[str] = [
     "event_funnel",
     "event_gapfill_locf",
     "file_parse_overhead",
-    "pii_redaction",
-    "pivot_agg",
-    "posexplode_tokens",
-    "q10_returned_item",
-    "q12_priority_class",
-    "q14_promo_effect",
     "q19_bracketed_or",
     "sequence_pack",
     "ivf_train_kmeans",
@@ -995,8 +998,15 @@ ROTATION_R11: list[str] = [
 #: real archives before activating — the same contract as R8..R11; the
 #: conditional freshness test arms on CORRECTNESS_r11.
 ROTATION_R12: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "q14_promo_effect",
+    "pii_redaction",
+    "pivot_agg",
+    "posexplode_tokens",
+    "q10_returned_item",
+    "q12_priority_class",
     "intersect_all",
     "join_full_outer",
     "join_left",
@@ -1026,12 +1036,6 @@ ROTATION_R12: list[str] = [
     "math_fns",
     "q11_important_stock",
     "union_all_counts",
-    "join_semi",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_scene_cuts",
-    "naive_bayes_source_classify",
-    "ngram_containment_pairs",
     "pmi_collocations",
     "corpus_report",
     "date_fns",
@@ -1057,8 +1061,15 @@ ROTATION_R12: list[str] = [
 #: projected (r09) rows, alphabetical. Exactly-50/uniqueness/coverage
 #: enforced by the same test family as ROTATION_R9..R12.
 ROTATION_R13: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "ngram_containment_pairs",
+    "join_semi",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_scene_cuts",
+    "naive_bayes_source_classify",
     "ann_pq_topk",
     "asof_join",
     "bigram_logprob_score",
@@ -1069,7 +1080,6 @@ ROTATION_R13: list[str] = [
     "having_filter",
     "join_anti",
     "join_inner",
-    "minhash_recall_report",
     "cdc_dedup_report_parquet",
     "cube_agg",
     "parquet_zone_map_pruning",
@@ -1085,14 +1095,9 @@ ROTATION_R13: list[str] = [
     "streaming_pq_parity",
     "token_heavy_hitters_cms",
     "token_vocab_hll",
-    "distinct_count",
-    "doc_hash_embedding",
     "bm25_doc_ranking",
     "cross_format_dedup",
     "hybrid_rrf_fusion",
-    "dsir_gumbel_resample",
-    "dsir_importance_weights",
-    "dup_span_fraction",
     "event_dedup_first",
     "event_session_window",
     "groupby_sum_count",
@@ -1125,19 +1130,20 @@ ROTATION_R13: list[str] = [
 #: after any edit; the conditional freshness test arms on
 #: CORRECTNESS_r13.
 ROTATION_R14: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
-    "bpe_train_merges",
-    "dedup_hierarchical",
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "dup_span_fraction",
+    "distinct_count",
+    "doc_hash_embedding",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "minhash_recall_report",
     "dedup_hit_miss",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
     "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
     "lsh_parameter_sweep",
-    "orc_hierarchical_dedup",
     "orc_stats_pruned_dedup",
     "pipeline_curate",
     "pq_train_codebooks",
@@ -1192,8 +1198,15 @@ ROTATION_R14: list[str] = [
 #: at round 15 (R16 is round 10's derivation). Rounds 10+ re-derive
 #: before activating, the same contract as R9..R14.
 ROTATION_R15: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "doc_quality_filter",
+    "bpe_train_merges",
+    "dedup_hierarchical",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "orc_hierarchical_dedup",
     "ann_ivf_nprobe_topk",
     "embedding_pca_project",
     "grouped_percentile",
@@ -1220,12 +1233,6 @@ ROTATION_R15: list[str] = [
     "tfidf_top_terms",
     "parquet_file_chunks",
     "parquet_reconstruction",
-    "pii_redaction",
-    "pivot_agg",
-    "posexplode_tokens",
-    "q10_returned_item",
-    "q12_priority_class",
-    "q14_promo_effect",
     "q15_top_supplier",
     "q16_parts_supplier_cnt",
     "audio_fingerprint_near_dup",
@@ -1257,10 +1264,22 @@ ROTATION_R15: list[str] = [
 #: derivation). Rounds 10+ re-derive before activating, the same
 #: contract as R9..R15.
 ROTATION_R16: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "q14_promo_effect",
+    "streaming_winnow_parity",
+    "jsonl_ingest_dedup",
+    "minhash_bbit_near_dup",
+    "pii_redaction",
+    "pivot_agg",
+    "posexplode_tokens",
+    "q10_returned_item",
+    "q12_priority_class",
+    "shingle_dup_sample_estimate",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     "ann_recall_report",
-    "join_full_outer",
     "join_left",
     "json_extract",
     "like_rlike_pred",
@@ -1287,16 +1306,7 @@ ROTATION_R16: list[str] = [
     "substring_dedup_apply",
     "substring_dedup_delta",
     "substring_dedup_ranges",
-    "domain_mix_sample",
-    "event_tumbling_window",
-    "except_all",
-    "filter_pred",
-    "grouped_percentile_approx",
-    "hot_span_census",
-    "join_semi",
     "math_fns",
-    "multimodal_decode",
-    "multimodal_frame_sample",
     "cluster_aware_split",
     "correlated_subquery",
     "doc_ngram_novelty",
@@ -1304,11 +1314,9 @@ ROTATION_R16: list[str] = [
     "event_funnel",
     "event_gapfill_locf",
     "file_parse_overhead",
-    "intersect_all",
     "inverted_index_search",
     "ivf_train_kmeans",
     "ann_ivfpq_topk",
-    "grouping_sets_agg",
 ]
 
 
@@ -1322,11 +1330,21 @@ ROTATION_R16: list[str] = [
 #: the edge at 17 (R18 = round 11's derivation). Rounds 11+ re-derive
 #: before activating, the same contract as R9..R16.
 ROTATION_R17: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
-    "asof_join",
-    "bigram_logprob_score",
-    "cast_fns",
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "intersect_all",
+    "join_full_outer",
+    "domain_mix_sample",
+    "event_tumbling_window",
+    "except_all",
+    "filter_pred",
+    "grouped_percentile_approx",
+    "grouping_sets_agg",
+    "hot_span_census",
+    "join_semi",
+    "multimodal_decode",
+    "multimodal_frame_sample",
     "cdc_file_chunks",
     "corpus_report",
     "corpus_shuffle",
@@ -1338,14 +1356,11 @@ ROTATION_R17: list[str] = [
     "having_filter",
     "join_anti",
     "join_inner",
-    "minhash_recall_report",
     "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
     "balanced_sample_exact_k",
     "cdc_dedup_report",
-    "event_anomaly_zscore",
-    "event_hypertable_rollup",
     "multimodal_scene_cuts",
     "naive_bayes_source_classify",
     "ngram_containment_pairs",
@@ -1359,12 +1374,6 @@ ROTATION_R17: list[str] = [
     "streaming_store_parity",
     "token_zipf_slope",
     "union_all_counts",
-    "distinct_count",
-    "doc_hash_embedding",
-    "dsir_gumbel_resample",
-    "dsir_importance_weights",
-    "dup_span_fraction",
-    "event_dedup_first",
     "event_session_window",
     "groupby_sum_count",
     "hybrid_rrf_fusion",
@@ -1388,25 +1397,30 @@ ROTATION_R17: list[str] = [
 #: derivation). Rounds 11+ re-derive before activating, the same
 #: contract as R9..R17.
 ROTATION_R18: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "event_dedup_first",
+    "event_hypertable_rollup",
+    "asof_join",
+    "bigram_logprob_score",
+    "cast_fns",
+    "doc_hash_embedding",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "event_anomaly_zscore",
+    "minhash_recall_report",
     "ann_pq_topk",
     "bm25_doc_ranking",
-    "bpe_train_merges",
     "cdc_dedup_report_parquet",
     "cross_format_dedup",
     "cube_agg",
-    "dedup_hierarchical",
-    "dedup_hit_miss",
-    "dedup_ratio",
-    "doc_fingerprint",
-    "doc_quality_filter",
     "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
     "lsh_parameter_sweep",
     "ann_pq_recall",
-    "orc_hierarchical_dedup",
     "parquet_zone_map_pruning",
     "passage_ann_ivf_topk",
     "passage_near_dup",
@@ -1424,10 +1438,6 @@ ROTATION_R18: list[str] = [
     "token_vocab_hll",
     "transfer_stats_rollup_approx",
     "window_first_last",
-    "cluster_quality_keeper",
-    "col_type_stats",
-    "dedup_bloom_prefilter",
-    "dedup_exact_rows",
     "minhash_near_dup",
     "minhash_signature",
     "near_dup_cluster_stats",
@@ -1447,9 +1457,19 @@ ROTATION_R18: list[str] = [
 #: cascade; re-derive against the real archives before
 #: activating, the ROTATION_R8+ contract.
 ROTATION_R19: list[str] = [
-    # (re-packed r11 by tools/repair_rotation.py from the real
-    # archives; simulator-verified — see the R11 comment block)
-    "ann_ivf_nprobe_topk",
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "distinct_count",
+    "doc_quality_filter",
+    "cluster_quality_keeper",
+    "col_type_stats",
+    "dedup_bloom_prefilter",
+    "dedup_exact_rows",
+    "dedup_hit_miss",
+    "dedup_ratio",
+    "doc_fingerprint",
+    "orc_hierarchical_dedup",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_sq8_topk",
@@ -1481,15 +1501,6 @@ ROTATION_R19: list[str] = [
     "window_lag_frame",
     "window_ntile_dist",
     "window_rank",
-    "audio_fingerprint_near_dup",
-    "audio_fingerprint_signature",
-    "cohort_retention",
-    "corpus_split",
-    "crawl_admission_report",
-    "dedup_savings_by_source",
-    "doc_length_outliers",
-    "edit_distance_verify",
-    "embedding_near_dup_pairs",
     "embedding_norm_stats",
     "embedding_prototypicality",
     "multimodal_audio_features",
@@ -1499,6 +1510,128 @@ ROTATION_R19: list[str] = [
     "parquet_stats_pruned_columns",
     "passage_bm25_scores",
     "passage_rrf_from_index",
+]
+
+
+#: r20 rotation (horizon window, derived r11 session 2 by the repair
+#: solver): the staleness-ordered fill after the late-r11 demand
+#: cascade; re-derive against the real archives before
+#: activating, the ROTATION_R8+ contract.
+ROTATION_R20: list[str] = [
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "bpe_train_merges",
+    "dedup_hierarchical",
+    "ann_ivf_nprobe_topk",
+    "audio_fingerprint_near_dup",
+    "audio_fingerprint_signature",
+    "cohort_retention",
+    "corpus_split",
+    "crawl_admission_report",
+    "dedup_savings_by_source",
+    "doc_length_outliers",
+    "edit_distance_verify",
+    "embedding_near_dup_pairs",
+    "passage_rrf_fusion",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "simhash64_signature",
+    "simhash_band_near_dup",
+    "streaming_bm25_parity",
+    "streaming_rrf_parity",
+    "streaming_statsprune_parity",
+    "tfidf_top_terms",
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+    "cluster_aware_split",
+    "correlated_subquery",
+    "doc_ngram_novelty",
+    "doc_repetition_score",
+    "event_funnel",
+    "event_gapfill_locf",
+    "file_parse_overhead",
+    "inverted_index_search",
+    "ivf_train_kmeans",
+    "join_left",
+    "json_extract",
+    "jsonl_ingest_dedup",
+    "like_rlike_pred",
+    "limit_offset",
+    "math_fns",
+    "minhash_bbit_near_dup",
+    "null_fns",
+    "orc_hierarchical_pruned",
+]
+
+
+#: r21 rotation (horizon window, derived r11 session 2 by the repair
+#: solver): the staleness-ordered fill after the late-r11 demand
+#: cascade; re-derive against the real archives before
+#: activating, the ROTATION_R8+ contract.
+ROTATION_R21: list[str] = [
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the six late registrations seated here;
+    # simulator-verified green through R20)
+    "intersect_all",
+    "join_full_outer",
+    "orc_stats_census_drift",
+    "orderby_limit_topk",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "percentile_disc_median",
+    "pii_redaction",
+    "pivot_agg",
+    "posexplode_tokens",
+    "q10_returned_item",
+    "q12_priority_class",
+    "q19_bracketed_or",
+    "rollup_agg",
+    "row_signature",
+    "scan_project",
+    "sequence_pack",
+    "set_except",
+    "set_intersect",
+    "shingle_dup_sample_estimate",
+    "stratified_sample",
+    "streaming_cluster_parity",
+    "streaming_lsh_parity",
+    "streaming_statsprune_columns_parity",
+    "streaming_statsprune_parquet_parity",
+    "streaming_winnow_parity",
+    "substring_dedup_apply",
+    "substring_dedup_delta",
+    "substring_dedup_ranges",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "apply_in_pandas_group",
+    "argminmax_agg",
+    "array_fns",
+    "balanced_sample_exact_k",
+    "cdc_dedup_report",
+    "cdc_file_chunks",
+    "corpus_report",
+    "corpus_shuffle",
+    "date_fns",
+    "decontaminate_ngram_overlap",
+    "domain_mix_sample",
+    "event_session_window",
+    "event_sliding_window",
+    "event_tumbling_window",
+    "event_watermark_filter",
+    "except_all",
+    "file_inventory",
+    "filter_pred",
+    "groupby_sum_count",
 ]
 
 

@@ -378,7 +378,9 @@ def streaming_rrf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_from_index(spark, bm25_tbl, vec_tbl)
 
 
-def _index_served_bit(spark: SparkSession, df: DataFrame, table: str) -> bool:
+def _index_served_bit(
+    spark: SparkSession, df: DataFrame, table: str, *more_tables: str
+) -> bool:
     """TRUE iff every physical input file of ``df``'s scan lives under the
     warehouse directory of ``table`` — the served-from-index guard bit
     (r11, VERDICT r10 "What's wrong" #4): the statsprune certificates'
@@ -398,9 +400,11 @@ def _index_served_bit(spark: SparkSession, df: DataFrame, table: str) -> bool:
         return p
 
     warehouse = _path(spark.conf.get("spark.sql.warehouse.dir"))
-    prefix = f"{warehouse.rstrip('/')}/{table.lower()}/"
+    prefixes = tuple(
+        f"{warehouse.rstrip('/')}/{t.lower()}/" for t in (table, *more_tables)
+    )
     files = [_path(f) for f in df.inputFiles()]
-    return bool(files) and all(f.startswith(prefix) for f in files)
+    return bool(files) and all(f.startswith(prefixes) for f in files)
 
 
 def _with_served_bit(cert: DataFrame, served: bool) -> DataFrame:
@@ -596,6 +600,62 @@ def streaming_statsprune_columns_parity(
             )
         ),
         _index_served_bit(spark, served, tbl),
+    )
+
+
+def _served_winnow_oracle() -> str:
+    """The batch overlap oracle with the guard bit restated TRUE —
+    derived from the single-copy oracle text so the columns cannot
+    drift."""
+    from columnar_aware_dedup_spark.operators.winnowing import (
+        WINNOW_OVERLAP_ORACLE,
+    )
+
+    out = WINNOW_OVERLAP_ORACLE.replace(
+        "SELECT doc_a, doc_b, shared_fps FROM pairs",
+        "SELECT doc_a, doc_b, shared_fps, TRUE AS served_from_index"
+        " FROM pairs",
+        1,
+    )
+    assert "served_from_index" in out  # replace() anchored on the tail
+    return out
+
+
+@register("streaming_winnow_parity", oracle=_served_winnow_oracle())
+def streaming_winnow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve ``winnowing_overlap_pairs`` from the maintained two-table
+    winnowing index (``streaming/winnow.py``, r11 late — the 10th
+    family): the corpus folds in two waves, the wave-1 replay must
+    append ZERO membership rows (per-table anti-join idempotence: class
+    fingerprints key on ``tsig``, membership on ``doc_id`` — the
+    property that makes the two-table append crash-safe without a
+    manifest), and the overlap report is then served ENTIRELY from the
+    fingerprint + membership tables through the SAME ``overlap_report``
+    chain as the batch corpus scan. Hash equality against the batch
+    oracle proves daily-delta maintenance of the selection index is
+    indistinguishable from re-winnowing history; the
+    ``served_from_index`` guard bit (TRUE only when every file the
+    report's plan scanned lives under one of the TWO maintained
+    warehouse tables) makes an in-plan substitute fail the row
+    (flip test in ``tests/test_winnowing.py``)."""
+    from columnar_aware_dedup_spark.streaming import winnow
+
+    fp_tbl, mem_tbl = winnow.init_winnow_tables(
+        spark, "parity_winnow_fp", "parity_winnow_members"
+    )
+    wave1, wave2 = _waves(spark, sf_dir)
+    winnow.merge_winnow_delta(spark, wave1, fp_tbl, mem_tbl)
+    replayed = winnow.merge_winnow_delta(spark, wave1, fp_tbl, mem_tbl)
+    if replayed:
+        raise AssertionError(
+            f"wave-1 replay appended {replayed} membership rows; merge is"
+            " not idempotent"
+        )
+    winnow.merge_winnow_delta(spark, wave2, fp_tbl, mem_tbl)
+    report = winnow.overlap_pairs_from_index(spark, fp_tbl, mem_tbl)
+    return report.withColumn(
+        "served_from_index",
+        F.lit(_index_served_bit(spark, report, fp_tbl, mem_tbl)),
     )
 
 

@@ -771,6 +771,126 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: b-bit MinHash (Li & König, CACM 2011): keep only the LOW ``_BBIT_HEX``
+#: hex chars (8 of 16 bits) of each slot — half the signature storage —
+#: and band on the truncated slots with the SAME 4x2 geometry. Full-slot
+#: equality implies low-bit equality, so the full candidate set is
+#: contained in the b-bit one by construction; the report measures the
+#: price (extra candidates from low-bit collisions) on the real corpus.
+_BBIT_HEX = 2
+
+
+def _bbit_band_exprs() -> list[str]:
+    """band keys over the LOW ``4 * _BBIT_HEX`` bits of each slot — the
+    same pairing as :func:`_band_exprs`, same SQL text on both engines."""
+    lo = f"substring(mh{{i}}, {4 - _BBIT_HEX + 1}, {_BBIT_HEX})"
+    return [
+        f"md5({lo.format(i=2 * b)} || {lo.format(i=2 * b + 1)})"
+        for b in range(_MINHASH_BANDS)
+    ]
+
+
+MINHASH_BBIT_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sigs AS (SELECT doc_id, {{slots}} FROM t),
+fb AS ({{full_bands}}),
+bb AS ({{bbit_bands}}),
+fp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM fb a JOIN fb b
+         ON a.band_key = b.band_key AND a.band = b.band
+            AND a.doc_id < b.doc_id),
+bp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS shared_bbit_bands
+       FROM bb a JOIN bb b
+         ON a.band_key = b.band_key AND a.band = b.band
+            AND a.doc_id < b.doc_id
+       GROUP BY doc_a, doc_b)
+SELECT bp.doc_a, bp.doc_b, bp.shared_bbit_bands,
+       fp.doc_a IS NOT NULL AS full_candidate
+FROM bp LEFT JOIN fp ON fp.doc_a = bp.doc_a AND fp.doc_b = bp.doc_b
+"""
+
+
+def _minhash_bbit_oracle() -> str:
+    def union(exprs: list[str]) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_key, {i} AS band FROM sigs"
+            for i, b in enumerate(exprs)
+        )
+
+    # DuckDB substring() is substr-compatible; the expr text works verbatim
+    return MINHASH_BBIT_ORACLE.format(
+        slots=_minhash_slots_sql(),
+        full_bands=union(_band_exprs()),
+        bbit_bands=union(_bbit_band_exprs()),
+    )
+
+
+@register("minhash_bbit_near_dup", oracle=_minhash_bbit_oracle())
+def minhash_bbit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit LSH candidates vs the full-width banding — the Li-König
+    storage trade, quantified per pair: candidates from banding the LOW
+    8 bits of each 16-bit slot (HALF the signature bytes a 100 TB
+    signature store must hold), flagged with whether the full-width
+    banding also catches the pair. ``full_candidate`` rows are exactly
+    the :func:`minhash_near_dup` candidate set (containment by
+    construction — full-slot equality implies low-bit equality); FALSE
+    rows are the precision cost of the cheaper store. Same class
+    collapse + member expansion discipline as every banded family."""
+    sigs = _minhash_tagged_sigs(spark, sf_dir)
+    classes = _classes_of(sigs).localCheckpoint(eager=False)
+
+    def band_rows(exprs: list[str]) -> DataFrame:
+        band_struct = F.array(
+            *[
+                F.struct(
+                    F.expr(b).alias("band_key"),
+                    F.lit(i).cast("int").alias("band"),
+                )
+                for i, b in enumerate(exprs)
+            ]
+        )
+        return classes.select("tsig", F.explode(band_struct).alias("b")).select(
+            "tsig", "b.band_key", "b.band"
+        )
+
+    def class_pairs(rows: DataFrame, agg) -> DataFrame:
+        a, b = rows.alias("a"), rows.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.tsig") < F.col("b.tsig")),
+            )
+            .groupBy(
+                F.col("a.tsig").alias("tsig_a"),
+                F.col("b.tsig").alias("tsig_b"),
+            )
+            .agg(agg)
+        )
+
+    bbit = class_pairs(
+        band_rows(_bbit_band_exprs()),
+        F.count(F.lit(1)).cast("bigint").alias("shared_bbit_bands"),
+    )
+    full = class_pairs(
+        band_rows(_band_exprs()), F.count(F.lit(1)).alias("_nb")
+    ).select("tsig_a", "tsig_b", F.lit(True).alias("_full"))
+    rep_pairs = bbit.join(full, ["tsig_a", "tsig_b"], "left").select(
+        "tsig_a",
+        "tsig_b",
+        "shared_bbit_bands",
+        F.coalesce(F.col("_full"), F.lit(False)).alias("full_candidate"),
+    )
+    return _expand_member_pairs(
+        rep_pairs,
+        sigs.select("doc_id", "tsig"),
+        ["shared_bbit_bands", "full_candidate"],
+        [F.lit(_MINHASH_BANDS).cast("long"), F.lit(True)],
+    )
+
+
 #: exact-similarity threshold for the LSH recall gate: the fixture's planted
 #: near-dups sit at shingle-Jaccard >= 0.8 and the background below 0.15
 #: (measured both SFs), so 0.5 cleanly separates "truly similar".
