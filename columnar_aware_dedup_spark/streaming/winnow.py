@@ -104,8 +104,18 @@ def merge_winnow_delta(
             w.dropDuplicates(["tsig"])
             .join(seen_cls, "tsig", "left_anti")
             .select("tsig", F.explode("sel").alias("fp"))
+            .persist()
         )
-        fresh_fp.write.format("parquet").mode("append").insertInto(fp_table)
+        try:
+            # count-then-write (the spans.py discipline): a replayed wave
+            # derives an empty delta, and skipping the append skips a
+            # whole write job + file commit
+            if fresh_fp.count():
+                fresh_fp.write.format("parquet").mode("append").insertInto(
+                    fp_table
+                )
+        finally:
+            fresh_fp.unpersist()
         seen_docs = spark.table(member_table).select("doc_id")
         fresh_members = (
             w.select("doc_id", "tsig")
