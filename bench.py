@@ -198,6 +198,7 @@ HEADLINE = [
     "minhash_bbit_near_dup",
     "jsonl_ingest_dedup",
     "streaming_winnow_parity",
+    "retrieval_rbo_report",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -933,8 +933,9 @@ ROTATION_R10: list[str] = [
 #: activating, the same contract as ROTATION_R8..R10.
 ROTATION_R11: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "retrieval_rbo_report",
     "streaming_winnow_parity",
     "jsonl_ingest_dedup",
     "minhash_bbit_near_dup",
@@ -959,7 +960,6 @@ ROTATION_R11: list[str] = [
     "event_funnel",
     "event_gapfill_locf",
     "file_parse_overhead",
-    "q19_bracketed_or",
     "sequence_pack",
     "ivf_train_kmeans",
     "multimodal_audio_features",
@@ -999,8 +999,9 @@ ROTATION_R11: list[str] = [
 #: conditional freshness test arms on CORRECTNESS_r11.
 ROTATION_R12: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "q19_bracketed_or",
     "q14_promo_effect",
     "pii_redaction",
     "pivot_agg",
@@ -1036,7 +1037,6 @@ ROTATION_R12: list[str] = [
     "math_fns",
     "q11_important_stock",
     "union_all_counts",
-    "pmi_collocations",
     "corpus_report",
     "date_fns",
     "event_tumbling_window",
@@ -1062,8 +1062,9 @@ ROTATION_R12: list[str] = [
 #: enforced by the same test family as ROTATION_R9..R12.
 ROTATION_R13: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "pmi_collocations",
     "ngram_containment_pairs",
     "join_semi",
     "multimodal_decode",
@@ -1098,7 +1099,6 @@ ROTATION_R13: list[str] = [
     "bm25_doc_ranking",
     "cross_format_dedup",
     "hybrid_rrf_fusion",
-    "event_dedup_first",
     "event_session_window",
     "groupby_sum_count",
     "window_first_last",
@@ -1131,8 +1131,9 @@ ROTATION_R13: list[str] = [
 #: CORRECTNESS_r13.
 ROTATION_R14: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "event_dedup_first",
     "dup_span_fraction",
     "distinct_count",
     "doc_hash_embedding",
@@ -1140,7 +1141,6 @@ ROTATION_R14: list[str] = [
     "dsir_importance_weights",
     "minhash_recall_report",
     "dedup_hit_miss",
-    "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
     "lsh_parameter_sweep",
@@ -1199,15 +1199,15 @@ ROTATION_R14: list[str] = [
 #: before activating, the same contract as R9..R14.
 ROTATION_R15: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "doc_quality_score",
     "doc_quality_filter",
     "bpe_train_merges",
     "dedup_hierarchical",
     "dedup_ratio",
     "doc_fingerprint",
     "orc_hierarchical_dedup",
-    "ann_ivf_nprobe_topk",
     "embedding_pca_project",
     "grouped_percentile",
     "image_ahash_near_dup",
@@ -1265,8 +1265,10 @@ ROTATION_R15: list[str] = [
 #: contract as R9..R15.
 ROTATION_R16: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "ann_ivf_nprobe_topk",
+    "retrieval_rbo_report",
     "q14_promo_effect",
     "streaming_winnow_parity",
     "jsonl_ingest_dedup",
@@ -1280,8 +1282,6 @@ ROTATION_R16: list[str] = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "ann_recall_report",
-    "join_left",
-    "json_extract",
     "like_rlike_pred",
     "limit_offset",
     "null_fns",
@@ -1331,8 +1331,10 @@ ROTATION_R16: list[str] = [
 #: before activating, the same contract as R9..R16.
 ROTATION_R17: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "join_left",
+    "json_extract",
     "intersect_all",
     "join_full_outer",
     "domain_mix_sample",
@@ -1350,7 +1352,6 @@ ROTATION_R17: list[str] = [
     "corpus_shuffle",
     "date_fns",
     "decontaminate_ngram_overlap",
-    "event_sliding_window",
     "event_watermark_filter",
     "file_inventory",
     "having_filter",
@@ -1374,7 +1375,6 @@ ROTATION_R17: list[str] = [
     "streaming_store_parity",
     "token_zipf_slope",
     "union_all_counts",
-    "event_session_window",
     "groupby_sum_count",
     "hybrid_rrf_fusion",
     "multimodal_meta",
@@ -1398,14 +1398,15 @@ ROTATION_R17: list[str] = [
 #: contract as R9..R17.
 ROTATION_R18: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "event_session_window",
+    "event_sliding_window",
     "event_dedup_first",
     "event_hypertable_rollup",
     "asof_join",
     "bigram_logprob_score",
     "cast_fns",
-    "doc_hash_embedding",
     "dsir_gumbel_resample",
     "dsir_importance_weights",
     "dup_span_fraction",
@@ -1416,7 +1417,6 @@ ROTATION_R18: list[str] = [
     "cdc_dedup_report_parquet",
     "cross_format_dedup",
     "cube_agg",
-    "doc_quality_score",
     "doc_token_stats",
     "embedding_cosine_topk",
     "lsh_parameter_sweep",
@@ -1458,8 +1458,10 @@ ROTATION_R18: list[str] = [
 #: activating, the ROTATION_R8+ contract.
 ROTATION_R19: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "doc_hash_embedding",
+    "doc_quality_score",
     "distinct_count",
     "doc_quality_filter",
     "cluster_quality_keeper",
@@ -1467,8 +1469,6 @@ ROTATION_R19: list[str] = [
     "dedup_bloom_prefilter",
     "dedup_exact_rows",
     "dedup_hit_miss",
-    "dedup_ratio",
-    "doc_fingerprint",
     "orc_hierarchical_dedup",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -1519,8 +1519,10 @@ ROTATION_R19: list[str] = [
 #: activating, the ROTATION_R8+ contract.
 ROTATION_R20: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "dedup_ratio",
+    "doc_fingerprint",
     "bpe_train_merges",
     "dedup_hierarchical",
     "ann_ivf_nprobe_topk",
@@ -1562,8 +1564,6 @@ ROTATION_R20: list[str] = [
     "file_parse_overhead",
     "inverted_index_search",
     "ivf_train_kmeans",
-    "join_left",
-    "json_extract",
     "jsonl_ingest_dedup",
     "like_rlike_pred",
     "limit_offset",
@@ -1580,8 +1580,11 @@ ROTATION_R20: list[str] = [
 #: activating, the ROTATION_R8+ contract.
 ROTATION_R21: list[str] = [
     # (re-packed r11 session 2 by tools/repair_rotation.py from the
-    # real archives — the six late registrations seated here;
-    # simulator-verified green through R20)
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "join_left",
+    "json_extract",
+    "retrieval_rbo_report",
     "intersect_all",
     "join_full_outer",
     "orc_stats_census_drift",
@@ -1613,7 +1616,6 @@ ROTATION_R21: list[str] = [
     "substring_dedup_ranges",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
-    "apply_in_pandas_group",
     "argminmax_agg",
     "array_fns",
     "balanced_sample_exact_k",
@@ -1624,14 +1626,73 @@ ROTATION_R21: list[str] = [
     "date_fns",
     "decontaminate_ngram_overlap",
     "domain_mix_sample",
-    "event_session_window",
-    "event_sliding_window",
     "event_tumbling_window",
     "event_watermark_filter",
     "except_all",
     "file_inventory",
     "filter_pred",
     "groupby_sum_count",
+]
+
+
+#: r22 rotation (horizon window, derived r11 session 2 by the repair
+#: solver): the staleness-ordered fill after the late-r11 demand
+#: cascade; re-derive against the real archives before
+#: activating, the ROTATION_R8+ contract.
+ROTATION_R22: list[str] = [
+    # (re-packed r11 session 2 by tools/repair_rotation.py from the
+    # real archives — the seven late registrations seated here;
+    # simulator-verified green through R21)
+    "apply_in_pandas_group",
+    "event_session_window",
+    "event_sliding_window",
+    "grouped_percentile_approx",
+    "grouping_sets_agg",
+    "having_filter",
+    "hot_span_census",
+    "hybrid_rrf_fusion",
+    "join_anti",
+    "join_inner",
+    "join_semi",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_scene_cuts",
+    "naive_bayes_source_classify",
+    "near_dup_clusters",
+    "near_dup_clusters_labelprop",
+    "near_dup_pagerank",
+    "ngram_containment_pairs",
+    "ngram_jaccard_pairs",
+    "orc_file_chunks",
+    "orc_zone_map_pruning",
+    "parquet_column_census",
+    "passage_split",
+    "pmi_collocations",
+    "q11_important_stock",
+    "source_overlap_matrix",
+    "streaming_spans_parity",
+    "streaming_store_parity",
+    "token_zipf_slope",
+    "union_all_counts",
+    "ann_pq_recall",
+    "ann_pq_topk",
+    "asof_join",
+    "bigram_logprob_score",
+    "bm25_doc_ranking",
+    "cast_fns",
+    "cdc_dedup_report_parquet",
+    "cross_format_dedup",
+    "cube_agg",
+    "doc_token_stats",
+    "dsir_gumbel_resample",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "embedding_cosine_topk",
+    "event_anomaly_zscore",
+    "event_dedup_first",
+    "event_hypertable_rollup",
+    "lsh_parameter_sweep",
 ]
 
 

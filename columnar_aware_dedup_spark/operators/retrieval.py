@@ -418,6 +418,142 @@ def fuse_rrf(
     )
 
 
+# -- rank-agreement diagnostic (RBO) ------------------------------------------
+
+#: RBO truncation depth and persistence (Webber, Moffat & Zobel, TOIS
+#: 2010: p is the probability the reader looks one rank deeper; 0.9
+#: weights the top ranks ~10:1 over rank 10).
+_RBO_K = 10
+_RBO_P_NUM, _RBO_P_DEN = 9, 10  # p = 9/10, kept rational for exactness
+
+#: lcm(1..10) — clears every depth divisor d in the RBO sum.
+_RBO_LCM = 2520
+
+
+def _rbo_weights() -> tuple[list[int], int]:
+    """Integer-exact truncated RBO: with p = 9/10 and K = 10,
+
+        RBO@K = (1 - p) * sum_{d=1..K} p^(d-1) * |A_d ∩ B_d| / d,
+        normalized by its identical-lists maximum (1 - p^K).
+
+    A matched doc first counts at depth m = max(rank_A, rank_B) and in
+    every deeper prefix, so its total contribution is the constant
+    ``W[m] = sum_{d=m..K} p^(d-1) (1-p) / d``. Scaling by
+    ``D = lcm(1..K) * 10^K`` makes every W[m] an integer
+    (10^K clears the p powers, the lcm clears the 1/d), and the
+    normalizer ``den = lcm(1..K) * (10^K - 9^K)`` is the exact integer
+    value of D * (1 - p^K) — so ``rbo = sum(W[m]) / den`` is a ratio of
+    BIGINTs computed identically by both engines, with 1 for identical
+    lists and 0 for disjoint ones. No float sum order, no rounding."""
+    w = [
+        sum(
+            _RBO_P_NUM ** (d - 1)
+            * (_RBO_LCM // d)
+            * _RBO_P_DEN ** (_RBO_K - d)
+            for d in range(m, _RBO_K + 1)
+        )
+        for m in range(1, _RBO_K + 1)
+    ]
+    den = _RBO_LCM * (_RBO_P_DEN**_RBO_K - _RBO_P_NUM**_RBO_K)
+    # identical lists match at every rank m=1..K, so their mass must be
+    # exactly the normalizer (rbo = 1); a telescoping-sum identity
+    assert sum(w) == den
+    return w, den
+
+
+_RBO_W, _RBO_DEN = _rbo_weights()
+
+RBO_ORACLE = f"""
+WITH {_BM25_CTES},
+{_DOC_VECS_CTES},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25
+  QUALIFY lex_rank <= {_RBO_K}),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {_DENSE_COS_SQL} DESC, doc_id) AS dense_rank
+  FROM dvecs
+  QUALIFY dense_rank <= {_RBO_K}),
+m AS (
+  SELECT greatest(lex.lex_rank, dense.dense_rank) AS m
+  FROM lex JOIN dense USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_common,
+       CAST(COALESCE(sum(CASE WHEN m <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS overlap_at_5,
+       CAST(COALESCE(sum(list_value({", ".join(map(str, _RBO_W))})[m]), 0)
+            AS BIGINT) AS rbo_num,
+       CAST({_RBO_DEN} AS BIGINT) AS rbo_den,
+       CAST(COALESCE(sum(list_value({", ".join(map(str, _RBO_W))})[m]), 0)
+            * 100 AS BIGINT) // {_RBO_DEN} AS rbo_pct
+FROM m
+"""
+
+
+@register("retrieval_rbo_report", oracle=RBO_ORACLE)
+def retrieval_rbo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the hybrid's two input lists — the
+    agreement diagnostic that tells you whether fusion is buying
+    anything (RBO near 1: the dense list re-ranks the lexical one, skip
+    the second index; RBO near 0: the lists see different corpora and
+    fusion adds real recall). Top-:data:`_RBO_K` BM25 list vs
+    top-:data:`_RBO_K` hashed-embedding cosine list, both cut by
+    TakeOrdered before a ≤10-row rank window (the ``fuse_rrf``
+    discipline), matched on doc_id, each match contributing the
+    integer weight of its first-appearance depth (:func:`_rbo_weights`
+    — the whole statistic is a BIGINT ratio, engine-exact). Scale
+    shape: both lists are K-row frames whatever the corpus size; the
+    only corpus-scale work is the shared (doc, term) aggregation the
+    fusion already pays."""
+    from columnar_aware_dedup_spark.operators.search import (
+        hash_vectors_from_tf,
+    )
+
+    tf_all = corpus_tf(spark, sf_dir)
+    lex_scored = _bm25_scores(
+        spark, sf_dir, tf=tf_all.filter(F.col("term").isin(*_SEARCH_TERMS))
+    )
+    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        lex_scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RBO_K)
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .select("doc_id", "lex_rank")
+    )
+    dense_vecs = hash_vectors_from_tf(tf_all)
+    dense_w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    dense = (
+        dense_vecs.withColumn("cos", F.expr(_DENSE_COS_SPARK))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RBO_K)
+        .withColumn("dense_rank", F.row_number().over(dense_w))
+        .select("doc_id", "dense_rank")
+    )
+    w_arr = f"array({', '.join(map(str, _RBO_W))})"
+    m = lex.join(dense, "doc_id").select(
+        F.greatest("lex_rank", "dense_rank").alias("m")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum((F.col("m") <= 5).cast("long")).cast("bigint").alias(
+            "overlap_at_5"
+        ),
+        F.coalesce(
+            F.sum(F.expr(f"element_at({w_arr}, m)")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rbo_num"),
+    ).select(
+        "n_common",
+        F.coalesce("overlap_at_5", F.lit(0)).alias("overlap_at_5"),
+        "rbo_num",
+        F.lit(_RBO_DEN).cast("bigint").alias("rbo_den"),
+        F.expr(f"(rbo_num * 100) div {_RBO_DEN}").alias("rbo_pct"),
+    )
+
+
 # -- index-served BM25 ---------------------------------------------------------
 
 def doc_lengths(docs: DataFrame) -> DataFrame:

@@ -69,6 +69,14 @@ def read_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def all_jsonl_bit(files: list[str]) -> bool:
+    """TRUE iff the plan's file listing is non-empty and every file is a
+    ``.jsonl`` shard — the source-format guard bit, separated out so its
+    falsifiability test feeds it a parquet scan's listing (flip test in
+    ``tests/test_winnowing.py``)."""
+    return bool(files) and all(f.endswith(".jsonl") for f in files)
+
+
 @register(
     "jsonl_ingest_dedup",
     oracle=f"""
@@ -91,8 +99,7 @@ def jsonl_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side from ``inputFiles()``; the oracle — which reads the
     parquet view — restates it as the expected constant."""
     df = read_documents_jsonl(spark, sf_dir)
-    files = df.inputFiles()
-    from_jsonl = bool(files) and all(f.endswith(".jsonl") for f in files)
+    from_jsonl = all_jsonl_bit(df.inputFiles())
     sig = F.md5(F.expr(_NORM_SPARK))
     return (
         df.groupBy("source")

@@ -133,6 +133,16 @@ CERT_FLIP_TESTS = {
         "tests.test_crossformat",
         "test_cross_format_bits_flip",
     ),
+    # r11 late batch: the JSONL source-format guard and the maintained
+    # winnowing index's two-table served bit.
+    "jsonl_ingest_dedup": (
+        "tests.test_winnowing",
+        "test_jsonl_read_bit_flips",
+    ),
+    "streaming_winnow_parity": (
+        "tests.test_winnowing",
+        "test_winnow_served_bit_flips_on_inplan_substitute",
+    ),
 }
 
 

@@ -422,3 +422,74 @@ def test_passage_registry_null_text_is_zero_not_minus_one(spark):
     stats = spark.table(tbl + "_stats").collect()
     assert sum(r["dl_sum"] for r in stats) == 2
     assert sum(r["n_dl_docs"] for r in stats) == 1
+
+
+# -- rank-biased overlap ------------------------------------------------------
+
+
+def test_rbo_weight_table_identities():
+    """The integer weight table's defining identities: summing a match at
+    every rank recovers exactly the normalizer (identical lists -> rbo
+    1), the weights decrease with first-appearance depth, and each W[m]
+    equals the hand-computed (1-p) sum_{d=m..K} p^(d-1)/d mass scaled by
+    lcm(1..K) * 10^K (float check to 12 dp — the table itself stays
+    integer)."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _RBO_DEN,
+        _RBO_K,
+        _RBO_W,
+        _rbo_weights,
+    )
+
+    w, den = _rbo_weights()
+    assert (w, den) == (_RBO_W, _RBO_DEN)
+    assert sum(w) == den
+    assert all(a > b > 0 for a, b in zip(w, w[1:]))
+    scale = 2520 * 10**_RBO_K
+    for m in range(1, _RBO_K + 1):
+        mass = sum(0.1 * 0.9 ** (d - 1) / d for d in range(m, _RBO_K + 1))
+        assert abs(w[m - 1] / scale - mass) < 1e-12
+
+
+def test_rbo_identical_lists_is_exactly_one(spark, tmp_path):
+    """A corpus of >= K identical docs (containing the query terms) ties
+    every score, so both lists fall back to the doc_id tiebreak and come
+    out identical -> rbo_num == rbo_den exactly, n_common == K."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _RBO_K,
+        retrieval_rbo_report,
+    )
+
+    text = "vector stream merge alpha beta gamma"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array([text] * 12, pa.string()),
+            "lang": pa.array(["en"] * 12, pa.string()),
+            "source": pa.array(["s"] * 12, pa.string()),
+            "n_chars": pa.array([len(text)] * 12, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    row = retrieval_rbo_report(spark, str(tmp_path)).collect()[0]
+    assert row["n_common"] == _RBO_K
+    assert row["rbo_num"] == row["rbo_den"]
+    assert row["rbo_pct"] == 100
+
+
+def test_rbo_fixture_report_is_bounded(spark, sf_dir):
+    """On the real fixture the statistic is a valid ratio: 0 <= num <=
+    den, overlap_at_5 <= n_common <= K, and the truncated-percentage
+    integer agrees with the exact integer division."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _RBO_K,
+        retrieval_rbo_report,
+    )
+
+    row = retrieval_rbo_report(spark, sf_dir).collect()[0]
+    assert 0 <= row["rbo_num"] <= row["rbo_den"]
+    assert 0 <= row["overlap_at_5"] <= row["n_common"] <= _RBO_K
+    assert row["rbo_pct"] == (row["rbo_num"] * 100) // row["rbo_den"]

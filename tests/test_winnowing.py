@@ -274,6 +274,20 @@ def test_winnow_served_bit_flips_on_inplan_substitute(spark, sf_dir):
 # -- JSONL source leg ---------------------------------------------------------
 
 
+def test_jsonl_read_bit_flips(spark, sf_dir):
+    """Falsifiability: the source-format guard reads FALSE for a parquet
+    scan's file listing, for an empty listing, and for a mixed listing —
+    TRUE only for a pure ``.jsonl`` listing."""
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.sources.jsonl import all_jsonl_bit
+
+    parquet_files = table(spark, sf_dir, "documents").inputFiles()
+    assert parquet_files and not all_jsonl_bit(parquet_files)
+    assert not all_jsonl_bit([])
+    assert not all_jsonl_bit(["a.jsonl", "b.parquet"])
+    assert all_jsonl_bit(["a.jsonl", "b.jsonl"])
+
+
 def test_jsonl_matches_parquet(spark, sf_dir):
     """The JSONL shards round-trip the documents table: the per-source
     dedup census from the JSONL read equals the same aggregation over the
