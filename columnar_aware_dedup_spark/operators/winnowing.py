@@ -34,7 +34,7 @@ corpus numbers ARE the certificate for the estimate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_aware_dedup_spark.operators.text import (
@@ -228,10 +228,24 @@ def overlap_report(class_fp: DataFrame, members: DataFrame) -> DataFrame:
     query above and by the maintained-index serve
     (``streaming/winnow.py``), so the two cannot drift. ``class_fp`` is
     one (tsig, fp) row per class fingerprint; ``members`` carries
-    (tsig, doc_id, nfp)."""
-    freq = class_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
-    kept = class_fp.join(freq.filter(F.col("c") <= _CAP), "fp").select(
-        "tsig", "fp"
+    (tsig, doc_id, nfp).
+
+    r11 (optimization): the frequency cap is ONE count window over the
+    bucket key instead of a groupBy + join-back (the
+    ``lsh_parameter_sweep`` census discipline — the window's hash
+    partitioning on ``fp`` is exactly the distribution the self-join
+    below needs, so the cap costs no extra exchange; served from the
+    fp-bucketed index table it costs none at all), and the capped set is
+    lazily checkpointed so the self-join's two sides read ONE
+    materialization instead of re-running the scan + window per side
+    (plan: 2 scans + 2 aggregates + join-back -> 1 scan + 1 window)."""
+    kept = (
+        class_fp.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("c") <= _CAP)
+        .select("tsig", "fp")
+        .localCheckpoint(eager=False)
     )
     a, b = kept.alias("a"), kept.alias("b")
     rep_pairs = (
