@@ -43,6 +43,22 @@ from columnar_aware_dedup_spark.sources.store import store_lock
 #: suffixes of the partial-row tables the commit protocol guards.
 _PARTIAL_SUFFIXES = ("", "_docs", "_stats")
 
+#: memoized postings-table bucket widths (a catalog table's bucketing is
+#: stable for its lifetime; DESCRIBE FORMATTED costs a driver round trip
+#: per merge otherwise).
+_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _bucket_width(spark: SparkSession, table_name: str) -> int:
+    key = f"{spark.conf.get('spark.sql.warehouse.dir')}::{table_name.lower()}"
+    n = _BUCKET_CACHE.get(key)
+    if n is None:
+        from columnar_aware_dedup_spark.sources.store import bucket_spec
+
+        n = bucket_spec(spark, table_name)[0] or 8
+        _BUCKET_CACHE[key] = n
+    return n
+
 
 def sweep_uncommitted_bm25(spark: SparkSession, table_name: str) -> int:
     """Physically remove crash debris from the three partial tables.
@@ -149,6 +165,7 @@ def _merge_bm25(
         # manifest first (the protocol's step zero): a crash anywhere past
         # this line is detectable from the attempts/commits diff alone
         from columnar_aware_dedup_spark.streaming.commitlog import (
+            append_driver_rows,
             record_attempt,
         )
 
@@ -156,16 +173,42 @@ def _merge_bm25(
         tag = F.lit(attempt).alias("attempt_id")
         postings, registry = frames_of(fresh)
         registry_delta = registry.select(*keys, "dl", tag)
+        # repartition to the postings table's bucket width on the bucket
+        # key before the insert (r11 optimization): the delta postings are
+        # AQE-coalesced to one partition at delta sizes, so the bucketed
+        # append otherwise runs as a single task serially sorting and
+        # writing every bucket file (guide §2.4 — establish the write's
+        # required distribution once, on the skinny delta rows).
         postings.select(
             "term", *keys, "tf", "dl", tag
-        ).write.format("parquet").mode("append").insertInto(table_name)
+        ).repartition(_bucket_width(spark, table_name), "term").write.format(
+            "parquet"
+        ).mode("append").insertInto(table_name)
         registry_delta.write.format("parquet").mode("append").insertInto(
             table_name + "_docs"
         )
-        corpus_stats(registry_delta).select(
-            tag, "n_docs", "n_dl_docs", "dl_sum"
-        ).write.format("parquet").mode("append").insertInto(
-            table_name + "_stats"
+        # the stats partial is ONE aggregated row per merge — write it
+        # driver-side like the markers (r11 optimization; the Delta-
+        # commit-file discipline: metadata-sized appends cost no
+        # distributed job — was a full shuffle + write job, ~0.3 s/merge)
+        srow = (
+            corpus_stats(registry_delta)
+            .select(tag, "n_docs", "n_dl_docs", "dl_sum")
+            .collect()[0]
+        )
+        import pyarrow as pa
+
+        append_driver_rows(
+            spark,
+            table_name + "_stats",
+            pa.table(
+                {
+                    "attempt_id": pa.array([srow["attempt_id"]], pa.string()),
+                    "n_docs": pa.array([srow["n_docs"]], pa.int64()),
+                    "n_dl_docs": pa.array([srow["n_dl_docs"]], pa.int64()),
+                    "dl_sum": pa.array([srow["dl_sum"]], pa.int64()),
+                }
+            ),
         )
         # the publication point: everything above becomes visible in this
         # one single-table marker append (driver-side atomic rename — the

