@@ -740,41 +740,57 @@ def _write_bm25_genesis(
     """The genesis build shared by the document and passage BM25 indexes:
     materialize the five-table layout from one batch's postings
     ``(term, *keys, tf, dl)`` and registry ``(*keys, dl)`` under a single
-    genesis attempt, committed last like any streamed merge."""
-    import shutil
+    genesis attempt, committed last like any streamed merge.
+
+    r11 (optimization): the build re-zeroes the five tables through the
+    TRUNCATE-reuse discipline (:func:`_init_catalog_tables` — layout-
+    matching tables truncate in place; five Derby drop + recreate round
+    trips dominated the repeated build) and writes in merge order —
+    manifest marker first, the two data tables as distributed appends,
+    then the one-row stats partial and the commit marker driver-side
+    through the commit-file writer (``commitlog.append_driver_rows``) —
+    so the genesis pays two distributed writes instead of five, with the
+    same crash story as any streamed merge (uncommitted debris on any
+    interruption, the commit marker published atomically last)."""
     import uuid
+
+    import pyarrow as pa
+
+    from columnar_aware_dedup_spark.streaming.commitlog import (
+        append_driver_rows,
+        append_marker_row,
+    )
 
     attempt = "genesis-" + uuid.uuid4().hex
     tag = F.lit(attempt).alias("attempt_id")
     registry = registry_lengths.select(*keys, "dl", tag)
-    one_attempt = spark.createDataFrame([(attempt,)], "attempt_id string")
-    frames = {
-        "_attempts": one_attempt,
-        "": postings.select("term", *keys, "tf", "dl", tag),
-        "_docs": registry,
-        "_stats": corpus_stats(registry).select(
-            tag, "n_docs", "n_dl_docs", "dl_sum"
+    _init_catalog_tables(spark, table_name, specs, n_buckets, "term")
+    append_marker_row(spark, table_name + "_attempts", attempt)
+    postings.select("term", *keys, "tf", "dl", tag).repartition(
+        n_buckets, "term"
+    ).write.format("parquet").mode("append").insertInto(table_name)
+    registry.write.format("parquet").mode("append").insertInto(
+        table_name + "_docs"
+    )
+    srow = (
+        corpus_stats(registry)
+        .select(tag, "n_docs", "n_dl_docs", "dl_sum")
+        .collect()[0]
+    )
+    append_driver_rows(
+        spark,
+        table_name + "_stats",
+        pa.table(
+            {
+                "attempt_id": pa.array([srow["attempt_id"]], pa.string()),
+                "n_docs": pa.array([srow["n_docs"]], pa.int64()),
+                "n_dl_docs": pa.array([srow["n_dl_docs"]], pa.int64()),
+                "dl_sum": pa.array([srow["dl_sum"]], pa.int64()),
+            }
         ),
-        "_commits": one_attempt,  # the publication point, written LAST
-    }
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for suffix, (_schema, bucketed) in specs.items():
-        name = table_name + suffix
-        # ephemeral-metastore hygiene (the write_postings_index pattern): a
-        # fresh Derby can orphan the physical location of an earlier process.
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
-        frame = frames[suffix]
-        writer = frame.write.format("parquet").mode("overwrite")
-        if bucketed:
-            writer = (
-                frame.repartition(n_buckets, "term")
-                .write.format("parquet")
-                .bucketBy(n_buckets, "term")
-                .sortBy("term")
-                .mode("overwrite")
-            )
-        writer.saveAsTable(name)
+    )
+    # the publication point, written LAST
+    append_marker_row(spark, table_name + "_commits", attempt)
 
 
 def bm25_from_index(

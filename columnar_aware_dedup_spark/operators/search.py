@@ -686,9 +686,14 @@ def write_passage_ivf_index(
     zero-shuffle broadcast argmin once at write time. ``vecs`` threads a
     caller-supplied vector frame into the assignment (see
     :func:`_passage_ivf_assign`)."""
-    _passage_ivf_assign(spark, sf_dir, vecs=vecs).write.partitionBy(
+    # repartition by the partition column before the write (r11
+    # optimization, guide §6 small-files): the assignment output keeps the
+    # scan's task count, so every task wrote a file into every cell
+    # directory (tasks x cells tiny files); one exchange on cid makes each
+    # cell's rows land in one task -> one file per cell directory.
+    _passage_ivf_assign(spark, sf_dir, vecs=vecs).repartition(
         "cid"
-    ).mode("overwrite").parquet(path)
+    ).write.partitionBy("cid").mode("overwrite").parquet(path)
 
 
 def passage_ann_ivf_topk_from_index(
