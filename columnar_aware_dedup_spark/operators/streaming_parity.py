@@ -259,13 +259,16 @@ def streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = "parity_sketch"
     sketches.init_sketch_tables(spark, prefix)
     wave1, wave2 = _waves(spark, sf_dir)
-    sketches.merge_sketches(spark, wave1, prefix)
-    replayed = sketches.merge_sketches(spark, wave1, prefix)
+    # sweep=False: init just zeroed all five tables, so there is no
+    # debris to reclaim (r11 — the _fold_bm25_waves argument; debris
+    # handling stays crash-injection-tested in tests/test_streaming.py)
+    sketches.merge_sketches(spark, wave1, prefix, sweep=False)
+    replayed = sketches.merge_sketches(spark, wave1, prefix, sweep=False)
     if replayed:
         raise AssertionError(
             f"wave-1 replay absorbed {replayed} docs; merge is not idempotent"
         )
-    sketches.merge_sketches(spark, wave2, prefix)
+    sketches.merge_sketches(spark, wave2, prefix, sweep=False)
     return heavy_hitters_from_cells(
         spark, sf_dir, sketches.served_cms(spark, prefix)
     )

@@ -1242,10 +1242,25 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-OOM at 100x; AQE still broadcasts it at runtime when it fits
     (the tfidf df-join lesson, plan-pinned in ``tests/test_plans.py``).
     """
-    # sigs feed exactly one consumer (the tagged band explode), so no
-    # checkpoint: the single scan computes signatures once.
-    sigs = _fanned(spark, sf_dir).select("doc_id", *_minhash_slots_spark())
-    sh = _hashed_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    # ONE corpus scan computes minhash slots AND hashed shingle sets (r11
+    # optimization — the `_minhash_tagged_sigs(with_shingles=True)` fusion
+    # the recall gate already uses: the sweep paid the normalize + tokenize
+    # + per-shingle hash pass twice, once per derivation). The fused frame
+    # is checkpointed once; both consumers read the materialization.
+    fused = (
+        _fanned(spark, sf_dir)
+        .select(
+            "doc_id",
+            *_minhash_slots_spark(),
+            F.expr(
+                f"array_sort(array_distinct(transform({_SHINGLES_SPARK},"
+                " s -> xxhash64(s))))"
+            ).alias("hsh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sigs = fused.select("doc_id", *[f"mh{i}" for i in range(_MINHASH_K)])
+    sh = fused.select("doc_id", "hsh")
     cand = (
         _prefix_candidates(sh)
         .groupBy("doc_a", "doc_b")

@@ -61,15 +61,18 @@ def init_cluster_tables(
 ) -> None:
     """Create the empty label table (doc_id, cluster_id) and the done-marker
     table (doc_id) — the marker records docs whose pair contribution has
-    been FOLDED into labels, which is strictly later than being indexed."""
+    been FOLDED into labels, which is strictly later than being indexed.
+    Re-init truncates layout-matching tables in place (r11 — the
+    ``init_bm25_tables`` discipline)."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _init_catalog_tables,
+    )
+
     for tbl, schema in (
         (label_table, "doc_id long, cluster_id long"),
         (done_table, "doc_id long"),
     ):
-        _drop_table_and_dir(spark, tbl)
-        spark.createDataFrame([], schema).write.format("parquet").mode(
-            "overwrite"
-        ).saveAsTable(tbl)
+        _init_catalog_tables(spark, tbl, {"": (schema, False)}, 0, "")
 
 
 def delta_pairs(bands: DataFrame, todo_ids: DataFrame) -> DataFrame:

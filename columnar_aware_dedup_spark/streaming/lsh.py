@@ -52,20 +52,19 @@ def init_band_table(spark: SparkSession, table_name: str) -> str:
     diverge from a schema or bucketing change). ``bucketBy(8, 'bucket')``
     is the layout contract: the serve/probe joins run on exactly that key,
     so the index side joins with zero exchange (plan-pinned in
-    ``tests/test_streaming.py``). Crash debris is cleaned through the
-    catalog-resolving ``store.drop_table_and_dir``."""
-    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
-
-    drop_table_and_dir(spark, table_name)
-    empty = spark.createDataFrame([], "bucket string, band int, doc_id long")
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "bucket")
-        .sortBy("bucket")
-        .mode("overwrite")
-        .saveAsTable(table_name)
+    ``tests/test_streaming.py``). Re-init of a layout-matching table goes
+    through TRUNCATE (r11 — the ``init_bm25_tables`` discipline: a Derby
+    drop + recreate round trip per certificate run costs more than a
+    merge); crash debris otherwise cleaned through the catalog-resolving
+    ``store.drop_table_and_dir`` inside the shared init."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _init_catalog_tables,
     )
-    return table_name
+
+    return _init_catalog_tables(
+        spark, table_name,
+        {"": ("bucket string, band int, doc_id long", True)}, 8, "bucket",
+    )
 
 
 def batch_bands(docs: DataFrame) -> DataFrame:
@@ -103,10 +102,14 @@ def merge_bands(spark: SparkSession, docs: DataFrame, table_name: str) -> int:
         seen = spark.table(table_name).select("doc_id").distinct()
         # dropDuplicates: intra-batch replay guard (the indexer/ingest
         # discipline) — a doc twice in one batch would double its band rows.
+        # repartition to the table's bucket width on the bucket key before
+        # the insert (r11 — the merge_bm25_delta discipline: the AQE-
+        # coalesced delta otherwise writes every bucket file from one task)
         fresh = (
             batch_bands(docs.dropDuplicates(["doc_id"]))
             .join(seen, "doc_id", "left_anti")
             .select(*_BAND_COLS)
+            .repartition(8, "bucket")
             .persist()
         )
         try:

@@ -34,17 +34,17 @@ from columnar_aware_dedup_spark.sources.store import store_lock
 def init_code_table(spark: SparkSession, table_name: str) -> str:
     """Create an empty ``(vec_id, codes)`` table, replacing any previous
     state — including a leftover warehouse directory from a session whose
-    metastore no longer lists the table (the ``init_sketch_tables``
+    metastore no longer lists the table. Re-init truncates a
+    layout-matching table in place (r11 — the ``init_bm25_tables``
     discipline). Returns the table name for chaining."""
-    import shutil
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _init_catalog_tables,
+    )
 
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
-    spark.createDataFrame([], "vec_id long, codes array<int>").write.format(
-        "parquet"
-    ).mode("overwrite").saveAsTable(table_name)
-    return table_name
+    return _init_catalog_tables(
+        spark, table_name, {"": ("vec_id long, codes array<int>", False)},
+        0, "",
+    )
 
 
 def merge_codes(

@@ -81,24 +81,26 @@ def init_sketch_tables(spark: SparkSession, prefix: str) -> None:
     register partials, attempts manifest, commit markers) under
     ``prefix``, replacing any previous state — including a leftover
     warehouse directory from a session whose metastore no longer lists
-    the table (DROP TABLE can't see it, and ``saveAsTable`` would fail
-    with LOCATION_ALREADY_EXISTS)."""
-    import shutil
+    the table. Re-init goes through the shared TRUNCATE-reuse discipline
+    (r11 — ``_init_catalog_tables``: five Derby drop + recreate round
+    trips per certificate run cost more than the merges)."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _init_catalog_tables,
+    )
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for suffix, schema in (
-        ("seen", "doc_id long, attempt_id string"),
-        ("cms", "d int, b int, n long, attempt_id string"),
-        ("hll", "reg int, mr int, attempt_id string"),
-        ("attempts", "attempt_id string"),
-        ("commits", "attempt_id string"),
-    ):
-        name = f"{prefix}_{suffix}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
-        spark.createDataFrame([], schema).write.format("parquet").mode(
-            "overwrite"
-        ).saveAsTable(name)
+    _init_catalog_tables(
+        spark,
+        prefix,
+        {
+            "_seen": ("doc_id long, attempt_id string", False),
+            "_cms": ("d int, b int, n long, attempt_id string", False),
+            "_hll": ("reg int, mr int, attempt_id string", False),
+            "_attempts": ("attempt_id string", False),
+            "_commits": ("attempt_id string", False),
+        },
+        0,
+        "",
+    )
 
 
 def _committed(spark: SparkSession, prefix: str, suffix: str) -> DataFrame:
@@ -127,9 +129,15 @@ def sweep_uncommitted(spark: SparkSession, prefix: str) -> int:
     )
 
 
-def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
+def merge_sketches(
+    spark: SparkSession, docs: DataFrame, prefix: str, sweep: bool = True
+) -> int:
     """Idempotently fold one batch into the sketch tables; returns the
-    number of NEW documents absorbed.
+    number of NEW documents absorbed. ``sweep=False`` skips the per-merge
+    debris reclaim (r11 — the ``merge_bm25_delta`` flag, same argument:
+    debris is invisible to readers regardless via the commits semi-join,
+    so a caller that just initialized the tables empty loses
+    space-accounting, never correctness).
 
     Atomic-commit protocol (ADVICE r04 #1 — the three appends are not
     atomic on plain parquet, so a crash between them must not corrupt the
@@ -161,7 +169,8 @@ def merge_sketches(spark: SparkSession, docs: DataFrame, prefix: str) -> int:
 
     with store_lock(spark, f"{prefix}_seen"):
         _refresh_all()
-        sweep_uncommitted(spark, prefix)
+        if sweep:
+            sweep_uncommitted(spark, prefix)
         seen = _committed(spark, prefix, "seen")
         # dropDuplicates: intra-batch replay guard (the indexer/ingest
         # discipline) — a doc twice in one batch would double its CMS/HLL

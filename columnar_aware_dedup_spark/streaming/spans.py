@@ -33,20 +33,19 @@ def init_span_table(spark: SparkSession, table_name: str) -> str:
     """(Re-)create the empty bucketed span table — the ONE place the span
     index's physical layout is written down (the ``lsh.init_band_table``
     pattern): ``bucketBy(8, 'span')`` is the layout contract that keeps the
-    corpus-count aggregation exchange-free on the index side. Crash debris
-    is cleaned through the catalog-resolving ``store.drop_table_and_dir``."""
-    from columnar_aware_dedup_spark.sources.store import drop_table_and_dir
-
-    drop_table_and_dir(spark, table_name)
-    empty = spark.createDataFrame([], "span string, doc_id long")
-    (
-        empty.write.format("parquet")
-        .bucketBy(8, "span")
-        .sortBy("span")
-        .mode("overwrite")
-        .saveAsTable(table_name)
+    corpus-count aggregation exchange-free on the index side. Re-init of a
+    layout-matching table goes through TRUNCATE (r11 — the
+    ``init_bm25_tables`` discipline); crash debris otherwise cleaned
+    through the catalog-resolving ``store.drop_table_and_dir`` inside the
+    shared init."""
+    from columnar_aware_dedup_spark.operators.retrieval import (
+        _init_catalog_tables,
     )
-    return table_name
+
+    return _init_catalog_tables(
+        spark, table_name, {"": ("span string, doc_id long", True)}, 8,
+        "span",
+    )
 
 
 def batch_spans(docs: DataFrame) -> DataFrame:
@@ -70,10 +69,14 @@ def merge_spans(spark: SparkSession, docs: DataFrame, table_name: str) -> int:
         seen = spark.table(table_name).select("doc_id").distinct()
         # dropDuplicates: intra-batch replay guard (the indexer/ingest
         # discipline) — a doc twice in one batch would double its span rows.
+        # repartition to the table's bucket width on the bucket key before
+        # the insert (r11 — the merge_bm25_delta discipline: the AQE-
+        # coalesced delta otherwise writes every bucket file from one task)
         fresh = (
             batch_spans(docs.dropDuplicates(["doc_id"]))
             .join(seen, "doc_id", "left_anti")
             .select(*_SPAN_COLS)
+            .repartition(8, "span")
             .persist()
         )
         try:
