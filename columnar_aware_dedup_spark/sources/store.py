@@ -166,7 +166,32 @@ def create_store(
     table_name: str,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Materialize a chunk table as a signature-bucketed store table."""
+    """Materialize a chunk table as a signature-bucketed store table.
+
+    r11 (optimization): when a layout-matching table already exists it is
+    TRUNCATEd and the data appended in place (the ``init_bm25_tables``
+    re-init discipline — a Derby drop + recreate round trip per
+    certificate run costs more than the write itself); the fresh-create
+    path keeps the orphaned-directory hygiene. Either way the rows
+    repartition to the bucket width first so each write task emits one
+    bucket file."""
+    rows = (
+        _store_projection(chunks)
+        .dropDuplicates(["signature"])  # the store is signature-keyed
+        .repartition(n_buckets, "signature")
+    )
+    if spark.catalog.tableExists(table_name):
+        empty = spark.createDataFrame([], rows.schema)
+        if (
+            spark.table(table_name).schema == empty.schema
+            and bucket_spec(spark, table_name) == (n_buckets, "signature")
+        ):
+            spark.sql(f"TRUNCATE TABLE {table_name}")
+            spark.catalog.refreshTable(table_name)
+            rows.write.format("parquet").mode("append").insertInto(
+                table_name
+            )
+            return
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a fresh metastore (Derby home is ephemeral) can orphan the physical
     # location from an earlier process; clear it so saveAsTable can claim it
@@ -175,9 +200,7 @@ def create_store(
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
     (
-        _store_projection(chunks)
-        .dropDuplicates(["signature"])  # the store is signature-keyed
-        .write.bucketBy(n_buckets, "signature")
+        rows.write.bucketBy(n_buckets, "signature")
         .sortBy("signature")
         .format("parquet")
         .mode("overwrite")
@@ -205,10 +228,14 @@ def merge_into_store(
         # see files appended by writers in other sessions/processes
         spark.catalog.refreshTable(table_name)
         store_sigs = spark.table(table_name).select("signature")
+        # repartition to the store's bucket width before the insert (r11 —
+        # the merge_bm25_delta discipline: the AQE-coalesced delta
+        # otherwise writes every bucket file from one task, serially)
         new = (
             _store_projection(chunks)
             .dropDuplicates(["signature"])
             .join(store_sigs, "signature", "left_anti")
+            .repartition(bucketed_width(spark, table_name, 64), "signature")
             .persist()
         )
         try:
@@ -339,6 +366,28 @@ def bucket_spec(
     if n is None or cols is None:
         return None, None
     return int(n), cols.strip("[] ").strip("`")
+
+
+#: memoized bucket widths (a catalog table's bucketing is stable for its
+#: lifetime; DESCRIBE FORMATTED costs a driver round trip per merge
+#: otherwise). Keyed by warehouse so tests with distinct warehouses don't
+#: cross-contaminate.
+_BUCKET_WIDTH_CACHE: dict[str, int] = {}
+
+
+def bucketed_width(
+    spark: SparkSession, table_name: str, default: int = 8
+) -> int:
+    """The table's bucket count (memoized) — the repartition width every
+    delta append should use so each insert task writes exactly its own
+    bucket file (r11: the AQE-coalesced delta otherwise writes every
+    bucket file from ONE task, serially)."""
+    key = f"{spark.conf.get('spark.sql.warehouse.dir')}::{table_name.lower()}"
+    n = _BUCKET_WIDTH_CACHE.get(key)
+    if n is None:
+        n = bucket_spec(spark, table_name)[0] or default
+        _BUCKET_WIDTH_CACHE[key] = n
+    return n
 
 
 def staged_swap_overwrite(

@@ -43,21 +43,12 @@ from columnar_aware_dedup_spark.sources.store import store_lock
 #: suffixes of the partial-row tables the commit protocol guards.
 _PARTIAL_SUFFIXES = ("", "_docs", "_stats")
 
-#: memoized postings-table bucket widths (a catalog table's bucketing is
-#: stable for its lifetime; DESCRIBE FORMATTED costs a driver round trip
-#: per merge otherwise).
-_BUCKET_CACHE: dict[str, int] = {}
-
-
 def _bucket_width(spark: SparkSession, table_name: str) -> int:
-    key = f"{spark.conf.get('spark.sql.warehouse.dir')}::{table_name.lower()}"
-    n = _BUCKET_CACHE.get(key)
-    if n is None:
-        from columnar_aware_dedup_spark.sources.store import bucket_spec
+    """The postings table's bucket count (one memoized resolver repo-wide —
+    ``sources/store.py::bucketed_width``)."""
+    from columnar_aware_dedup_spark.sources.store import bucketed_width
 
-        n = bucket_spec(spark, table_name)[0] or 8
-        _BUCKET_CACHE[key] = n
-    return n
+    return bucketed_width(spark, table_name, 8)
 
 
 def sweep_uncommitted_bm25(spark: SparkSession, table_name: str) -> int:
