@@ -75,7 +75,11 @@ def merge_vectors(
             seen = None
         if seen is not None:
             assigned = assigned.join(seen, "vec_id", "left_anti")
-        fresh = assigned.persist()
+        # repartition on the partition column before the write (r11 — the
+        # write_passage_ivf_index discipline, guide §6 small-files): the
+        # delta otherwise writes one file into every cell directory from
+        # every task.
+        fresh = assigned.repartition("cid").persist()
         try:
             n = fresh.count()
             if n:
