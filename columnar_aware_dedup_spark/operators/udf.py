@@ -5,12 +5,18 @@ The reference's only extensibility is Java reflection on class names
 Arrow-batched pandas UDFs — one of each registered shape:
 
 - scalar ``@pandas_udf``: vectorized per-row kernel (columns in, column out);
-- grouped-map ``applyInPandas``: whole-group kernel (the shape custom
-  chunkers/sessionizers drop into);
-- ``mapInPandas`` is exercised by the binary chunkers
+- ``mapInPandas`` whole-batch partials (``apply_in_pandas_group`` — since
+  the r11 optimization the grouped profile runs as batch partials + a
+  builtin combine, NOT grouped-map ``applyInPandas``; the batch grouped-map
+  API itself stays exercised by
+  ``tests/test_udf_profile.py::test_grouped_map_apply_in_pandas_surface``,
+  and the stateful variant ``applyInPandasWithState`` runs in the
+  streaming operators);
+- grouped-agg ``@pandas_udf`` (``pandas_udf_grouped_agg``);
+- ``mapInPandas`` is also exercised by the binary chunkers
   (:mod:`columnar_aware_dedup_spark.sources.chunkers`).
 
-Both queries here are *deterministic* and therefore oracle-checkable — the
+All queries here are *deterministic* and therefore oracle-checkable — the
 UDF kernels recompute something SQL can express, proving the Arrow transfer
 itself doesn't perturb values.
 """

@@ -193,6 +193,7 @@ def create_store(
             )
             return
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    _invalidate_bucketed_width(spark, table_name)
     # a fresh metastore (Derby home is ephemeral) can orphan the physical
     # location from an earlier process; clear it so saveAsTable can claim it
     import shutil
@@ -340,6 +341,7 @@ def drop_table_and_dir(spark: SparkSession, tbl: str) -> None:
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         location = f"{warehouse}/{tbl.lower()}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    _invalidate_bucketed_width(spark, tbl)
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(location)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -371,8 +373,21 @@ def bucket_spec(
 #: memoized bucket widths (a catalog table's bucketing is stable for its
 #: lifetime; DESCRIBE FORMATTED costs a driver round trip per merge
 #: otherwise). Keyed by warehouse so tests with distinct warehouses don't
-#: cross-contaminate.
+#: cross-contaminate. Every path that can REBIND a table name to a new
+#: layout (``drop_table_and_dir``, ``create_store``'s fresh-create branch)
+#: pops the entry, so a recreate at a different width can never leave
+#: later delta appends repartitioning to the stale count (ADVICE r11).
 _BUCKET_WIDTH_CACHE: dict[str, int] = {}
+
+
+def _width_cache_key(spark: SparkSession, table_name: str) -> str:
+    return (
+        f"{spark.conf.get('spark.sql.warehouse.dir')}::{table_name.lower()}"
+    )
+
+
+def _invalidate_bucketed_width(spark: SparkSession, table_name: str) -> None:
+    _BUCKET_WIDTH_CACHE.pop(_width_cache_key(spark, table_name), None)
 
 
 def bucketed_width(
@@ -382,7 +397,7 @@ def bucketed_width(
     delta append should use so each insert task writes exactly its own
     bucket file (r11: the AQE-coalesced delta otherwise writes every
     bucket file from ONE task, serially)."""
-    key = f"{spark.conf.get('spark.sql.warehouse.dir')}::{table_name.lower()}"
+    key = _width_cache_key(spark, table_name)
     n = _BUCKET_WIDTH_CACHE.get(key)
     if n is None:
         n = bucket_spec(spark, table_name)[0] or default
@@ -434,6 +449,8 @@ def staged_swap_overwrite(
     spark.sql(f"DROP TABLE {aside}")
     shutil.rmtree(f"{warehouse}/{aside.lower()}", ignore_errors=True)
     spark.catalog.refreshTable(table_name)
+    # the swap may have rebound the name to a DIFFERENT bucket layout
+    _invalidate_bucketed_width(spark, table_name)
 
 
 def _n_data_files(path: str) -> int:
@@ -553,4 +570,6 @@ def recover_compaction_unlocked(
     spark.sql(f"ALTER TABLE {pick} RENAME TO {table_name}")
     _drop(tmp if pick == aside else aside)
     spark.catalog.refreshTable(table_name)
+    # the recovery may have rebound the name to a DIFFERENT bucket layout
+    _invalidate_bucketed_width(spark, table_name)
     return "new" if pick == tmp else "old"

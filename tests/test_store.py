@@ -415,3 +415,31 @@ def test_merge_defaults_missing_chunk_type(spark):
     assert {r["chunk_type"] for r in rows} == {"Row"}
     assert store_mod.merge_into_store(spark, chunks, tbl) == 0  # idempotent
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_bucketed_width_invalidated_on_recreate(spark):
+    """Recreating a table at a NEW bucket count must not leave later delta
+    appends repartitioning to the stale memoized width (ADVICE r11): the
+    resolver re-reads the catalog after any path that rebinds the name —
+    drop_table_and_dir and create_store's fresh-create branch."""
+    tbl = "test_store_width_recreate"
+    empty = spark.createDataFrame(
+        [], "signature string, chunk_type string, size bigint"
+    )
+    store.drop_table_and_dir(spark, tbl)
+    try:
+        store.create_store(spark, empty, tbl, n_buckets=8)
+        assert store.bucketed_width(spark, tbl) == 8  # memoized now
+
+        # recreate at a different width through the fresh-create branch
+        # (the layout check fails on bucket count, so TRUNCATE-reuse is
+        # skipped and the table is dropped + rebuilt)
+        store.create_store(spark, empty, tbl, n_buckets=16)
+        assert store.bucketed_width(spark, tbl) == 16
+
+        # and through an explicit drop + recreate
+        store.drop_table_and_dir(spark, tbl)
+        store.create_store(spark, empty, tbl, n_buckets=4)
+        assert store.bucketed_width(spark, tbl) == 4
+    finally:
+        store.drop_table_and_dir(spark, tbl)

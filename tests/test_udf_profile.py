@@ -48,3 +48,35 @@ def test_profile_exact_under_tiny_arrow_batches(spark, batch_rows):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_grouped_map_apply_in_pandas_surface(spark):
+    """Batch grouped-map ``applyInPandas`` capability coverage (ADVICE
+    r11): the r11 optimization rewrote the REGISTERED profile query as
+    mapInPandas partials, so this test keeps the grouped-map API itself
+    genuinely exercised — a whole-group pandas kernel over
+    ``groupBy(l_orderkey)`` must reproduce the registered query's rows
+    exactly."""
+    import pandas as pd
+
+    from columnar_aware_dedup_spark.io import table
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
+                "n_lines": [len(pdf)],
+                "total_price_cents": [int(cents.sum())],
+                "max_line": [int(pdf["l_linenumber"].max())],
+            }
+        )
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    grouped = li.groupBy("l_orderkey").applyInPandas(
+        profile,
+        "l_orderkey long, n_lines int, total_price_cents long, max_line int",
+    )
+    assert rows_equal(grouped, apply_in_pandas_group(spark, SF_DIR))

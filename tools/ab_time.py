@@ -7,10 +7,16 @@ Usage::
     python tools/ab_time.py [-n RUNS] QUERY [QUERY ...]
 
 Prints one ``name seconds`` line per query plus a compact JSON tail.
+
+ADVICE r11: flags are parsed with argparse (any ordering), and the JIT
+warmup directory is derived from ``$SPARK_GRAFT_SF_DIR``'s sibling
+``sf0.001`` (falling back to the timed dir itself) instead of a
+hard-coded ``/root/testdata`` path, so the tool runs on any layout.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -22,13 +28,14 @@ from columnar_aware_dedup_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    runs = 5
-    if args and args[0] == "-n":
-        runs = int(args[1])
-        args = args[2:]
-    names = args
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-n", "--runs", type=int, default=5)
+    ap.add_argument("queries", nargs="+")
+    ns = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
@@ -36,14 +43,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out = {}
-    for name in names:
+    for name in ns.queries:
         fn = queries[name]
-        # warm at sf0.001 (bench-faithful JIT warmup)
-        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        # warm at the smallest sibling SF (bench-faithful JIT warmup)
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(ns.runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

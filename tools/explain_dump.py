@@ -5,7 +5,7 @@ Usage::
 
     python tools/explain_dump.py TAG QUERY [QUERY ...]
 
-writes ``plans/r11/<query>_<TAG>.txt`` for each query, built at
+writes ``plans/r12/<query>_<TAG>.txt`` for each query, built at
 ``$SPARK_GRAFT_SF_DIR`` (default sf0.1). TAG is ``before`` / ``after`` —
 the optimization-round evidence contract (the judge checks plan claims
 against these files).
@@ -36,7 +36,7 @@ def main() -> None:
     spark = get_spark("cawd-explain")
     spark.sparkContext.setLogLevel("ERROR")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r11")
+    outdir = os.path.join(here, "plans", "r12")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
