@@ -199,6 +199,22 @@ HEADLINE = [
     "jsonl_ingest_dedup",
     "streaming_winnow_parity",
     "retrieval_rbo_report",
+    # r12 additions (VERDICT r11 "Next round" #3 — additions ONLY, no
+    # existing line removed or renamed): the heaviest sweep-only paths the
+    # headline suite was blind to. The r11 round's biggest wins
+    # (apply_in_pandas_group 53x, the fold-family init/append hygiene that
+    # took the driver's full-registry sweep 714 -> 460 s) landed where no
+    # bench line could see them; these five lines give the maintained-fold
+    # families (lsh / spans / sketches / the signature store) and the UDF
+    # profile a direct perf signal at the bench SF. (streaming_cluster
+    # _parity was measured too — 17 s at sf0.1, which would add ~85 s of
+    # bench wall-clock alone — left sweep-only, documented in
+    # OPTIMIZATION_r12.md.)
+    "apply_in_pandas_group",
+    "streaming_lsh_parity",
+    "streaming_spans_parity",
+    "streaming_sketch_parity",
+    "streaming_store_parity",
 ]
 
 #: the dual-SF scaling probes: the structurally heaviest / most diverse

@@ -210,7 +210,12 @@ def model_bits(model: DataFrame, tvar: DataFrame) -> DataFrame:
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
-    return model.join(tvar).select(
+    # broadcast the one-row total-variance side: an unconditioned join of
+    # two multi-partition relations plans as CartesianProduct with
+    # |left| x |right| partitions (r12 — the flip test's two 32-partition
+    # local frames made every 1-row collect a 1024-task stage); the hint
+    # makes it a BroadcastNestedLoopJoin over the model's partitions.
+    return model.join(F.broadcast(tvar)).select(
         F.col("ragged_ok").alias("input_rect_ok"),
         (
             (F.abs(F.expr(dot.format(a="v1", b="v1")) - 1.0) < 1e-9)

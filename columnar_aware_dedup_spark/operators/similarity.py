@@ -174,13 +174,66 @@ def _buckets_array_spark(col: str = "embedding") -> str:
     return "array(" + ", ".join(_band_bits_spark(b, col) for b in range(_N_BANDS)) + ")"
 
 
+#: total hyperplanes (the flat j index the affine weight form is keyed by).
+_N_PLANES = _N_BANDS * _PLANES_PER_BAND
+
+
+def _plane_dots_spark(col: str = "embedding") -> str:
+    """All ``_N_PLANES`` hyperplane dot products in ONE fold (r12).
+
+    The original spelling (``_band_bits_spark``) evaluated 64 independent
+    ``aggregate(transform(sequence(...)))`` higher-order folds per row —
+    interpreted (lambda HOFs get no whole-stage codegen), each
+    re-materializing the index sequence and a length-``dim`` product
+    array, and together a ~15 KB expression tree Catalyst re-optimizes on
+    every run. This form folds the embedding ONCE, carrying an
+    ``_N_PLANES``-slot accumulator; slot ``j`` receives exactly the same
+    additions ``acc_j + emb[i] * plane(i, j)`` in the same ascending-``i``
+    order with the same float operands as the old per-bit fold, so every
+    dot — and therefore every sign bit and bucket string — is
+    BIT-IDENTICAL (float addition is deterministic for a fixed operand
+    sequence; value-identity pinned by
+    ``tests/test_plans.py::test_lsh_bucket_rewrite_value_identical``).
+    The DuckDB oracle spelling is untouched."""
+    plane = "(CAST((i * 37 + j * 101) % 97 AS DOUBLE) - 48.0)"
+    return (
+        f"aggregate(sequence(1, size({col})),"
+        f" array_repeat(CAST(0 AS DOUBLE), {_N_PLANES}),"
+        " (acc, i) -> transform(acc,"
+        f" (a, j) -> a + CAST(element_at({col}, i) AS DOUBLE) * {plane}))"
+    )
+
+
+def _buckets_from_dots(dots_col: str) -> str:
+    """The _N_BANDS bucket strings from a plane-dot array column: band b =
+    ``'b{b}:'`` + its 16 sign bits — the same rendering as
+    ``_band_bits_spark``, reading precomputed dots."""
+    bands = ", ".join(
+        f"concat('b{b}:', concat_ws('',"
+        f" transform(slice({dots_col}, {b * _PLANES_PER_BAND + 1},"
+        f" {_PLANES_PER_BAND}),"
+        " d -> CASE WHEN d > 0 THEN '1' ELSE '0' END)))"
+        for b in range(_N_BANDS)
+    )
+    return f"array({bands})"
+
+
 def _buckets_array_sql(col: str = "embedding") -> str:
     return "[" + ", ".join(_band_bits_sql(b, col) for b in range(_N_BANDS)) + "]"
 
 
 def lsh_buckets(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Explode a vector table to one row per (row, band-bucket)."""
-    return df.withColumn("bucket", F.explode(F.expr(_buckets_array_spark(col))))
+    """Explode a vector table to one row per (row, band-bucket).
+
+    r12: the plane dots are computed once into a helper column through the
+    single-fold form (see :func:`_plane_dots_spark` — bit-identical values,
+    ~64× smaller expression tree) and the bucket strings rendered from it;
+    the helper column is dropped before the rows leave here."""
+    return (
+        df.withColumn("_dots", F.expr(_plane_dots_spark(col)))
+        .withColumn("bucket", F.explode(F.expr(_buckets_from_dots("_dots"))))
+        .drop("_dots")
+    )
 
 
 _NEAR_DUP_THRESHOLD = 0.99

@@ -93,8 +93,29 @@ def _hex_sum(name: str, dtype: str):
 
 
 def _value_sigs(df: DataFrame, fmt: str) -> DataFrame:
-    """One row per column: (column_name, sig_{fmt} DECIMAL(38,0))."""
-    agg = df.agg(
+    """One row per column: (column_name, sig_{fmt} DECIMAL(38,0)).
+
+    r12 (guide §2.5 input parallelism): the snapshot store is ONE ~20 MB
+    file per format — under ``maxPartitionBytes``, so the scan is a
+    single task, and the per-row work here is heavy (11 × md5 over
+    canonical renderings ≈ seconds of single-threaded CPU at sf0.1;
+    measured 2.85 s ORC / 3.16 s parquet as 1-task aggs). An explicit
+    repartition to the session's parallelism moves the hash work off the
+    scan task: the scan ships raw rows (cheap — one narrow exchange of
+    the 11 projected columns), and the md5 + decimal partial sums run
+    32-way. The `_fanned` discipline: size stages by CPU work, not input
+    bytes. Exact order-free sums are partition-order-invariant, so the
+    result is bit-identical."""
+    spread = df.select(*[n for n, _t in _LINEITEM_COLS]).repartition(
+        df.sparkSession.sparkContext.defaultParallelism,
+        # hash keys, not round-robin: a keyless repartition pays a local
+        # sort of its input first (sortBeforeRepartition, guide §2.5);
+        # (orderkey, linenumber) is unique and hash-uniform, so the rows
+        # spread evenly with no pre-sort
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    agg = spread.agg(
         *[F.sum(_hex_sum(n, t)).alias(n) for n, t in _LINEITEM_COLS]
     )
     return agg.unpivot(

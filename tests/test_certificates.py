@@ -325,11 +325,17 @@ def test_pca_model_bits_flip(spark):
         "mu array<double>, n long, ragged_ok boolean, v1 array<double>,"
         " lam1 double, v2 array<double>, lam2 double"
     )
-    tvar = spark.createDataFrame([(3.0,)], "total_var double")
+    # coalesce(1): a 1-row local relation is otherwise parallelized to
+    # defaultParallelism partitions, and the model x tvar join then fans
+    # out to |model| x |tvar| partitions (r12 — this test was 61 s of
+    # 1024-task stages for five 1-row collects).
+    tvar = spark.createDataFrame([(3.0,)], "total_var double").coalesce(1)
     mu = [0.0, 0.0, 0.0, 0.0]
 
     def bits(v1, lam1, v2, lam2):
-        model = spark.createDataFrame([(mu, 10, True, v1, lam1, v2, lam2)], schema)
+        model = spark.createDataFrame(
+            [(mu, 10, True, v1, lam1, v2, lam2)], schema
+        ).coalesce(1)
         return model_bits(model, tvar).collect()[0]
 
     good = bits([1.0, 0.0, 0.0, 0.0], 2.0, [0.0, 1.0, 0.0, 0.0], 1.0)

@@ -756,3 +756,33 @@ def test_recall_report_class_level_plan(spark, sf_dir):
     assert "Window" not in plan, plan
     assert not explain.has_global_sort(df), plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_lsh_bucket_rewrite_value_identical(spark, sf_dir):
+    """The r12 single-fold plane-dot rewrite (one aggregate carrying a
+    64-slot accumulator instead of 64 independent HOF folds) must render
+    EXACTLY the bucket strings of the original per-bit spelling for every
+    vector — same additions in the same order means bit-identical floats,
+    means identical sign bits. This pins the equivalence the ann_lsh /
+    near-dup-pairs oracles ride on."""
+    from pyspark.sql import functions as F
+
+    from columnar_aware_dedup_spark.io import table
+    from columnar_aware_dedup_spark.operators import similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    old = e.select(
+        "vec_id",
+        F.expr(similarity._buckets_array_spark()).alias("b_old"),
+    )
+    new = similarity.lsh_buckets(e).groupBy("vec_id").agg(
+        F.expr("array_sort(collect_list(bucket))").alias("b_new_sorted")
+    )
+    joined = old.select(
+        "vec_id", F.expr("array_sort(b_old)").alias("b_old_sorted")
+    ).join(new, "vec_id")
+    n_bad = joined.filter(
+        F.col("b_old_sorted") != F.col("b_new_sorted")
+    ).count()
+    assert n_bad == 0, f"{n_bad} vectors changed buckets under the rewrite"
+    assert joined.count() == e.count()
