@@ -285,44 +285,52 @@ _MODE_SCHEMA = T.StructType(
 _REPORT_MODES = ("fixed", "cdc", "structural")
 
 
-def _make_mode_batches(structural_fn):
-    """The three-chunkers-one-read Arrow kernel, parametrized by the
-    format's structural chunker (ORC s+p columns or parquet pages) so the
-    ORC report and its parquet twin share one implementation."""
+def _make_single_mode_batches(mode: str, chunk_fn):
+    """One-mode Arrow kernel: chunk every file in the batch under exactly
+    one discipline, tagging the mode column (r12 — see ``_mode_chunks``)."""
 
-    def _mode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fns = {
-            "fixed": chunk_fixed_bytes,
-            "cdc": chunk_cdc_bytes,
-            "structural": structural_fn,
-        }
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in _MODE_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                for mode, fn in fns.items():
-                    for c in fn(data):
-                        rows.append(
-                            {
-                                "mode": mode,
-                                "file": path,
-                                "chunk_idx": c["chunk_idx"],
-                                "chunk_type": c["chunk_type"],
-                                "column_name": c["column_name"],
-                                "start": c["start"],
-                                "size": c["size"],
-                                "signature": c["signature"],
-                            }
-                        )
+                for c in chunk_fn(bytes(content)):
+                    rows.append(
+                        {
+                            "mode": mode,
+                            "file": path,
+                            "chunk_idx": c["chunk_idx"],
+                            "chunk_type": c["chunk_type"],
+                            "column_name": c["column_name"],
+                            "start": c["start"],
+                            "size": c["size"],
+                            "signature": c["signature"],
+                        }
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
-    return _mode_batches
+    return _batches
 
 
 def _mode_chunks(
     spark: SparkSession, path: str, fmt: str = "orc"
 ) -> DataFrame:
+    """(mode, file, chunk...) rows for all three disciplines.
+
+    r12 (guide §2.6 idle capacity): the three chunkers used to run
+    SERIALLY inside one python task per file, so the comparison's
+    wall-clock was 3 x the slowest kernel on ~n_files tasks while the
+    other cores idled. Each mode now gets its own binaryFile scan +
+    single-mode kernel, unioned — 3 x n_files one-mode tasks that the
+    scheduler runs concurrently. The extra cost is re-reading the file
+    bytes per mode (no shuffle is introduced); locally that is page
+    cache, and at 100 TB the trade is explicit: 3 x read bandwidth
+    against 3 x kernel parallelism — for CPU-bound chunkers (the Gear
+    kernel judges every byte) the parallel form wins whenever scan
+    bandwidth isn't the binding resource. Row content is unchanged
+    (same chunkers, same files, mode tags identical), so every consumer
+    — the accounting joins, the certificate bits, the oracle — sees the
+    identical relation."""
     from columnar_aware_dedup_spark.sources.chunkers import (
         chunk_orc_columns_bytes,
         chunk_parquet_bytes,
@@ -331,13 +339,24 @@ def _mode_chunks(
     structural = (
         chunk_orc_columns_bytes if fmt == "orc" else chunk_parquet_bytes
     )
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"*.{fmt}")
-        .load(path)
-        .select("path", "content")
-    )
-    return files.mapInPandas(_make_mode_batches(structural), _MODE_SCHEMA)
+    fns = {
+        "fixed": chunk_fixed_bytes,
+        "cdc": chunk_cdc_bytes,
+        "structural": structural,
+    }
+    out = None
+    for mode, fn in fns.items():
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{fmt}")
+            .load(path)
+            .select("path", "content")
+        )
+        part = files.mapInPandas(
+            _make_single_mode_batches(mode, fn), _MODE_SCHEMA
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def cdc_dedup_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,8 +373,9 @@ def cdc_dedup_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate pins only the robust ordering, see
     :func:`cdc_dedup_report`).
 
-    Scale shape: one parse task per (file), chunkers fused per file read;
-    ONE signature-keyed shuffle for the probe; the rollup is 9 rows.
+    Scale shape: one parse task per (file, mode) — the three chunkers run
+    concurrently since r12 (see :func:`_mode_chunks`); ONE signature-keyed
+    shuffle for the probe; the rollup is 9 rows.
     """
     from columnar_aware_dedup_spark.sources.orcfixtures import orc_fixture_dirs
 
@@ -518,7 +538,7 @@ def cdc_dedup_report_parquet_full(
     page-level walker (``chunkers.chunk_parquet_bytes`` — the engine's
     re-expression of the reference's
     ``parquet/dedup/NaiveParquetChunkingAlgorithm.java:40-129``). Same plan
-    shape as the ORC report: chunkers fused per file read, ONE
+    shape as the ORC report: one task per (file, mode), ONE
     signature-keyed probe shuffle, 9-row rollup."""
     from columnar_aware_dedup_spark.sources.orcfixtures import (
         parquet_fixture_dirs,
