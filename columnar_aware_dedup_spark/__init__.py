@@ -1754,13 +1754,19 @@ REWRITTEN: dict[int, list[str]] = {
     ],
 }
 
-# r11: the prepared window goes ACTIVE after the repair solver re-packed
+# r11: the prepared window went ACTIVE after the repair solver re-packed
 # it against the real r01-r10 archives — the four r11 registrations
 # (streaming_statsprune_parquet/columns_parity, orc_hierarchical_pruned,
 # orc_stats_census_drift), the schema-changed statsprune row, the six
 # REWRITTEN re-seats, and the overdue r06/r07-row set; the displaced
 # fills cascade through R12-R18 and the new R19 horizon window
 # (simulator-verified green through R18).
-registry.reorder(ROTATION_R11)
+# r12: the window advances on schedule (VERDICT r11 "Next round" #9 —
+# "rotation R12 seated 50/50"): the r11-session-2 re-pack seated the
+# seven late registrations here; all 50 seats are H rows (the
+# file_parse_overhead R seat rotated out exactly as the verdict
+# expected), simulator-verified green through R17 against the real
+# archives (tools/derive_rotation.py; windows prepared through R22).
+registry.reorder(ROTATION_R12)
 
 __all__ = ["registry"]

@@ -520,19 +520,21 @@ def test_cdc_chunk_certificate_single_shuffle(spark, sf_dir):
 
 
 def test_cdc_report_shuffle_budget(spark, sf_dir):
-    """cdc_dedup_report: three chunkers fused into ONE Arrow pass per file
-    (a single mapInPandas over each snapshot scan — one file read, not
-    three), then a bounded shuffle budget: store-side signature distinct,
-    the probe join (AQE may broadcast the distinct store side at small SF;
-    at scale it degrades to the signature-keyed shuffle join, which this
-    bound also admits), the 9-row rollup, the bounded-rollup window, and
-    the final sort. Nothing pairwise, no corpus-sized window."""
+    """cdc_dedup_report: one single-mode Arrow kernel per (snapshot scan,
+    chunking mode) — 3 modes x 2 scans = 6 mapInPandas legs the scheduler
+    runs concurrently (r12; the pre-r12 form fused the three chunkers
+    into one serial pass per file) — then a bounded shuffle budget:
+    store-side signature distinct, the probe join (AQE may broadcast the
+    distinct store side at small SF; at scale it degrades to the
+    signature-keyed shuffle join, which this bound also admits), the
+    9-row rollup, the bounded-rollup window, and the final sort. Nothing
+    pairwise, no corpus-sized window."""
     from columnar_aware_dedup_spark.sources import cdc
 
     df = cdc.cdc_dedup_report(spark, sf_dir)
     plan = explain.plan_string(df, mode="simple")
     assert plan.count("ArrowEvalPython") == 0, plan  # mapInPandas, not UDF
-    assert plan.count("MapInPandas") == 2, plan  # one per snapshot scan
+    assert plan.count("MapInPandas") == 6, plan  # (mode x snapshot scan)
     assert "CartesianProduct" not in plan, plan
     n = explain.n_exchanges(df)
     assert n <= 6, f"cdc_dedup_report grew to {n} shuffles:\n{plan}"
@@ -585,14 +587,14 @@ def test_passage_near_dup_stays_banded_and_collapsed(spark, sf_dir):
 
 
 def test_cdc_parquet_report_shuffle_budget(spark, sf_dir):
-    """cdc_dedup_report_parquet: the same fused-chunkers plan contract as
-    the ORC report — one mapInPandas per snapshot scan (three chunkers in
-    one Arrow pass per file read), bounded shuffles, nothing pairwise."""
+    """cdc_dedup_report_parquet: the same per-(scan, mode) kernel plan
+    contract as the ORC report (r12 — 3 modes x 2 scans, concurrent),
+    bounded shuffles, nothing pairwise."""
     from columnar_aware_dedup_spark.sources import cdc
 
     df = cdc.cdc_dedup_report_parquet(spark, sf_dir)
     plan = explain.plan_string(df, mode="simple")
-    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("MapInPandas") == 6, plan
     assert "CartesianProduct" not in plan, plan
     n = explain.n_exchanges(df)
     assert n <= 6, f"cdc_dedup_report_parquet grew to {n} shuffles:\n{plan}"
@@ -644,18 +646,25 @@ def test_rrf_windows_only_after_limits(spark, sf_dir):
 
 
 def test_cross_format_shuffle_budget(spark, sf_dir):
-    """cross_format_dedup: signature sums partial-aggregate map-side (one
-    exchange per format at one row per column), chunk tables parse in one
-    mapInPandas task per file, and the assembly joins 11-row frames — no
-    window, nothing pairwise, bounded exchanges."""
+    """cross_format_dedup: each format's signature sum pays one narrow
+    11-column spread exchange before the hash work (r12 — the snapshot
+    files are under the split size, so without it the 11 x md5 aggregation
+    ran as ONE task) plus the partial-aggregate exchange at one row per
+    column; chunk tables parse in one mapInPandas task per file, and the
+    assembly joins 11-row frames — no window, nothing pairwise, bounded
+    exchanges."""
     from columnar_aware_dedup_spark.sources import crossformat
 
     df = crossformat.cross_format_dedup(spark, sf_dir)
     plan = explain.plan_string(df, mode="simple")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the two repartition spreads must be present (the r12 optimization's
+    # load-bearing shape) and the budget admits exactly them on top of
+    # the pre-r12 bound of 8
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan
     n = explain.n_exchanges(df)
-    assert n <= 8, f"cross_format_dedup grew to {n} shuffles:\n{plan}"
+    assert n <= 10, f"cross_format_dedup grew to {n} shuffles:\n{plan}"
 
 
 def test_stats_pruned_dedup_plan_shape(spark, sf_dir):

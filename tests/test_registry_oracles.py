@@ -57,14 +57,14 @@ def test_h_query_outputs_are_canon_safe(spark, sf_dir):
 
 def test_driver_window_holds_rotation_queries():
     """The driver checks the first 50 registered queries in dict order; the
-    active r11 rotation (the four r11 registrations + the schema-changed
-    and rewritten re-seats + the overdue set) must be exactly that
-    window."""
+    active r12 rotation (the r11-session-2 re-pack: the seven late
+    registrations + the cascade re-seats — all 50 seats H rows) must be
+    exactly that window."""
     import columnar_aware_dedup_spark as pkg
 
     names = list(_QUERIES)
     assert len(pkg.DRIVER_PRIORITY) == 50
-    assert names[: len(pkg.ROTATION_R11)] == pkg.ROTATION_R11
+    assert names[: len(pkg.ROTATION_R12)] == pkg.ROTATION_R12
 
 
 #: every rows-only (no-oracle) query must be on this list with its reason —
